@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the test rig (local[32], 128 GiB) but every setting is chosen
+  * for cluster-scale semantics first:
+  *
+  *  - `spark.sql.ansi.enabled=false`: the reference's load path never errors
+  *    on a bad value — `SAFE_CAST` turns it into NULL
+  *    (reference `big_uery_handler.py:32-42`). Non-ANSI cast is the engine-wide
+  *    equivalent; individual queries additionally use `try_cast` so they stay
+  *    correct even under an ANSI session.
+  *  - AQE on (default in Spark 4): runtime coalescing of shuffle partitions,
+  *    skew-join splitting, and dynamic broadcast conversion are exactly the
+  *    re-planning we want at 100 TB where static stats are stale.
+  *  - `spark.sql.shuffle.partitions=32` locally; on a real cluster this is
+  *    superseded by AQE's coalescing from
+  *    `spark.sql.adaptive.coalescePartitions.initialPartitionNum`.
+  *  - UTC session TZ: deterministic date/timestamp rendering against the
+  *    DuckDB oracle; corpus timestamps are NTZ so they never shift anyway.
+  */
+object GraftSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet stores ts as TIMESTAMP(NANOS) which the Spark reader
+      // rejects; read as epoch-nanos Long and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

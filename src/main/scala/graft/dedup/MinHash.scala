@@ -1,0 +1,131 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.queries.Canon.round // canonical floor-based rounding (oracle-safe)
+import org.apache.spark.sql.types._
+
+/** MinHash + LSH near-duplicate detection: shingle → minhash signature →
+  * band → bucket-join → exact-Jaccard verification.
+  *
+  * Scale shape (the whole point of LSH): candidate generation is an
+  * *equality* join on the band signature — a plain shuffled hash join whose
+  * cost is O(candidates), never the O(n²) all-pairs comparison.
+  * `DedupQueries.dd_ngram_jaccard`'s exact shingle join is the small-corpus
+  * oracle baseline this is verified against.
+  *
+  * Implementation note (why mapPartitions, not HOF expressions): the
+  * signature stage was first written with nested `transform`/`aggregate`
+  * HOFs. HOFs are interpreted (no codegen), and CollapseProject inlines the
+  * whole split→shingle→hash pipeline into every consumer lambda — profiling
+  * showed `split(text)` re-evaluated inside each of 32×|shingles| nested
+  * lambda invocations (millions of full-string splits for 500 docs). A
+  * single typed `mapPartitions` pass computes each document's signature
+  * exactly once, stays a pure narrow map stage (zero shuffles at any scale),
+  * and materializes shingles/bands as data so no expression can be inlined
+  * past it. This is the documented per-partition-imperative-logic case.
+  *
+  * Determinism: permutation parameters derive from the hash index by fixed
+  * integer arithmetic; the base shingle hash is a local FNV-1a (64-bit),
+  * platform-independent.
+  */
+object MinHash {
+
+  val Prime: Long = 2147483647L // 2^31 - 1, Mersenne
+  val NumHashes = 32
+  val Bands     = 8
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Explicit partition count for the verification stage: AQE would coalesce
+    * the tiny id-pair shuffle to one partition (bytes-based sizing), but the
+    * per-row verify work is CPU-heavy — pin the fan-out instead.
+    */
+  val VerifyParallelism = 32
+
+  private def aParam(i: Int): Long = (2L * i + 1) * 40503L % Prime
+  private def bParam(i: Int): Long = (i * 1103515245L + 12345L) % Prime
+
+  /** FNV-1a 64-bit over UTF-8 bytes, reduced mod Prime — deterministic and
+    * engine-independent.
+    */
+  def shingleHash(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    (h & Long.MaxValue) % Prime
+  }
+
+  /** Distinct w-shingles of a token array (single shingle for short docs). */
+  def shinglesOf(tokens: Array[String], w: Int): Array[String] =
+    if (tokens.length >= w) tokens.sliding(w).map(_.mkString(" ")).toArray.distinct
+    else Array(tokens.mkString(" "))
+
+  /** 32-wide minhash signature of a shingle set. */
+  def signatureOf(shingles: Array[String]): Array[Long] = {
+    val hashed = shingles.map(shingleHash)
+    Array.tabulate(NumHashes) { i =>
+      val a = aParam(i); val b = bParam(i)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < hashed.length) {
+        val v = (a * hashed(j) + b) % Prime
+        if (v < min) min = v
+        j += 1
+      }
+      min
+    }
+  }
+
+  def bandsOf(sig: Array[Long]): Array[String] =
+    Array.tabulate(Bands)(b =>
+      s"b${b}_" + sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand).mkString(":"))
+
+  final case class DocSig(doc_id: Long, shingles: Array[String], bands: Array[String])
+
+  /** Per-document shingles + LSH bands in one narrow typed pass. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 shingleWidth: Int): Dataset[DocSig] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val sh = shinglesOf(text.split(" "), shingleWidth)
+        DocSig(id, sh, bandsOf(signatureOf(sh)))
+      })
+  }
+
+  /** Full pipeline: docs(idCol, textCol) → verified near-dup pairs
+    * (id_a < id_b, jaccard ≥ threshold).
+    */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.5, shingleWidth: Int = 3): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol, shingleWidth).toDF()
+
+    // Candidate generation: explode bands, self-join on the band signature —
+    // ids ONLY. Band collisions can be dense; carrying shingle arrays
+    // through the collision join would turn a cheap id-pair shuffle into
+    // hundreds of MB. Dedup id pairs first, then join arrays back once.
+    val banded = sigs.select(col("doc_id"), explode(col("bands")).as("band"))
+    val candidates = banded.select(col("doc_id").as("id_a"), col("band"))
+      .join(banded.select(col("doc_id").as("id_b"), col("band")), Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+      // AQE would coalesce the tiny id-pair shuffle to one partition, but
+      // per-row verify work is CPU-heavy — pin the fan-out by work, not bytes.
+      .repartition(VerifyParallelism, col("id_a"), col("id_b"))
+
+    // Exact verification only on candidates (array_intersect on shingle sets).
+    val shingleSets = sigs.select(col("doc_id"), col("shingles"))
+    val withArrays = candidates
+      .join(shingleSets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingleSets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)
+    withArrays
+      .select(col("id_a"), col("id_b"), round(inter / union, 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ingest
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.schema.SchemaAlign
+
+import scala.util.control.NonFatal
+
+/** CSV → managed-table ingest, the reference's actual capability surface
+  * re-expressed Spark-first (SURVEY §2.1 S2-S9, §2.11 R1-R8).
+  *
+  * The reference's lifecycle per file (reference `big_uery_handler.py:93-106`):
+  * table absent → autodetect load with truncate; table present → load to a
+  * staging table, SAFE_CAST-align to the target schema, INSERT…SELECT append,
+  * drop staging. In Spark the staging hop disappears: read → align → append is
+  * one lazy plan, so the "staging table" is just an unmaterialized DataFrame
+  * and the whole path is a single distributed job with no extra I/O.
+  */
+object Ingest {
+
+  /** S3: header + schema inference, mirroring `autodetect=True` +
+    * `skip_leading_rows=1` (reference `big_uery_handler.py:110-118`).
+    * `mode=PERMISSIVE` keeps the never-error posture of the load path.
+    */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** R7: table name = lowercase(stem(filename)) (reference `big_uery_handler.py:74`). */
+  def tableNameFor(fileName: String): String = {
+    val stem = fileName.lastIndexOf('.') match {
+      case -1 => fileName
+      case i  => fileName.substring(0, i)
+    }
+    stem.toLowerCase
+  }
+
+  /** R8: run window = [yesterday, today] as real DateType params, replacing
+    * the reference's "%m%d"/"%d" UI strings (`fresh_picked_leads.py:143-147`).
+    * Captured once per run for determinism (SURVEY §7 risk 3).
+    */
+  def runWindow(runDate: Date): (Date, Date) =
+    (Date.valueOf(runDate.toLocalDate.minusDays(1)), runDate)
+
+  /** Per-file ingest: create-overwrite when the table is new (R1, S4),
+    * align-append when it exists (R2-R4, S5). Ingestion_date is stamped at
+    * write time (R5). Tables are partitioned by Ingestion_date on create —
+    * our scale improvement: daily ingests append whole partitions, and any
+    * query filtering on ingestion date gets partition pruning for free.
+    */
+  def ingestFile(spark: SparkSession, filePath: String, runDate: Date): String = {
+    val table = tableNameFor(Paths.get(filePath).getFileName.toString)
+    val raw   = readCsv(spark, filePath)
+    if (!spark.catalog.tableExists(table)) {
+      SchemaAlign.stampIngestionDate(raw, runDate)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("Ingestion_date")
+        .saveAsTable(table)
+    } else {
+      val target  = spark.table(table).schema
+      val aligned = SchemaAlign.alignToSchema(raw, target)
+      SchemaAlign.stampIngestionDate(aligned, runDate)
+        .write.mode(SaveMode.Append)
+        .partitionBy("Ingestion_date") // must match the create-path layout
+        .saveAsTable(table)
+    }
+    table
+  }
+
+  sealed trait FileOutcome { def file: String }
+  final case class Loaded(file: String, table: String) extends FileOutcome
+  final case class Failed(file: String, error: String) extends FileOutcome
+
+  /** S2 + R6 + S9: scan the drop directory, ingest every `*.csv`, isolate
+    * per-file failures (one bad file never stops the batch, reference
+    * `big_uery_handler.py:78-83`). Deliberate divergence from the reference
+    * (SURVEY §1.4): the reference deletes the file even when the upload
+    * failed (`finally:` at `big_uery_handler.py:84-89`) — silent data loss.
+    * Here: delete on success, archive to `failedDir` on failure.
+    */
+  def runDropDir(spark: SparkSession, dropDir: String, runDate: Date,
+                 deleteOnSuccess: Boolean = true,
+                 failedDir: Option[String] = None): Seq[FileOutcome] = {
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(Paths.get(dropDir)).iterator().asScala
+      .filter(p => p.getFileName.toString.toLowerCase.endsWith(".csv"))
+      .toSeq.sortBy(_.getFileName.toString)
+    files.map { p =>
+      try {
+        val table = ingestFile(spark, p.toString, runDate)
+        if (deleteOnSuccess) Files.deleteIfExists(p)
+        Loaded(p.toString, table)
+      } catch {
+        case NonFatal(e) =>
+          failedDir.foreach { d =>
+            val dst = Paths.get(d)
+            Files.createDirectories(dst)
+            Files.move(p, dst.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
+          }
+          Failed(p.toString, Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Canon.round // canonical floor-based rounding (oracle-safe)
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.dedup.{MinHash, SimHash}
+
+/** Deduplication suite over `documents` (SURVEY §2.11 X1/X2 + the
+  * training-data-pipeline dedup set: exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash).
+  *
+  * Scale doctrine: exact all-pairs n-gram Jaccard (dd_ngram_jaccard) is the
+  * *verification baseline* — its shingle self-join is only safe at small
+  * corpus size. The production path at 100 TB is x2_minhash_lsh: candidate
+  * pairs come from an equality join on LSH band signatures, cost
+  * O(candidates) not O(n²).
+  */
+object DedupQueries {
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "x1_exact_dedup",
+      "Exact dedup on normalized text (lower/trim/collapse-spaces → " +
+        "hash-groupBy). Deterministic survivor = min(doc_id).",
+      (s, d) => {
+        val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+        Tables.documents(s, d)
+          .groupBy(norm.as("norm_text"))
+          .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+          .select(col("canonical_id"), col("n_dups"), col("norm_text"))
+          .orderBy("canonical_id")
+      },
+      Some("""SELECT min(doc_id) AS canonical_id, count(*) AS n_dups,
+             |  regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text
+             |FROM documents
+             |GROUP BY regexp_replace(trim(lower(text)), ' +', ' ', 'g')
+             |ORDER BY canonical_id""".stripMargin)
+    ),
+    Q(
+      "dd_ngram_jaccard",
+      "Exact 3-gram Jaccard similarity between document pairs via distinct-" +
+        "shingle self-join (the small-corpus baseline LSH is verified " +
+        "against). Top-20 pairs by similarity.",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val sh = Tables.documents(s, d)
+          .where(size(toks) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(transform(
+              sequence(lit(0), size(toks) - 3),
+              i => concat_ws(" ", element_at(toks, i + 1),
+                element_at(toks, i + 2), element_at(toks, i + 3))))).as("sh"))
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pairs = sh.as("a")
+          .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .join(cnt.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+          .join(cnt.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+          .select(col("doc_a"), col("doc_b"),
+            round(col("common").cast(DoubleType)
+              / (col("na") + col("nb") - col("common")).cast(DoubleType), 4).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+          .limit(20)
+          .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id,
+             |         unnest(list_distinct(list_transform(range(0, len(t) - 2),
+             |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh
+             |       FROM toks WHERE len(t) >= 3),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+             |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  floor((CAST(common AS DOUBLE) / (ca.n + cb.n - common)) * 10000 + 0.5) / 10000 AS jaccard
+             |FROM pairs
+             |  JOIN cnt ca ON doc_a = ca.doc_id
+             |  JOIN cnt cb ON doc_b = cb.doc_id
+             |ORDER BY jaccard DESC NULLS LAST, doc_a, doc_b LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "x2_minhash_lsh",
+      "MinHash(32)+LSH(8 bands) near-dup candidates with exact-Jaccard " +
+        "verification on candidates only — the O(candidates) scale path. " +
+        "Not SQL-expressible in DuckDB (murmur3 base hash) → rows-only check; " +
+        "recall vs the exact baseline is asserted in MinHashSpec.",
+      (s, d) => MinHash.nearDuplicates(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.2),
+      None
+    ),
+    Q(
+      "dd_simhash",
+      "64-bit SimHash fingerprint per document (xxhash64 bit votes, " +
+        "expression-only). Rows-only check; bit semantics asserted in " +
+        "SimHashSpec.",
+      (s, d) => SimHash.simhashTable(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      None
+    )
+  )
+}

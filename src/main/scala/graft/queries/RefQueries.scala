@@ -1,0 +1,99 @@
+package graft.queries
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import graft.queries.Canon.round // canonical floor-based rounding (oracle-safe)
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ingest.Ingest
+import graft.schema.SchemaAlign
+
+/** Group R — the reference's own semantics as oracle-checkable queries
+  * (SURVEY §2.11 R1-R8). The CSV→table paths (R1/R2/R6/R7) are exercised by
+  * the ScalaTest ingest suite; here the *expression-level* semantics are
+  * declared against the corpus so the DuckDB oracle can check them.
+  */
+object RefQueries {
+
+  // Fixed run date so the query is deterministic across engines and runs
+  // (SURVEY §7 risk 3: the reference bakes a Python date literal the same way,
+  // big_uery_handler.py:95).
+  private val RunDate = "2026-08-12"
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "r2_safe_cast",
+      "SAFE_CAST semantics (big_uery_handler.py:32-42): bad value → NULL, " +
+        "never an error; STRING target uses a plain cast.",
+      (s, d) => {
+        val part = Tables.part(s, d)
+        part.select(
+          col("p_partkey"),
+          col("p_name").try_cast(LongType).as("bad_cast"),
+          col("p_size").cast(StringType).try_cast(LongType).as("good_cast"),
+          col("p_brand").cast(StringType).as("str_cast")
+        ).orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  TRY_CAST(p_name AS BIGINT) AS bad_cast,
+             |  TRY_CAST(CAST(p_size AS VARCHAR) AS BIGINT) AS good_cast,
+             |  CAST(p_brand AS VARCHAR) AS str_cast
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+    Q(
+      "r3_align_schema",
+      "alignToSchema three rules (big_uery_handler.py:147-156): shared column " +
+        "cast, missing column NULL-filled, extra columns dropped.",
+      (s, d) => {
+        val target = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("missing_col", DoubleType),
+          StructField("c_acctbal", DoubleType)))
+        SchemaAlign.alignToSchema(Tables.customer(s, d), target)
+          .withColumn("c_acctbal", round(col("c_acctbal"), 4))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CAST(NULL AS DOUBLE) AS missing_col,
+             |  floor((c_acctbal) * 10000 + 0.5) / 10000 AS c_acctbal
+             |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
+      "r5_ingestion_stamp",
+      "Write-time Ingestion_date stamping (replaces the post-hoc UPDATE at " +
+        "big_uery_handler.py:183-194): NULLs backfilled with the run date.",
+      (s, d) => {
+        val stamped = SchemaAlign.stampIngestionDate(
+          Tables.region(s, d), Date.valueOf(RunDate))
+        stamped.select(
+          col("r_regionkey").cast(LongType).as("r_regionkey"),
+          col("r_name"),
+          col("Ingestion_date").as("ingestion_date")
+        ).orderBy("r_regionkey")
+      },
+      Some(s"""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+              |  DATE '$RunDate' AS ingestion_date
+              |FROM region ORDER BY r_regionkey""".stripMargin)
+    ),
+    Q(
+      "r8_run_window",
+      "Date-range derivation as real DateType params (replaces the '%m%d' " +
+        "strings at fresh_picked_leads.py:143-147).",
+      (s, d) => {
+        val (start, end) = Ingest.runWindow(Date.valueOf(RunDate))
+        s.range(1).select(
+          lit(start).as("start_date"),
+          lit(end).as("end_date"),
+          date_format(lit(start), "MMdd").as("start_fmt"),
+          date_format(lit(end), "dd").as("end_fmt"))
+      },
+      Some(s"""SELECT DATE '$RunDate' - 1 AS start_date,
+              |  DATE '$RunDate' AS end_date,
+              |  strftime(DATE '$RunDate' - 1, '%m%d') AS start_fmt,
+              |  strftime(DATE '$RunDate', '%d') AS end_fmt""".stripMargin)
+    )
+  )
+}

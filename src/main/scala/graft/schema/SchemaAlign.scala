@@ -1,0 +1,58 @@
+package graft.schema
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The single most load-bearing function of the engine (SURVEY §1.3): align
+  * an incoming DataFrame to a target schema with the reference's three rules
+  * (reference `big_uery_handler.py:147-156`):
+  *
+  *   1. column in both        → safe cast: bad value → NULL, never an error
+  *                              (`SAFE_CAST`, reference `big_uery_handler.py:32-42`);
+  *                              STRING targets use a plain cast because any
+  *                              value casts to string (`:38-39`).
+  *   2. column only in target → NULL literal of the target type (`:153-154`).
+  *   3. column only in source → silently dropped (the projection iterates
+  *                              target columns only, `:148`).
+  *
+  * Implementation is a single `select` — pure projection, no shuffle, fully
+  * codegen'd, and Catalyst prunes the dropped source columns all the way down
+  * to the scan. At 100 TB this is a zero-cost map-side transform.
+  *
+  * Safe-cast is expressed with `try_cast` so the semantics hold regardless of
+  * the session's ANSI mode.
+  */
+object SchemaAlign {
+
+  /** try_cast(col AS t) — NULL on failure under both ANSI and legacy mode. */
+  def safeCast(c: Column, t: DataType): Column = t match {
+    case StringType => c.cast(StringType) // plain cast: anything → string
+    case _          => c.try_cast(t)
+  }
+
+  def alignToSchema(df: DataFrame, target: StructType): DataFrame = {
+    val present = df.columns.map(n => n.toLowerCase -> n).toMap
+    val cols: Seq[Column] = target.fields.toSeq.map { f =>
+      present.get(f.name.toLowerCase) match {
+        case Some(src) => safeCast(col(src), f.dataType).as(f.name)
+        case None      => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** R5: stamp/backfill the ingestion-date audit column in the same ingest
+    * (write-time `coalesce` replaces the reference's post-hoc
+    * `UPDATE … WHERE Ingestion_date IS NULL`, `big_uery_handler.py:183-194`).
+    * `runDate` is captured once per pipeline run for determinism (SURVEY §7
+    * risk 3) rather than calling `current_date()` per expression.
+    */
+  def stampIngestionDate(df: DataFrame, runDate: java.sql.Date,
+                         colName: String = "Ingestion_date"): DataFrame = {
+    val base =
+      if (df.columns.exists(_.equalsIgnoreCase(colName))) df
+      else df.withColumn(colName, lit(null).cast(DateType))
+    base.withColumn(colName, coalesce(col(colName), lit(runDate)))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Canon.round // canonical floor-based rounding (oracle-safe)
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Two tiers, per the standard ANN playbook:
+  *  - `bruteForceTopK`: exact cosine top-k. The query side is broadcast, the
+  *    corpus side streams — cost O(|queries| · n). Exact baseline and the
+  *    right tool when |queries| is small.
+  *  - `lshTopK`: random-hyperplane LSH — corpus is bucketed by sign bits of
+  *    fixed projections; search touches only the query's bucket. The shuffle
+  *    is an equality join on the bucket key, so cost is O(candidates). This
+  *    is the 100 TB path (an IVF index is the same shape: bucket = coarse
+  *    centroid id).
+  *
+  * All vector math is `transform`/`zip_with`/`aggregate` HOFs — codegen'd,
+  * no UDFs. Hyperplanes are deterministic (integer-arithmetic pseudo-random)
+  * so results are reproducible across runs and engines.
+  */
+object Ann {
+
+  /** Sequential dot product of two float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k: queries × corpus, ranked per query. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    val cos = cosine(col("qe"), col("ve"))
+    val w = Window.partitionBy(col("qid")).orderBy(cos.desc, col("vid").asc)
+    c.crossJoin(broadcast(q))
+      .where(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), round(cos, 4).as("cosine"),
+        row_number().over(w).cast(LongType).as("rn"))
+      .where(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  val NumPlanes = 8  // bits per table → 256 buckets
+  val NumTables = 4  // OR-amplification: candidate if ANY table collides
+
+  /** Deterministic pseudo-random hyperplane component: plane j, dim i →
+    * value in [-0.5, 0.5). Knuth multiplicative hashing on the flat index.
+    */
+  private def planeVal(j: Column, i: Column): Column =
+    (pmod((j * 64 + i + 1) * lit(2654435761L), lit(1048576L)).cast(DoubleType)
+      / 1048576.0) - 0.5
+
+  /** Sign-bit bucket signature of an embedding in hash table `t`
+    * (planes t·NumPlanes … t·NumPlanes+NumPlanes-1).
+    */
+  def lshBucket(e: Column, table: Int): Column =
+    aggregate(
+      sequence(lit(table * NumPlanes), lit((table + 1) * NumPlanes - 1)),
+      lit(0L),
+      (acc, j) => {
+        val proj = aggregate(
+          zip_with(e, sequence(lit(0), lit(63)),
+            (x, i) => x.cast(DoubleType) * planeVal(j, i)),
+          lit(0.0), (a, x) => a + x)
+        acc * 2 + when(proj > 0, 1L).otherwise(0L)
+      })
+
+  /** All NumTables bucket signatures, as (table, bucket) pairs for joining. */
+  private def bucketPairs(e: Column): Column =
+    array((0 until NumTables).map(t =>
+      struct(lit(t).as("t"), lshBucket(e, t).as("b"))): _*)
+
+  /** Approximate top-k: candidates = any-table bucket collision (ids only
+    * through the join), then exact cosine rank on the deduped candidate set.
+    * At scale this is the whole point: the join is an equality shuffle on
+    * (table, bucket), never an all-pairs scan.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      explode(bucketPairs(col("embedding"))).as("tb"))
+    val c = corpus.select(col("vec_id").as("vid"),
+      explode(bucketPairs(col("embedding"))).as("tb"))
+    val candidates = c.join(broadcast(q.select(col("qid"), col("tb"))), Seq("tb"))
+      .where(col("vid") =!= col("qid"))
+      .select("qid", "vid").dropDuplicates("qid", "vid")
+    val qe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val ve = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    val cos = cosine(col("qe"), col("ve"))
+    val w = Window.partitionBy(col("qid")).orderBy(cos.desc, col("vid").asc)
+    candidates
+      .join(broadcast(qe), Seq("qid")).join(ve, Seq("vid"))
+      .select(col("qid"), col("vid"), round(cos, 4).as("cosine"),
+        row_number().over(w).cast(LongType).as("rn"))
+      .where(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+}

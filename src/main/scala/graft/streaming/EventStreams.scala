@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming implementations of the ST group (SURVEY §2.11
+  * ST1-ST3) over the `events` schema. Batch-equivalent forms (what the
+  * DuckDB oracle checks) are in `queries.StreamEquivQueries`; the
+  * StreamingSpec suite drives these with a file source and asserts the
+  * converged streaming result equals the batch result.
+  *
+  * State-size doctrine for 100 TB streams: every stateful op here is keyed
+  * by (window, key) and bounded by the watermark horizon — state never grows
+  * with stream length. Late data beyond the watermark is dropped (counted by
+  * the `numRowsDroppedByWatermark` metric), the semantics the reference's
+  * batch re-runs approximate with its one-day window.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of parquet events (the streaming
+    * analogue of the reference's drop-directory scan, SURVEY §2.1 S2).
+    */
+  def readEventStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Event-time watermarks require TimestampType (an instant); the corpus is
+    * NTZ. With the session TZ pinned to UTC the cast is wall-clock-identical,
+    * so streaming and batch results line up exactly.
+    */
+  private def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ts", col("ts").cast(TimestampType))
+
+  /** ST1: tumbling 1-hour counts by event_type, 10-minute watermark. */
+  def tumblingCounts(events0: DataFrame): DataFrame = {
+    val events = withEventTime(events0)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+  }
+
+  /** ST2: sliding (1 hour, 15 min) sum(value); DECIMAL-summed for exactness. */
+  def slidingSum(events0: DataFrame): DataFrame = {
+    val events = withEventTime(events0)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(round(sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType), 4)
+        .as("sum_value"),
+        count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("sum_value"), col("cnt"))
+  }
+
+  /** ST3: streaming dedup on event_id within the watermark horizon. The
+    * delay is the dedup window AND the late-data cutoff: rows older than the
+    * watermark are dropped entirely (file sources deliver files in listing
+    * order, not event-time order, so tests use a horizon covering the span).
+    */
+  def dedupEvents(events0: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    val events = withEventTime(events0)
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("ts"), col("event_type"))
+  }
+}

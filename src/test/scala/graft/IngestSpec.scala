@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.Date
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.Ingest
+
+/** SURVEY §5.4: end-to-end drop-dir ingest scenarios against the FIXTURES.md
+  * fixture family (R1-R8 semantics from the reference load path).
+  */
+class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = TestSpark.spark
+  val run: Date = Date.valueOf("2026-08-12")
+
+  private def tmp(): Path = Files.createTempDirectory("graft-drop")
+  private def write(dir: Path, name: String, content: String): Unit =
+    Files.writeString(dir.resolve(name), content)
+
+  val batch1: String =
+    """lead_id,full_name,asking_price,motivated
+      |1001,Jane Smith,250000.5,true
+      |1002,Bob Jones,180000.0,false
+      |""".stripMargin
+
+  test("R1/R7: fresh CSV creates table named lowercase(stem), inferred schema") {
+    val dir = tmp()
+    write(dir, "Leads_A.csv", batch1)
+    val out = Ingest.runDropDir(spark, dir.toString, run)
+    assert(out == Seq(Ingest.Loaded(dir.resolve("Leads_A.csv").toString, "leads_a")))
+    val t = spark.table("leads_a")
+    assert(t.count() == 2)
+    assert(Set("integer", "long").contains(t.schema("lead_id").dataType.typeName))
+    assert(t.schema("asking_price").dataType.typeName == "double")
+    assert(t.columns.contains("Ingestion_date"))
+    // R5: every ingested row stamped with the run date
+    assert(t.where(s"Ingestion_date = date'$run'").count() == 2)
+  }
+
+  test("R2: append with matching schema accumulates rows") {
+    val dir = tmp()
+    write(dir, "leads_b.csv", batch1)
+    Ingest.runDropDir(spark, dir.toString, run)
+    write(dir, "leads_b.csv",
+      "lead_id,full_name,asking_price,motivated\n1003,Ann Ray,99000.0,true\n")
+    Ingest.runDropDir(spark, dir.toString, run)
+    assert(spark.table("leads_b").count() == 3)
+  }
+
+  test("R3: appended CSV missing a column → NULL-filled") {
+    val dir = tmp()
+    write(dir, "leads_c.csv", batch1)
+    Ingest.runDropDir(spark, dir.toString, run)
+    write(dir, "leads_c.csv", "lead_id,full_name,motivated\n1004,No Price,true\n")
+    Ingest.runDropDir(spark, dir.toString, run)
+    val t = spark.table("leads_c")
+    assert(t.where("lead_id = 1004 AND asking_price IS NULL").count() == 1)
+  }
+
+  test("R4: appended CSV with extra column → extra silently dropped") {
+    val dir = tmp()
+    write(dir, "leads_d.csv", batch1)
+    Ingest.runDropDir(spark, dir.toString, run)
+    write(dir, "leads_d.csv",
+      "lead_id,full_name,asking_price,motivated,agent_notes\n1005,Extra Col,1.0,true,call asap\n")
+    Ingest.runDropDir(spark, dir.toString, run)
+    val t = spark.table("leads_d")
+    assert(!t.columns.contains("agent_notes"))
+    assert(t.where("lead_id = 1005").count() == 1)
+  }
+
+  test("R2 type drift: bad values become NULL, never an error (SAFE_CAST)") {
+    val dir = tmp()
+    write(dir, "leads_e.csv", batch1)
+    Ingest.runDropDir(spark, dir.toString, run)
+    write(dir, "leads_e.csv",
+      "lead_id,full_name,asking_price,motivated\n1006,Drifter,call me,maybe\n")
+    val out = Ingest.runDropDir(spark, dir.toString, run)
+    assert(out.forall(_.isInstanceOf[Ingest.Loaded]), out.mkString("; "))
+    val r = spark.table("leads_e").where("lead_id = 1006").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("asking_price")))
+    assert(r.isNullAt(r.fieldIndex("motivated")))
+  }
+
+  test("R6: corrupt file skipped, batch continues, file archived not deleted") {
+    val dir = tmp()
+    val failed = dir.resolve("failed")
+    // A file whose *read* fails outright: a directory path masquerading as csv
+    // won't fail read; instead make ingest fail via an unreadable file name
+    // conflict: simplest reliable failure = a file that is a directory.
+    Files.createDirectory(dir.resolve("broken.csv"))
+    write(dir, "good.csv", batch1)
+    val out = Ingest.runDropDir(spark, dir.toString, run,
+      failedDir = Some(failed.toString))
+    assert(out.exists { case Ingest.Loaded(f, "good") => f.endsWith("good.csv"); case _ => false })
+    assert(out.exists(_.isInstanceOf[Ingest.Failed]))
+    assert(spark.table("good").count() == 2)
+  }
+
+  test("non-CSV files ignored by the extension filter (P5)") {
+    val dir = tmp()
+    write(dir, "notes.txt", "not a csv")
+    write(dir, "data_f.csv", batch1)
+    val out = Ingest.runDropDir(spark, dir.toString, run)
+    assert(out.map(_.file).forall(_.endsWith(".csv")))
+    assert(Files.exists(dir.resolve("notes.txt")))
+  }
+
+  test("successful ingest deletes the source file (S9, delete-on-success)") {
+    val dir = tmp()
+    write(dir, "leads_g.csv", batch1)
+    Ingest.runDropDir(spark, dir.toString, run)
+    assert(!Files.exists(dir.resolve("leads_g.csv")))
+  }
+
+  test("R8: run window derives yesterday→today as DateType") {
+    val (start, end) = Ingest.runWindow(Date.valueOf("2026-08-12"))
+    assert(start == Date.valueOf("2026-08-11"))
+    assert(end == Date.valueOf("2026-08-12"))
+  }
+
+  test("R7: table naming = lowercase(stem)") {
+    assert(Ingest.tableNameFor("Fresh_Picked_LEADS.CSV".toLowerCase) == "fresh_picked_leads")
+    assert(Ingest.tableNameFor("Buyers.csv") == "buyers")
+    assert(Ingest.tableNameFor("noext") == "noext")
+  }
+}

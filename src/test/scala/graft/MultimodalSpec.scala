@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("media table has binary payload + typed metadata struct") {
+    val media = Multimodal.asMediaTable(Tables.documents(spark, TestSpark.sf0001))
+    val sch = media.schema
+    assert(sch("payload").dataType.typeName == "binary")
+    assert(sch("meta").dataType.typeName == "struct")
+    val row = media.orderBy("doc_id").limit(1).collect()(0)
+    val meta = row.getStruct(row.fieldIndex("meta"))
+    assert(meta.getString(0) == "text/plain")
+    assert(meta.getLong(1) > 0)
+  }
+
+  test("extractFeatures is deterministic and consistent with the stub decoder") {
+    val media = Multimodal.asMediaTable(Tables.documents(spark, TestSpark.sf0001))
+    val f1 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall(f => f.width >= 16 && f.width < 80))
+    // spot-check checksum against a driver-side recompute
+    val doc0 = Tables.documents(spark, TestSpark.sf0001)
+      .where("doc_id = 0").collect()(0).getAs[String]("text")
+    val (w, h, sum) = Multimodal.StubDecoder.decode(doc0.getBytes("UTF-8"))
+    val feat0 = f1.find(_.doc_id == 0L).get
+    assert((feat0.width, feat0.height, feat0.checksum) == ((w, h, sum)))
+  }
+}

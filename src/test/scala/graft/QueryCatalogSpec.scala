@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.QueryCatalog
+
+/** Smoke: every declared query runs on sf0.001 and yields rows; names unique;
+  * oracle coverage documented. (Value-level correctness is the DuckDB gate,
+  * replicated locally by tools/oracle_check.py.)
+  */
+class QueryCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("query names are unique") {
+    val names = QueryCatalog.all.map(_.name)
+    assert(names.distinct.length == names.length)
+  }
+
+  test("non-oracle queries are the documented hash-based/typed exceptions") {
+    val noOracle = QueryCatalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(noOracle == Set("x2_minhash_lsh", "dd_simhash", "sim_ann_lsh", "mm_decode_features"))
+  }
+
+  QueryCatalog.all.foreach { q =>
+    test(s"${q.name} runs on sf0.001 and returns rows") {
+      val n = q.build(spark, TestSpark.sf0001).count()
+      assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("SparkEntry.entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

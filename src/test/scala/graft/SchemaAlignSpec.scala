@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.schema.{SchemaAlign, TypeMap}
+
+/** SURVEY §5.1/§5.2: the schema kernel — every alignToSchema rule and the
+  * TypeMap table (reference `big_uery_handler.py:14-29,32-42,147-156`).
+  * Property tests sample scalacheck generators with a fixed seed (the
+  * scalatest-scalacheck bridge isn't in the offline cache).
+  */
+class SchemaAlignSpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int = 50): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("TypeMap maps every reference type; unknown falls back to STRING") {
+    assert(TypeMap.toSpark("STRING") == StringType)
+    assert(TypeMap.toSpark("BOOL") == BooleanType)
+    assert(TypeMap.toSpark("INT64") == LongType)
+    assert(TypeMap.toSpark("FLOAT64") == DoubleType)
+    assert(TypeMap.toSpark("NUMERIC") == DecimalType(38, 9))
+    assert(TypeMap.toSpark("BIGNUMERIC") == DecimalType(38, 38))
+    assert(TypeMap.toSpark("DATE") == DateType)
+    assert(TypeMap.toSpark("DATETIME") == TimestampNTZType)
+    assert(TypeMap.toSpark("TIMESTAMP") == TimestampType)
+    assert(TypeMap.toSpark("TIME") == StringType)
+    assert(TypeMap.toSpark("GEOGRAPHY") == StringType)
+    assert(TypeMap.toSpark("SOME_FUTURE_TYPE") == StringType)
+  }
+
+  private val target = StructType(Seq(
+    StructField("id", LongType),
+    StructField("price", DoubleType),
+    StructField("note", StringType)))
+
+  test("rule 1: shared column safe-casts; bad value → NULL, never error") {
+    val df = Seq(("1", "19.5", "ok"), ("x", "not-a-number", "bad"))
+      .toDF("id", "price", "note")
+    val out = SchemaAlign.alignToSchema(df, target).collect()
+    assert(out(0) == Row(1L, 19.5, "ok"))
+    assert(out(1) == Row(null, null, "bad"))
+  }
+
+  test("rule 2: column missing from source → NULL of target type") {
+    val df = Seq((1L, "a")).toDF("id", "note")
+    val out = SchemaAlign.alignToSchema(df, target)
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      target.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(out.collect()(0) == Row(1L, null, "a"))
+  }
+
+  test("rule 3: extra source column silently dropped; target order kept") {
+    val df = Seq((1L, 2.0, "a", "EXTRA")).toDF("note", "price", "id", "extra")
+      .selectExpr("cast(note as string) note", "price", "cast(id as string) id", "extra")
+    val out = SchemaAlign.alignToSchema(df, target)
+    assert(out.columns.toSeq == Seq("id", "price", "note"))
+    assert(!out.columns.contains("extra"))
+  }
+
+  test("column matching is case-insensitive (BigQuery-style)") {
+    val df = Seq((5L, 1.5, "n")).toDF("ID", "Price", "NOTE")
+    val out = SchemaAlign.alignToSchema(df, target).collect()
+    assert(out(0) == Row(5L, 1.5, "n"))
+  }
+
+  test("STRING target accepts any value (plain cast, big_uery_handler.py:38-39)") {
+    val t = StructType(Seq(StructField("v", StringType)))
+    val df = Seq(Tuple1(12.75)).toDF("v")
+    assert(SchemaAlign.alignToSchema(df, t).collect()(0).getString(0) == "12.75")
+  }
+
+  test("property: long round-trips through string alignment") {
+    val ns = samples(Gen.long)
+    val df = ns.map(n => Tuple1(n.toString)).toDF("id")
+    val t = StructType(Seq(StructField("id", LongType)))
+    val got = SchemaAlign.alignToSchema(df, t).collect().map(_.getLong(0)).toSeq
+    assert(got == ns)
+  }
+
+  test("property: alignment is idempotent") {
+    val rows = samples(Gen.zip(Gen.long, Gen.alphaNumStr))
+    val df = rows.toDF("id", "note")
+    val t = StructType(Seq(StructField("id", LongType), StructField("note", StringType)))
+    val once = SchemaAlign.alignToSchema(df, t)
+    val twice = SchemaAlign.alignToSchema(once, t)
+    assert(once.collect().toSeq == twice.collect().toSeq)
+  }
+
+  test("stampIngestionDate adds missing column and backfills NULLs (R5)") {
+    val run = Date.valueOf("2026-08-12")
+    val noCol = Seq(Tuple1(1L)).toDF("id")
+    val stamped = SchemaAlign.stampIngestionDate(noCol, run).collect()
+    assert(stamped(0).getDate(1) == run)
+
+    val withNull = spark.createDataFrame(
+      java.util.List.of(Row(1L, null), Row(2L, Date.valueOf("2026-01-01"))),
+      StructType(Seq(StructField("id", LongType), StructField("Ingestion_date", DateType))))
+    val out = SchemaAlign.stampIngestionDate(withNull, run).collect()
+    assert(out(0).getDate(1) == run)                          // backfilled
+    assert(out(1).getDate(1) == Date.valueOf("2026-01-01"))   // preserved
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** SURVEY §5.5: streaming ST1-ST3 verified by batch equivalence — the
+  * converged result of the stream (AvailableNow over a multi-file directory,
+  * so watermarks and incremental state actually engage) must equal the batch
+  * query over the same data.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Events from the corpus (ts normalized to NTZ micros), split into 4
+    * files so the file source delivers multiple micro-batches.
+    */
+  lazy val eventDir: String = {
+    val dir = Files.createTempDirectory("graft-events").toString
+    Tables.events(spark, TestSpark.sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def runComplete(q: DataFrame => DataFrame): Array[org.apache.spark.sql.Row] = {
+    val name = "sink_" + System.nanoTime()
+    val stream = q(EventStreams.readEventStream(spark, eventDir))
+    val query = stream.writeStream
+      .format("memory").queryName(name).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name).collect()
+  }
+
+  test("ST1: streaming tumbling counts converge to the batch result") {
+    val got = runComplete(EventStreams.tumblingCounts)
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    val want = EventStreams.tumblingCounts(
+      spark.read.schema(EventStreams.eventSchema).parquet(eventDir))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("ST2: streaming sliding sum converges to the batch result") {
+    val got = runComplete(EventStreams.slidingSum)
+      .map(r => (r.get(0).toString, r.getDouble(1), r.getLong(2))).toSet
+    val want = EventStreams.slidingSum(
+      spark.read.schema(EventStreams.eventSchema).parquet(eventDir))
+      .collect().map(r => (r.get(0).toString, r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("ST3: streaming dedup emits each event_id once") {
+    val name = "sink_dedup_" + System.nanoTime()
+    // delay spans the whole corpus: file listing order is not event-time
+    // order, so a short watermark would drop whole out-of-order files as late
+    val stream = EventStreams.dedupEvents(
+      EventStreams.readEventStream(spark, eventDir), delay = "10000 hours")
+    val query = stream.writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val ids = spark.table(name).select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length)
+    val batchIds = spark.read.schema(EventStreams.eventSchema).parquet(eventDir)
+      .select("event_id").distinct().count()
+    assert(ids.length == batchIds)
+  }
+}

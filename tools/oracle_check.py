@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (t2): run graft.Verify
+output against DuckDB oracle SQL and compare.
+
+Usage: python3 tools/oracle_check.py <sfdir> <verify_out_dir>
+
+Mirrors the driver protocol described in the builder prompt: for each query,
+load the Spark parquet result and the DuckDB result of oracle_sql.json's SQL
+over views named after the parquet tables, sort columns by name, stringify
+values, and compare row-by-row.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-ish canonicalization: stable shortest repr
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def rows_of(rel):
+    return [tuple(canon(v) for v in row) for row in rel]
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.loads(Path(outdir, "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_rel = con.execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+            spark_cols = [d[0] for d in spark_rel.description]
+            spark_rows = rows_of(spark_rel.fetchall())
+            duck_rel = con.execute(sql)
+            duck_cols = [d[0] for d in duck_rel.description]
+            duck_rows = rows_of(duck_rel.fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: exception {str(e)[:300]}")
+            n_fail += 1
+            continue
+        # sort columns by name (driver behavior)
+        s_idx = [i for i, _ in sorted(enumerate(spark_cols), key=lambda p: p[1])]
+        d_idx = [i for i, _ in sorted(enumerate(duck_cols), key=lambda p: p[1])]
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"FAIL {name}: columns spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            n_fail += 1
+            continue
+        s_rows = [tuple(r[i] for i in s_idx) for r in spark_rows]
+        d_rows = [tuple(r[i] for i in d_idx) for r in duck_rows]
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            n_fail += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(s_rows)} rows differ; first at {i}:")
+            print(f"  spark: {a}")
+            print(f"  duck : {b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
