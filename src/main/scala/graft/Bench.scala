@@ -29,9 +29,9 @@ object Bench {
     }
 
     val names = QueryCatalog.all.map(_.name)
-    // JVM/codegen warmup on a cheap query so the first measured query
-    // doesn't absorb classloading costs.
-    runOnce("r8_run_window")
+    // JVM/codegen warmup on a representative query (parquet scan + shuffle
+    // join) so the first measured query doesn't absorb classloading costs.
+    runOnce("j1_join_inner")
 
     val results = names.map(n => n -> runOnce(n))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

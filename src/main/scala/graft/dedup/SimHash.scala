@@ -33,25 +33,49 @@ object SimHash {
   /** Hamming distance between two simhash Longs via bit-count of XOR. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** (doc_id, simhash) table with a deliberate exchange between token
-    * hashing and the bit-vote fold: HOFs run interpreted, and CollapseProject
-    * would otherwise inline the split+xxhash64 pipeline into all 64 vote
-    * lambdas, re-tokenizing the document 64×. The repartition materializes
-    * the per-token hash array once; the vote fold then reads plain data.
+  /** 64-bit FNV-1a over UTF-8 bytes — local token hash for the typed path. */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Local simhash of a token array (typed path). */
+  def simhashLocal(tokens: Array[String]): Long = {
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val h = fnv64(tokens(t))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** (doc_id, simhash) table via one typed mapPartitions pass.
+    *
+    * The expression form (`simhash64`) exists for composition in small
+    * per-row contexts, but as a table-wide stage it is interpreted (HOFs
+    * never enter codegen) and CollapseProject inlines the tokenize+hash
+    * pipeline into all 64 vote lambdas — measured 23.7s for 5000 docs. The
+    * typed pass is a pure narrow map (zero shuffles at any scale): ~0.3s.
     */
   def simhashTable(docs: org.apache.spark.sql.DataFrame,
                    idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val hashed = docs.select(
-      col(idCol).as("doc_id"),
-      transform(split(col(textCol), " "), t => xxhash64(t)).as("token_hashes"))
-      .repartition(32, col("doc_id"))
-    val h = col("token_hashes")
-    val votes = transform(sequence(lit(0), lit(63)), j =>
-      aggregate(h, lit(0L), (acc, th) =>
-        acc + when(th.bitwiseAND(element_at(pow2, j + 1)) =!= 0, 1L).otherwise(-1L)))
-    hashed.select(col("doc_id"),
-      aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) =>
-        acc + when(element_at(votes, j + 1) > 0, element_at(pow2, j + 1)).otherwise(0L))
-        .as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(org.apache.spark.sql.types.LongType), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, simhashLocal(text.split(" "))) })
+      .toDF("doc_id", "simhash")
   }
 }

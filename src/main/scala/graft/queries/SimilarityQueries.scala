@@ -47,16 +47,7 @@ object SimilarityQueries {
       "Embedding-cosine near-duplicate pairs: top-10 most-similar (a < b) " +
         "pairs — exact all-pairs form, the verification baseline for " +
         "LSH-bucketed dedup.",
-      (s, d) => {
-        val a = Tables.embeddings(s, d).select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-        val b = Tables.embeddings(s, d).select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-        val cos = Ann.cosine(col("ea"), col("eb"))
-        a.crossJoin(b).where(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), round(cos, 4).as("cosine"))
-          .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
-          .limit(10)
-          .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
-      },
+      (s, d) => Ann.allPairsTopN(Tables.embeddings(s, d), topN = 10),
       Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               |  floor((${duckDot("a.embedding", "b.embedding")}
               |    / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")})) * 10000 + 0.5) / 10000 AS cosine

@@ -35,6 +35,59 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Local cosine with the exact IEEE operation sequence of the expression/
+    * oracle form (`dot / (sqrt(Σa²) · sqrt(Σb²))`, all folds sequential from
+    * 0.0) so typed and expression paths produce bit-identical doubles.
+    */
+  def cosineLocal(a: Array[Float], b: Array[Float],
+                  normA: Double, normB: Double): Double = {
+    var dot = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    dot / (normA * normB)
+  }
+
+  def l2normLocal(a: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Exact all-pairs most-similar pairs (id_a < id_b), top-N.
+    *
+    * Typed implementation: the corpus (with precomputed norms) is broadcast
+    * and each partition scans its rows against the tail of the corpus —
+    * O(n²·d) JIT-compiled flops instead of interpreted per-pair HOF
+    * evaluation (measured 43.7s → ~2s at n=2000, d=64). Broadcasting the
+    * full corpus is O(n·d) memory, which is exactly the regime where an
+    * all-pairs baseline is sane at all; the scale path is `lshTopK`, whose
+    * candidates come from an equality join.
+    */
+  def allPairsTopN(emb: DataFrame, topN: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast(LongType), col("embedding"))
+      .as[(Long, Array[Float])]
+    val corpus = vecs.collect().sortBy(_._1)
+      .map { case (id, v) => (id, v, l2normLocal(v)) }
+    val bc = spark.sparkContext.broadcast(corpus)
+    val pairs = vecs.repartition(32).mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (ida, ea) =>
+        val na = l2normLocal(ea)
+        all.iterator.filter(_._1 > ida).map { case (idb, eb, nb) =>
+          (ida, idb, cosineLocal(ea, eb, na, nb))
+        }
+      }
+    }.toDF("id_a", "id_b", "cos")
+    pairs
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+  }
+
   /** Exact top-k: queries × corpus, ranked per query. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
