@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Canon.round // canonical floor-based rounding (oracle-safe)
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.AsofJoin
+
+/** Advanced operators beyond stock Spark surface: as-of join, session
+  * windows, and a composed training-data pipeline (filter → dedup → stats).
+  */
+object AdvancedQueries {
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "j7_asof_join",
+      "As-of join: each event attached to the user's most recent order " +
+        "(o_orderdate <= ts). Union+running-window idiom — one shuffle on " +
+        "the key; the oracle is DuckDB's range join + QUALIFY pick.",
+      (s, d) => {
+        val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+        val o = Tables.orders(s, d)
+        AsofJoin.asofLeft(
+          e, col("user_id"), col("ts"),
+          o, col("o_custkey"), col("o_orderdate"),
+          payload = Seq(col("o_orderdate"), col("o_orderkey"), col("o_totalprice")))
+          .select(
+            col("event_id"), col("user_id"),
+            col("_asof.o_orderkey").as("last_orderkey"),
+            round(col("_asof.o_totalprice"), 4).as("last_price"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, last_orderkey, last_price FROM (
+             |  SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey,
+             |    floor((o.o_totalprice) * 10000 + 0.5) / 10000 AS last_price,
+             |    row_number() OVER (PARTITION BY e.event_id
+             |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+             |  FROM events e LEFT JOIN orders o
+             |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+             |WHERE rn = 1 ORDER BY event_id""".stripMargin)
+    ),
+    Q(
+      "st4_session_window",
+      "Session windows (30-min gap) per user over events — batch form of " +
+        "streaming sessionization; oracle is the gaps-and-islands rewrite.",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |islands AS (
+             |  SELECT user_id, ts,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+             |  FROM marked)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL '30 minutes' AS session_end,
+             |  count(*) AS n_events
+             |FROM islands GROUP BY user_id, grp
+             |ORDER BY user_id, session_start""".stripMargin)
+    ),
+    Q(
+      "x6_training_pipeline",
+      "Composed training-data pipeline: quality filter (length + stopword " +
+        "ratio) → exact dedup on normalized text → per-language doc/token " +
+        "stats. The end-to-end shape a 100 TB corpus-prep job takes; each " +
+        "stage is the operator declared elsewhere in the catalog.",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nTok = size(toks)
+        val stopRatio = size(filter(toks, t => t.isin("a", "the"))).cast(DoubleType) /
+          nTok.cast(DoubleType)
+        val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+        Tables.documents(s, d)
+          .where(nTok >= 20 && stopRatio < lit(0.3))
+          .groupBy(norm.as("norm_text"), col("lang"))
+          .agg(min(col("doc_id")).as("doc_id"), min(nTok.cast(LongType)).as("n_tokens"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH filtered AS (
+             |  SELECT doc_id, lang,
+             |    regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm_text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 20
+             |    AND CAST(len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the'))) AS DOUBLE)
+             |        / len(string_split(text, ' ')) < 0.3),
+             |deduped AS (
+             |  SELECT norm_text, lang, min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+             |  FROM filtered GROUP BY norm_text, lang)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+             |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin)
+    )
+  )
+}

@@ -33,7 +33,8 @@ object QueryCatalog {
       TextQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
-      MultimodalQueries.defs
+      MultimodalQueries.defs ++
+      AdvancedQueries.defs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

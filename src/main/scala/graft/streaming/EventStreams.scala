@@ -65,6 +65,41 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("sum_value"), col("cnt"))
   }
 
+  /** ST4: streaming sessionization — session_window with a 30-min gap per
+    * user. State per (user, open session), closed and emitted once the
+    * watermark passes the session end.
+    */
+  def sessionCounts(events0: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    val events = withEventTime(events0)
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * counts across micro-batches (the KeyValueGroupedDataset escape hatch
+    * for state machines session_window can't express). Update-mode output:
+    * one row per user per batch with the cumulative count.
+    */
+  def runningUserCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.selectExpr("user_id", "event_id").as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (user, total)
+      }
+      .toDF("user_id", "running_count")
+  }
+
   /** ST3: streaming dedup on event_id within the watermark horizon. The
     * delay is the dedup window AND the late-data cutoff: rows older than the
     * watermark are dropped entirely (file sources deliver files in listing

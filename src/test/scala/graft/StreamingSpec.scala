@@ -58,6 +58,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("ST4: streaming session windows converge to the batch result") {
+    // wide watermark: file listing order is not event-time order (see ST3)
+    val got = runComplete(EventStreams.sessionCounts(_, delay = "10000 hours"))
+      .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getLong(3))).toSet
+    val want = EventStreams.sessionCounts(
+      spark.read.schema(EventStreams.eventSchema).parquet(eventDir), delay = "10000 hours")
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("mapGroupsWithState running counts converge to batch per-user counts") {
+    val name = "sink_state_" + System.nanoTime()
+    val stream = EventStreams.runningUserCounts(
+      spark, EventStreams.readEventStream(spark, eventDir))
+    val query = stream.writeStream
+      .format("memory").queryName(name).outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // last emitted row per user = cumulative total
+    val finalCounts = spark.table(name)
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("running_count").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = spark.read.schema(EventStreams.eventSchema).parquet(eventDir)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts == batch)
+  }
+
   test("ST3: streaming dedup emits each event_id once") {
     val name = "sink_dedup_" + System.nanoTime()
     // delay spans the whole corpus: file listing order is not event-time
