@@ -102,8 +102,13 @@ object Ann {
       .orderBy("qid", "rn")
   }
 
-  val NumPlanes = 8  // bits per table → 256 buckets
-  val NumTables = 4  // OR-amplification: candidate if ANY table collides
+  // Random 64-dim vectors are the adversarial case for hyperplane LSH
+  // (cosines concentrate near 0, so "near" neighbors barely separate from
+  // the bulk); shorter codes + more OR-ed tables trade candidate count for
+  // recall. 6 bits × 8 tables ≈ n/8 candidates per query at recall ~0.4-0.6
+  // on this corpus; structured embeddings do far better at the same cost.
+  val NumPlanes = 6  // bits per table → 64 buckets
+  val NumTables = 8  // OR-amplification: candidate if ANY table collides
 
   /** Deterministic pseudo-random hyperplane component: plane j, dim i →
     * value in [-0.5, 0.5). Knuth multiplicative hashing on the flat index.
