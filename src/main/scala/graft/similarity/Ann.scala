@@ -24,7 +24,10 @@ import org.apache.spark.sql.types._
   */
 object Ann {
 
-  /** Sequential dot product of two float arrays, in double. */
+  /** Sequential dot product of two float arrays, in double — HOF reference
+    * form (interpreted; kept as the executable spec the custom expression
+    * is asserted bit-identical against).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
@@ -33,7 +36,12 @@ object Ann {
     sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Production cosine: the codegen'd native expressions (same IEEE op
+    * sequence as the HOF form and the DuckDB oracle — swap never moves a
+    * hash-compared value).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosineF(a, b)
 
   /** Local cosine with the exact IEEE operation sequence of the expression/
     * oracle form (`dot / (sqrt(Σa²) · sqrt(Σb²))`, all folds sequential from

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` surface for registering custom Catalyst
+  * expressions as Columns — the standard extension-point shim (the public
+  * route is SparkSessionExtensions + FunctionRegistry; this keeps the
+  * library usable without session reconfiguration).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
