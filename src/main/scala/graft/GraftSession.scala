@@ -40,6 +40,7 @@ object GraftSession {
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.expressions.GraftFunctions.register(spark)
     spark
   }
 }

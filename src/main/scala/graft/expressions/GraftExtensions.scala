@@ -1,0 +1,39 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of the native vector expressions as SQL functions.
+  *
+  * Two routes:
+  *  - `GraftExtensions` for config-time injection
+  *    (`spark.sql.extensions=graft.expressions.GraftExtensions`) — the
+  *    deployment-grade SparkSessionExtensions path;
+  *  - `GraftFunctions.register(spark)` for an already-built session (what
+  *    GraftSession does), so `spark.sql("SELECT float_vector_dot(a, b)")`
+  *    works everywhere including the Verify/Bench entry points.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+  type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val descriptors: Seq[Descriptor] = Seq(
+    (FunctionIdentifier("float_vector_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
+      (args: Seq[Expression]) => FloatVectorDot(args(0), args(1))),
+    (FunctionIdentifier("float_vector_norm"),
+      new ExpressionInfo(classOf[FloatVectorNorm].getName, "float_vector_norm"),
+      (args: Seq[Expression]) => FloatVectorNorm(args.head))
+  )
+
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, id, info, builder)
+    }
+}

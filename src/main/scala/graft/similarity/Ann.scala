@@ -120,25 +120,24 @@ object Ann {
 
   /** Deterministic pseudo-random hyperplane component: plane j, dim i →
     * value in [-0.5, 0.5). Knuth multiplicative hashing on the flat index.
+    * Materialized as literal float vectors so the projection is the native
+    * codegen'd dot product, not an interpreted HOF.
     */
-  private def planeVal(j: Column, i: Column): Column =
-    (pmod((j * 64 + i + 1) * lit(2654435761L), lit(1048576L)).cast(DoubleType)
-      / 1048576.0) - 0.5
+  private def planeVec(j: Int): Seq[Float] =
+    (0 until 64).map(i =>
+      (((j.toLong * 64 + i + 1) * 2654435761L % 1048576L + 1048576L) % 1048576L
+        / 1048576.0 - 0.5).toFloat)
 
   /** Sign-bit bucket signature of an embedding in hash table `t`
     * (planes t·NumPlanes … t·NumPlanes+NumPlanes-1).
     */
   def lshBucket(e: Column, table: Int): Column =
-    aggregate(
-      sequence(lit(table * NumPlanes), lit((table + 1) * NumPlanes - 1)),
-      lit(0L),
-      (acc, j) => {
-        val proj = aggregate(
-          zip_with(e, sequence(lit(0), lit(63)),
-            (x, i) => x.cast(DoubleType) * planeVal(j, i)),
-          lit(0.0), (a, x) => a + x)
-        acc * 2 + when(proj > 0, 1L).otherwise(0L)
-      })
+    (table * NumPlanes until (table + 1) * NumPlanes).foldLeft(lit(0L)) {
+      (acc, j) =>
+        acc * 2 + when(
+          graft.expressions.VectorExpressions.dotF(e, typedLit(planeVec(j))) > 0,
+          1L).otherwise(0L)
+    }
 
   /** All NumTables bucket signatures, as (table, bucket) pairs for joining. */
   private def bucketPairs(e: Column): Column =

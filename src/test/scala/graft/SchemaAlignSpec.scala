@@ -95,6 +95,36 @@ class SchemaAlignSpec extends AnyFunSuite {
     assert(once.collect().toSeq == twice.collect().toSeq)
   }
 
+  test("property: every TypeMap target type round-trips its string form") {
+    import org.apache.spark.sql.functions.col
+    // one (value-as-string, target type) pair per _CAST_TARGETS row
+    val cases = Seq(
+      ("hello", StringType), ("true", BooleanType), ("42", LongType),
+      ("2.75", DoubleType), ("12345.678901234", DecimalType(38, 9)),
+      ("2026-08-12", DateType), ("2026-08-12 10:30:00", TimestampNTZType))
+    cases.foreach { case (v, t) =>
+      val df = Seq(Tuple1(v)).toDF("v")
+      val target = StructType(Seq(StructField("v", t)))
+      val back = SchemaAlign.alignToSchema(df, target)
+        .select(col("v").cast(StringType)).collect()(0).getString(0)
+      // value survives the cast (string rendering may normalize, so re-cast
+      // both sides to the target and compare)
+      val again = Seq(Tuple1(back)).toDF("v")
+      assert(SchemaAlign.alignToSchema(again, target).collect()(0).get(0) ==
+        SchemaAlign.alignToSchema(df, target).collect()(0).get(0), s"type $t value $v")
+    }
+  }
+
+  test("property: bad values → NULL for every non-string TypeMap target") {
+    val bad = "definitely-not-castable"
+    Seq(BooleanType, LongType, DoubleType, DecimalType(38, 9), DateType,
+      TimestampNTZType, TimestampType).foreach { t =>
+      val df = Seq(Tuple1(bad)).toDF("v")
+      val out = SchemaAlign.alignToSchema(df, StructType(Seq(StructField("v", t))))
+      assert(out.collect()(0).isNullAt(0), s"expected NULL for $t")
+    }
+  }
+
   test("stampIngestionDate adds missing column and backfills NULLs (R5)") {
     val run = Date.valueOf("2026-08-12")
     val noCol = Seq(Tuple1(1L)).toDF("id")

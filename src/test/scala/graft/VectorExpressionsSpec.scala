@@ -34,6 +34,19 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [float_vector_dot"), plan)
   }
 
+  test("functions are SQL-callable after registry registration") {
+    graft.expressions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, TestSpark.sf0001).createOrReplaceTempView("emb_v")
+    val viaSql = spark.sql(
+      "SELECT float_vector_dot(embedding, embedding) AS d, float_vector_norm(embedding) AS n " +
+        "FROM emb_v WHERE vec_id = 0").collect()(0)
+    val viaApi = emb.where(col("vec_id") === 0).select(
+      VectorExpressions.dotF(col("embedding"), col("embedding")),
+      VectorExpressions.normF(col("embedding"))).collect()(0)
+    assert(viaSql.getDouble(0) == viaApi.getDouble(0))
+    assert(viaSql.getDouble(1) == viaApi.getDouble(1))
+  }
+
   test("null vector yields null, mismatched lengths use the shorter prefix") {
     import spark.implicits._
     val df = Seq(
