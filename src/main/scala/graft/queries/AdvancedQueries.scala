@@ -41,6 +41,32 @@ object AdvancedQueries {
              |WHERE rn = 1 ORDER BY event_id""".stripMargin)
     ),
     Q(
+      "j8_range_join",
+      "Banded range join: per anchor event, same-user events in the " +
+        "following hour. Equality shuffle on (key, time-bucket) with 2x " +
+        "anchor duplication + exact refinement — never a nested-loop theta " +
+        "join (orders and events have disjoint time ranges, so the self " +
+        "range join is the corpus's real interval workload).",
+      (s, d) => {
+        val probe = Tables.events(s, d).select(col("user_id"), col("ts"))
+        val anchor = Tables.events(s, d).select(
+          col("event_id").as("anchor_id"), col("user_id").as("r_user"),
+          col("ts").as("r_ts"))
+        graft.operators.RangeJoin.bandedRangeJoin(
+          probe, col("user_id"), col("ts"),
+          anchor, col("r_user"), col("r_ts"),
+          width = 3600L)
+          .groupBy("anchor_id").agg(count(lit(1)).as("n_following"))
+          .orderBy("anchor_id")
+      },
+      Some("""SELECT b.event_id AS anchor_id, count(*) AS n_following
+             |FROM events b JOIN events a
+             |  ON a.user_id = b.user_id
+             | AND a.ts >= b.ts
+             | AND a.ts < b.ts + INTERVAL 1 HOUR
+             |GROUP BY b.event_id ORDER BY anchor_id""".stripMargin)
+    ),
+    Q(
       "st4_session_window",
       "Session windows (30-min gap) per user over events — batch form of " +
         "streaming sessionization; oracle is the gaps-and-islands rewrite.",
