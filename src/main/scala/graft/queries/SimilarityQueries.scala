@@ -55,6 +55,19 @@ object SimilarityQueries {
               |ORDER BY cosine DESC NULLS LAST, id_a, id_b LIMIT 10""".stripMargin)
     ),
     Q(
+      "sim_ann_ivf",
+      "IVF approximate top-5: k-means coarse cells (seeded), 2-probe " +
+        "search, exact cosine re-rank on candidates — the inverted-file " +
+        "scale path beside LSH. Rows-only check (k-means assignment isn't " +
+        "DuckDB-reproducible); recall vs brute force asserted in AnnSpec.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val index = graft.similarity.Ivf.build(emb, nCells = 16)
+        graft.similarity.Ivf.ivfTopK(index, emb.where(col("vec_id") < 10), k = 5)
+      },
+      None
+    ),
+    Q(
       "sim_ann_lsh",
       "LSH-bucketed approximate top-5 (random-hyperplane sign buckets): the " +
         "100 TB path — candidates come from an equality join on the bucket " +

@@ -44,6 +44,19 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.0) // structural sanity; tighter bound tracked in bench
   }
 
+  test("IVF top-k: valid structure and recall competitive with probing rate") {
+    val queries = emb.where(col("vec_id") < 20)
+    val index = graft.similarity.Ivf.build(emb, nCells = 8)
+    val approx = graft.similarity.Ivf.ivfTopK(index, queries, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    val exact = Ann.bruteForceTopK(queries, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"ivf recall@5 = $recall (2/8 cells probed)")
+    assert(recall > 0.1)
+  }
+
   test("lsh bucket is deterministic") {
     val b1 = emb.select(Ann.lshBucket(col("embedding"), 0).as("b")).collect().map(_.getLong(0))
     val b2 = emb.select(Ann.lshBucket(col("embedding"), 0).as("b")).collect().map(_.getLong(0))
