@@ -81,6 +81,29 @@ object EventStreams {
         col("n_events"))
   }
 
+  /** ST5: stream-stream interval join — each purchase joined to the same
+    * user's clicks in the preceding hour. Both sides are watermarked, so
+    * join state is evicted once the interval condition can no longer match:
+    * bounded state, the canonical streaming-join shape. `delay` widens the
+    * watermark for tests (file sources deliver out of event-time order).
+    */
+  def purchaseClickJoin(events0: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    val events = withEventTime(events0)
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", delay)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", delay)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * counts across micro-batches (the KeyValueGroupedDataset escape hatch
     * for state machines session_window can't express). Update-mode output:

@@ -69,6 +69,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("ST5: stream-stream interval join converges to the batch join") {
+    val name = "sink_ssj_" + System.nanoTime()
+    val stream = EventStreams.purchaseClickJoin(
+      EventStreams.readEventStream(spark, eventDir), delay = "10000 hours")
+    val query = stream.writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = EventStreams.purchaseClickJoin(
+      spark.read.schema(EventStreams.eventSchema).parquet(eventDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("mapGroupsWithState running counts converge to batch per-user counts") {
     val name = "sink_state_" + System.nanoTime()
     val stream = EventStreams.runningUserCounts(
