@@ -23,13 +23,31 @@ object GraftFunctions {
   type Descriptor =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  private def arity(name: String, expected: Int)(
+      args: Seq[Expression]): Seq[Expression] = {
+    if (args.length != expected) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> expected.toString,
+          "actualNum" -> args.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    }
+    args
+  }
+
   val descriptors: Seq[Descriptor] = Seq(
     (FunctionIdentifier("float_vector_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
-      (args: Seq[Expression]) => FloatVectorDot(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        val a = arity("float_vector_dot", 2)(args); FloatVectorDot(a(0), a(1))
+      }),
     (FunctionIdentifier("float_vector_norm"),
       new ExpressionInfo(classOf[FloatVectorNorm].getName, "float_vector_norm"),
-      (args: Seq[Expression]) => FloatVectorNorm(args.head))
+      (args: Seq[Expression]) => {
+        val a = arity("float_vector_norm", 1)(args); FloatVectorNorm(a.head)
+      })
   )
 
   def register(spark: SparkSession): Unit =

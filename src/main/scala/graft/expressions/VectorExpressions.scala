@@ -2,10 +2,10 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for float-vector math — the (b)-tier custom
   * extension from the design doctrine: a scalar function Spark's built-ins
@@ -19,8 +19,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * moves a hash-compared result.
   */
 case class FloatVectorDot(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
 
+  // Reject non-float arrays at analysis time: the eval/codegen paths read
+  // UnsafeArrayData with a 4-byte getFloat stride, which would silently
+  // return garbage over array<double>/array<int> inputs.
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vector_dot"
 
@@ -55,8 +60,9 @@ case class FloatVectorDot(left: Expression, right: Expression)
 
 /** L2 norm of a float vector: sqrt of the sequential sum of squares. */
 case class FloatVectorNorm(child: Expression)
-  extends UnaryExpression {
+  extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vector_norm"
 

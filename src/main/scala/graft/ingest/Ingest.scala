@@ -87,9 +87,13 @@ object Ingest {
                  deleteOnSuccess: Boolean = true,
                  failedDir: Option[String] = None): Seq[FileOutcome] = {
     import scala.jdk.CollectionConverters._
-    val files = Files.list(Paths.get(dropDir)).iterator().asScala
-      .filter(p => p.getFileName.toString.toLowerCase.endsWith(".csv"))
-      .toSeq.sortBy(_.getFileName.toString)
+    // Files.list holds a directory handle until closed (try-with-resources
+    // contract) — materialize the listing inside Using so it never leaks.
+    val files = scala.util.Using.resource(Files.list(Paths.get(dropDir))) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.toLowerCase.endsWith(".csv"))
+        .toSeq
+    }.sortBy(_.getFileName.toString)
     files.map { p =>
       try {
         val table = ingestFile(spark, p.toString, runDate)

@@ -33,7 +33,10 @@ object AsofJoin {
       leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),
       lit(null).cast(right.select(struct(payload: _*)).schema.head.dataType).as("_p"),
       struct(leftCols.map(col): _*).as("_row"))
-    val r = right.select(
+    // A null rightTime would sort NULLS FIRST and poison the running max for
+    // left rows preceding any real match — drop such rows to keep the
+    // documented `rightTime <= leftTime` contract.
+    val r = right.where(rightTime.isNotNull).select(
       rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
       struct(payload: _*).as("_p"),
       lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType).as("_row"))

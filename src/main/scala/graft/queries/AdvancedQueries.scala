@@ -81,15 +81,15 @@ object AdvancedQueries {
           .orderBy("user_id", "session_start")
       },
       Some("""WITH marked AS (
-             |  SELECT user_id, ts,
+             |  SELECT user_id, ts, event_id,
              |    CASE WHEN lag(ts) OVER w IS NULL
-             |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+             |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
              |         THEN 1 ELSE 0 END AS brk
              |  FROM events
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |islands AS (
              |  SELECT user_id, ts,
-             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
              |  FROM marked)
              |SELECT user_id, min(ts) AS session_start,

@@ -101,8 +101,9 @@ object DedupQueries {
     ),
     Q(
       "dd_simhash",
-      "64-bit SimHash fingerprint per document (xxhash64 bit votes, " +
-        "expression-only). Rows-only check; bit semantics asserted in " +
+      "64-bit SimHash fingerprint per document via the typed mapPartitions " +
+        "path (FNV-1a bit votes — NOT the xxhash64 expression form, whose " +
+        "fingerprints differ). Rows-only check; bit semantics asserted in " +
         "SimHashSpec.",
       (s, d) => SimHash.simhashTable(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
