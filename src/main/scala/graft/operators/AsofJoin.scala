@@ -35,8 +35,12 @@ object AsofJoin {
       struct(leftCols.map(col): _*).as("_row"))
     // A null rightTime would sort NULLS FIRST and poison the running max for
     // left rows preceding any real match — drop such rows to keep the
-    // documented `rightTime <= leftTime` contract.
-    val r = right.where(rightTime.isNotNull).select(
+    // documented `rightTime <= leftTime` contract. Null keys likewise: under
+    // SQL equi-join semantics NULL never matches anything, but the union
+    // idiom would group null `_k` partitions together, so a null-key right
+    // row could leak into null-key left rows. (Left rows with null leftTime
+    // sort NULLS FIRST and correctly see no prior right row → null `_asof`.)
+    val r = right.where(rightTime.isNotNull && rightKey.isNotNull).select(
       rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
       struct(payload: _*).as("_p"),
       lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType).as("_row"))
