@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Canon.round // canonical floor-based rounding (oracle-safe)
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Round-3 widening of the declared inventory (SURVEY §2.11 extensions):
+  * pivot/unpivot reshaping, exact percentiles, ranking distribution
+  * functions, lateral explode, regexp suite, and the training-pipeline
+  * split/sample/sketch operators a 100 TB corpus-prep job needs.
+  *
+  * Scale notes per query live on each entry; the common theme: everything
+  * is a single hash-partitioned pass (groupBy/window on a key with bounded
+  * per-key cardinality), no driver-side collection, no O(n²) shape.
+  */
+object ExtendedQueries {
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "o3_pivot",
+      "Pivot orders: status rows × priority columns of counts (explicit " +
+        "pivot values — at scale you never let pivot() run the implicit " +
+        "distinct-collect job over 100 TB; missing cells coalesce to 0).",
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .select(
+            col("o_orderstatus"),
+            coalesce(col("`1-URGENT`"), lit(0L)).as("p_urgent"),
+            coalesce(col("`2-HIGH`"), lit(0L)).as("p_high"),
+            coalesce(col("`3-MEDIUM`"), lit(0L)).as("p_medium"),
+            coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("p_notspec"),
+            coalesce(col("`5-LOW`"), lit(0L)).as("p_low"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+             |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+             |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+             |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+             |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+    Q(
+      "o4_unpivot",
+      "Unpivot (melt) lineitem measure columns to (metric, value) rows — " +
+        "the wide→long reshape; a narrow 3× row-expanding projection, no " +
+        "shuffle beyond the final presentation sort.",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+            "metric", "value")
+          .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+            col("metric"), round(col("value"), 4).as("value"))
+          .orderBy("l_orderkey", "l_linenumber", "metric")
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, metric,
+             |  floor((value) * 10000 + 0.5) / 10000 AS value
+             |FROM (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)
+    ),
+    Q(
+      "a7_percentile",
+      "Exact percentiles (median, p90) of l_extendedprice per returnflag — " +
+        "SQL `percentile` (percentile_cont interpolation). Exact ranks need " +
+        "a per-group sort; at 100 TB prefer a8's sketches unless exactness " +
+        "is contractual.",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  floor((quantile_cont(l_extendedprice, 0.5)) * 10000 + 0.5) / 10000 AS p50,
+             |  floor((quantile_cont(l_extendedprice, 0.9)) * 10000 + 0.5) / 10000 AS p90,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "w4_ntile_distribution",
+      "Distribution window functions: ntile(4) quartiles, percent_rank, " +
+        "cume_dist of order price within each customer. ntile's window adds " +
+        "an orderkey tiebreak for determinism; the peer-group functions " +
+        "order by price alone so tie semantics match SQL.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wTie = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        val wPeer = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").asc)
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          ntile(4).over(wTie).cast(LongType).as("quartile"),
+          round(percent_rank().over(wPeer), 4).as("pct_rank"),
+          round(cume_dist().over(wPeer), 4).as("cume"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC) AS BIGINT) AS quartile,
+             |  floor((percent_rank() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice ASC NULLS FIRST)) * 10000 + 0.5) / 10000 AS pct_rank,
+             |  floor((cume_dist() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice ASC NULLS FIRST)) * 10000 + 0.5) / 10000 AS cume
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "f13_posexplode",
+      "Lateral explode with position: part names → one row per token with " +
+        "its 1-based position. Narrow row-generating projection (Spark " +
+        "Generate) — no shuffle until the presentation sort.",
+      (s, d) => {
+        Tables.part(s, d)
+          .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+          .select(col("p_partkey"), (col("pos") + 1).cast(LongType).as("pos"),
+            col("col").as("tok"))
+          .orderBy("p_partkey", "pos")
+      },
+      Some("""SELECT p_partkey,
+             |  CAST(unnest(range(1, len(string_split(p_name, ' ')) + 1)) AS BIGINT) AS pos,
+             |  unnest(string_split(p_name, ' ')) AS tok
+             |FROM part ORDER BY p_partkey, pos""".stripMargin)
+    ),
+    Q(
+      "f14_regexp_funcs",
+      "Regexp + padding string suite over part: first-word extract, " +
+        "whitespace collapse to '_', brand left-pad — all codegen'd " +
+        "built-ins, never UDFs.",
+      (s, d) => {
+        Tables.part(s, d).select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          regexp_replace(col("p_name"), "\\s+", "_").as("snake_name"),
+          lpad(col("p_brand"), 12, ".").as("brand_padded"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+             |  regexp_replace(p_name, '\s+', '_', 'g') AS snake_name,
+             |  lpad(p_brand, 12, '.') AS brand_padded
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+    Q(
+      "x7_train_val_split",
+      "Deterministic train/val split (doc_id mod 10: 8/1/1 train/val/test) " +
+        "with per-split per-language doc + token counts — the reproducible " +
+        "split a training pipeline needs (content-stable, no RNG, no " +
+        "sampleBy non-determinism across reruns/cluster sizes).",
+      (s, d) => {
+        val bucket = pmod(col("doc_id"), lit(10))
+        val split = when(bucket < 8, "train").when(bucket === 8, "val")
+          .otherwise("test")
+        Tables.documents(s, d)
+          .groupBy(split.as("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(org.apache.spark.sql.functions.split(col("text"), " "))
+              .cast(LongType)).as("n_tokens"))
+          .orderBy("split", "lang")
+      },
+      Some("""SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+             |            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+             |  lang, count(*) AS n_docs,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)
+    ),
+    Q(
+      "x8_stratified_sample",
+      "Deterministic stratified sample: first 20 docs per language by " +
+        "doc_id (window top-k per stratum — one shuffle on the stratum key; " +
+        "the deterministic analogue of sampleBy for reproducible eval sets).",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("source"),
+            row_number().over(w).cast(LongType).as("rn"))
+          .where(col("rn") <= 20)
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT lang, doc_id, source, rn FROM (
+             |  SELECT lang, doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS BIGINT) AS rn
+             |  FROM documents) t
+             |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)
+    ),
+    Q(
+      "a8_approx_distinct",
+      "HyperLogLog++ approximate distinct suppliers per returnflag beside " +
+        "the exact count — the sketch that replaces exact count-distinct's " +
+        "full shuffle at 100 TB (mergeable partial sketches, fixed memory). " +
+        "Rows-only check (HLL estimates aren't DuckDB-reproducible); " +
+        "relative error asserted < 5% in ExtendedSpec.",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_suppkey"), 0.02).as("approx_suppliers"),
+            countDistinct(col("l_suppkey")).as("exact_suppliers"))
+          .orderBy("l_returnflag")
+      },
+      None
+    )
+  )
+}

@@ -34,7 +34,8 @@ object QueryCatalog {
       DedupQueries.defs ++
       SimilarityQueries.defs ++
       MultimodalQueries.defs ++
-      AdvancedQueries.defs
+      AdvancedQueries.defs ++
+      ExtendedQueries.defs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
