@@ -68,4 +68,52 @@ object Multimodal {
         }
       }
   }
+
+  case class ResizedMedia(doc_id: Long, target_w: Int, target_h: Int,
+                          out_bytes: Long, sample_checksum: Long)
+
+  /** STUB resize: a real codec would decode, scale to (targetW, targetH) and
+    * re-encode; the stub derives the output size from the scale factor and a
+    * checksum from stride-sampled input bytes (the access pattern a sampling
+    * rescaler has). Pipeline shape — typed mapPartitions, payload column
+    * pruned immediately after — is the production one.
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+             targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"),
+        col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, _) = StubDecoder.decode(r.payload)
+          val scale = if (w * h == 0) 0.0
+                      else (targetW.toLong * targetH).toDouble / (w.toLong * h)
+          val stride = math.max(1, r.payload.length / (targetW * targetH / 64 + 1))
+          var sum = 0L
+          var i = 0
+          while (i < r.payload.length) { sum = sum * 31 + (r.payload(i) & 0xff); i += stride }
+          ResizedMedia(r.doc_id, targetW, targetH,
+            math.round(r.payload.length * scale), sum)
+        }
+      }
+  }
+
+  /** Frame sampling: treat the payload as fixed-size frames, keep every
+    * `stride`-th frame. Defined on the UTF-8 text payload with character
+    * frames so the semantics are engine-independent (oracle-checkable via
+    * substring arithmetic); a video codec slots into the same exploded
+    * (doc_id, frame_idx, frame) shape. Row-generating narrow stage — the
+    * Spark plan is a Generate, no shuffle until presentation.
+    */
+  def sampleFrames(docs: DataFrame, frameChars: Int, stride: Int): DataFrame = {
+    val nFrames = greatest(
+      ceil(length(col("text")).cast(DoubleType) / frameChars).cast(IntegerType),
+      lit(1))
+    docs.select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), nFrames - 1)).as("frame_idx"))
+      .where(pmod(col("frame_idx"), lit(stride)) === 0)
+      .select(col("doc_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+        col("text").substr(col("frame_idx") * frameChars + 1, lit(frameChars)).as("frame"))
+  }
 }

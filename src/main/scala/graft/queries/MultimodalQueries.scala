@@ -53,6 +53,34 @@ object MultimodalQueries {
         Multimodal.extractFeatures(s, media).toDF().orderBy("doc_id")
       },
       None
+    ),
+    Q(
+      "mm_resize",
+      "Stub resize to 32x32: scale-derived output size + stride-sampled " +
+        "checksum through the typed mapPartitions pipeline (payload pruned " +
+        "right after decode — the binary column never reaches a shuffle). " +
+        "Rows-only check; determinism asserted in MultimodalSpec.",
+      (s, d) => {
+        val media = Multimodal.asMediaTable(Tables.documents(s, d))
+        Multimodal.resize(s, media, targetW = 32, targetH = 32)
+          .toDF().orderBy("doc_id")
+      },
+      None
+    ),
+    Q(
+      "mm_frame_sample",
+      "Frame sampling: 64-char frames, every 4th kept — the exploded " +
+        "(doc_id, frame_idx, frame) shape a video frame-sampler produces, " +
+        "defined on character frames so DuckDB reproduces it exactly.",
+      (s, d) => Multimodal.sampleFrames(Tables.documents(s, d),
+          frameChars = 64, stride = 4)
+        .orderBy("doc_id", "frame_idx"),
+      Some("""SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             |  substr(text, CAST(f * 64 + 1 AS INT), 64) AS frame
+             |FROM (SELECT doc_id, text,
+             |        unnest(range(0, greatest(CAST(ceil(len(text) / 64.0) AS BIGINT), 1))) AS f
+             |      FROM documents)
+             |WHERE f % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin)
     )
   )
 }

@@ -32,8 +32,12 @@ object Ivf {
     */
   def build(corpus: DataFrame, nCells: Int = 16): IvfIndex = {
     val featured = corpus.withColumn("features", array_to_vector(col("embedding")))
+    // A coarse quantizer needs rough Voronoi cells, not convergence: random
+    // init (k-means|| costs ~5 extra distributed passes) and few iterations.
+    // Cell quality only moves recall, which AnnSpec asserts independently.
     val model = new KMeans()
-      .setK(nCells).setSeed(42L).setMaxIter(20)
+      .setK(nCells).setSeed(42L).setMaxIter(8)
+      .setInitMode("random").setTol(1e-3)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(featured)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))

@@ -69,10 +69,13 @@ class ExtendedQueriesSpec extends AnyFunSuite {
   }
 
   test("a8_approx_distinct: HLL estimate within 5% of exact") {
+    val exact = Tables.lineitem(spark, d)
+      .groupBy("l_returnflag").agg(countDistinct(col("l_suppkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     run("a8_approx_distinct").collect().foreach { r =>
-      val (approx, exact) = (r.getLong(1), r.getLong(2))
-      assert(math.abs(approx - exact).toDouble / exact < 0.05,
-        s"approx=$approx exact=$exact for ${r.getString(0)}")
+      val (flag, approx) = (r.getString(0), r.getLong(1))
+      assert(math.abs(approx - exact(flag)).toDouble / exact(flag) < 0.05,
+        s"approx=$approx exact=${exact(flag)} for $flag")
     }
   }
 }
