@@ -123,6 +123,103 @@ object EventStreams {
       .toDF("user_id", "running_count")
   }
 
+  final case class SessionAgg(user_id: Long, session_start: Long,
+                              session_end: Long, n_events: Long)
+
+  /** Timeout-driven sessionization via flatMapGroupsWithState — the full
+    * custom-state escape hatch (mapGroupsWithState's 1-row-per-group shape
+    * can't emit "zero rows until the session closes"). State per user is one
+    * open session (start, last-seen, count); an event-time timeout at
+    * last-seen + gap closes it and emits exactly one row. This is how state
+    * machines beyond session_window (e.g. emit-on-close with custom
+    * payload) are built; state is bounded by (users × one open session).
+    */
+  def timeoutSessions(spark: SparkSession, events0: DataFrame,
+                      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val events = withEventTime(events0)
+    val gapMs = gapMinutes * 60L * 1000L
+    // The watermark-annotated timestamp column must survive into the
+    // stateful operator's input (EventTimeTimeout is rejected otherwise) —
+    // so ts rides through the typed row and converts to ms in the lambda.
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionAgg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (start, last, n) = state.get
+            state.remove()
+            Iterator.single(SessionAgg(user, start, last, n))
+          } else {
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            val closed = Iterator.newBuilder[SessionAgg]
+            var cur = state.getOption.getOrElse((ts.head, ts.head, 0L))
+            ts.foreach { t =>
+              cur = if (t - cur._2 >= gapMs) {
+                closed += SessionAgg(user, cur._1, cur._2, cur._3)
+                (t, t, 1L)
+              } else (cur._1, t, cur._3 + 1L)
+            }
+            // A file source delivers by modification time, not event time, so
+            // a whole batch can arrive behind the watermark. A timeout in the
+            // past is rejected by the state store — if the watermark already
+            // passed this session's close point, emit it now instead.
+            val wm = state.getCurrentWatermarkMs()
+            if (cur._2 + gapMs <= wm) {
+              closed += SessionAgg(user, cur._1, cur._2, cur._3)
+              state.remove()
+            } else {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur._2 + gapMs)
+            }
+            closed.result()
+          }
+      }
+      .toDF()
+  }
+
+  /** Effectively-once streaming table sink via foreachBatch: each
+    * micro-batch dynamic-partition-OVERWRITES the `_batch_id=<id>` partition
+    * of the target table. foreachBatch is at-least-once (the last batch can
+    * replay after a restart), but a replay rewrites the same partition with
+    * the same rows, so the table converges — idempotence from the layout,
+    * not from in-memory bookkeeping that a driver restart would lose. This
+    * is the production "stream into a warehouse table" pattern when the sink
+    * has no transactional MERGE.
+    */
+  def appendToTable(df: DataFrame, table: String, checkpointDir: String,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow()) =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeBatchIdempotent(batch.toDF(), table, batchId)
+      }
+      .start()
+
+  /** One micro-batch commit: overwrite exactly the `_batch_id=<id>`
+    * partition. First batch creates the partitioned table; subsequent ones
+    * use insertInto, which honors dynamic partition-overwrite (saveAsTable
+    * with Overwrite would drop the whole table instead).
+    */
+  def writeBatchIdempotent(batch: DataFrame, table: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stamped = batch.withColumn("_batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(table)) {
+      stamped.write.partitionBy("_batch_id").saveAsTable(table)
+    } else {
+      stamped.write.mode("overwrite").insertInto(table)
+    }
+  }
+
   /** ST3: streaming dedup on event_id within the watermark horizon. The
     * delay is the dedup window AND the late-data cutoff: rows older than the
     * watermark are dropped entirely (file sources deliver files in listing

@@ -25,6 +25,17 @@ class StreamingSpec extends AnyFunSuite {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .repartitionByRange(4, col("ts"))
       .write.mode("overwrite").parquet(dir)
+    // FileStreamSource orders batches by modification time; parallel part
+    // writes can tie or invert it. Pin mtimes to the part-name (= ts-range)
+    // order so delivery is deterministic and event-time-ascending.
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.list(java.nio.file.Paths.get(dir))) { s =>
+      s.iterator().asScala.toSeq
+    }.filter(_.getFileName.toString.startsWith("part-"))
+      .sortBy(_.getFileName.toString)
+      .zipWithIndex.foreach { case (p, i) =>
+        p.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
     dir
   }
 
@@ -104,6 +115,68 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("user_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(finalCounts == batch)
+  }
+
+  test("flatMapGroupsWithState timeout sessions: closed sessions match batch sessions") {
+    val name = "sink_fmgs_" + System.nanoTime()
+    val stream = EventStreams.timeoutSessions(
+      spark, EventStreams.readEventStream(spark, eventDir))
+    val query = stream.writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.nonEmpty, "no sessions closed — watermark never advanced past a timeout")
+    // every closed session must match a batch session_window session on
+    // (user, start±1s truncation, n_events); closed ⊆ batch (tail sessions
+    // stay open past the final watermark and never emit)
+    val want = EventStreams.sessionCounts(
+      spark.read.schema(EventStreams.eventSchema).parquet(eventDir),
+      delay = "10 minutes")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.sql.Timestamp]("session_start").getTime, r.getLong(3)))
+    got.foreach { case (user, startMs, n) =>
+      assert(want.exists { case (u, s, m) =>
+        u == user && math.abs(s - startMs) <= 1000 && m == n
+      }, s"closed session (user=$user, start=$startMs, n=$n) has no batch match")
+    }
+    // per-user closed sessions are disjoint in time
+    got.groupBy(_._1).values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.map(_._2).distinct.length == sorted.length)
+    }
+  }
+
+  test("foreachBatch idempotent sink: replayed batch does not duplicate rows") {
+    val table = "t_idem_" + System.nanoTime()
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .select("event_id", "user_id", "event_type")
+    EventStreams.writeBatchIdempotent(batch.limit(100), table, batchId = 0L)
+    EventStreams.writeBatchIdempotent(batch.limit(100), table, batchId = 0L) // replay
+    assert(spark.table(table).count() == 100)
+    EventStreams.writeBatchIdempotent(batch.limit(40), table, batchId = 1L)
+    assert(spark.table(table).count() == 140)
+    // replay of an *older* batch also converges (rewrites its own partition)
+    EventStreams.writeBatchIdempotent(batch.limit(100), table, batchId = 0L)
+    assert(spark.table(table).count() == 140)
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("appendToTable streams a directory into a batch-id-partitioned table") {
+    val table = "t_stream_" + System.nanoTime()
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = EventStreams.appendToTable(
+      EventStreams.readEventStream(spark, eventDir)
+        .select("event_id", "user_id", "event_type"),
+      table, ckpt)
+    q.awaitTermination(60000)
+    val total = spark.read.schema(EventStreams.eventSchema).parquet(eventDir).count()
+    assert(spark.table(table).count() == total)
+    assert(spark.table(table).select("_batch_id").distinct().count() >= 2)
+    spark.sql(s"DROP TABLE $table")
   }
 
   test("ST3: streaming dedup emits each event_id once") {
