@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the operator that
+  * turns near-duplicate *pairs* into dedup *clusters* (every vertex labeled
+  * with the min vertex id of its component, so `min(id)` per cluster is the
+  * canonical survivor).
+  *
+  * Algorithm: iterative min-label propagation, DataFrame-native. Each round
+  * every vertex takes the min of its own label and its neighbors' labels
+  * (one equality join edges⋈labels + one groupBy-min — two key shuffles);
+  * convergence when no label changes. Rounds needed = component diameter,
+  * which for dedup graphs is tiny (near-dup clusters are dense blobs, not
+  * chains). For adversarially long chains at 100 TB, swap the round body for
+  * the large-star/small-star rewrite (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond") — same join shape, O(log n) rounds; the
+  * propagation loop and convergence scaffold here stay unchanged.
+  *
+  * Lineage control: every iteration's label table is localCheckpoint'd —
+  * without it the plan doubles per round and Catalyst analysis time, not the
+  * data, becomes the bottleneck.
+  */
+object ConnectedComponents {
+
+  /** @return (id, component) for every vertex that appears in an edge;
+    *         isolated vertices don't appear (union them in with
+    *         component = id at the call site if needed).
+    */
+  def components(edges0: DataFrame, srcCol: String, dstCol: String,
+                 maxIter: Int = 25): DataFrame = {
+    val fwd = edges0.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+    val edges = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v_id"), col("label").as("v_label")),
+          col("v") === col("v_id"))
+        .groupBy(col("u").as("n_id"))
+        .agg(min(col("v_label")).as("nbr_min"))
+      val stepped = labels
+        .join(nbrMin, col("id") === col("n_id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next"))
+        .localCheckpoint(true)
+      changed = stepped.where(col("next") =!= col("label")).count()
+      labels = stepped.select(col("id"), col("next").as("label"))
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+}

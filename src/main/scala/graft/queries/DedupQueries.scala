@@ -19,6 +19,55 @@ import graft.dedup.{MinHash, SimHash}
   */
 object DedupQueries {
 
+  /** All document pairs with their exact 3-gram Jaccard similarity, via the
+    * distinct-shingle self-join. Shingling is one typed pass: the HOF form
+    * (transform+element_at over split(text)) re-tokenizes per nested lambda
+    * after CollapseProject inlining — measured 14s of wall time at sf0.1.
+    * Shared by dd_ngram_jaccard (top-20 pairs) and dd_cluster (edges for
+    * connected components).
+    */
+  def ngramJaccardPairs(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ")
+        if (t.length >= 3)
+          t.sliding(3).map(_.mkString(" ")).toArray.distinct.map(s => (id, s))
+        else Iterator.empty
+      }
+      .toDF("doc_id", "sh")
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(cnt.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(cnt.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast(DoubleType)
+          / (col("na") + col("nb") - col("common")).cast(DoubleType), 4).as("jaccard"))
+  }
+
+  /** DuckDB CTE producing the same (doc_a, doc_b, jaccard) pair table. */
+  val jaccardPairsSql: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(0, len(t) - 2),
+      |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh
+      |       FROM toks WHERE len(t) >= 3),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jac AS (SELECT doc_a, doc_b,
+      |          floor((CAST(common AS DOUBLE) / (ca.n + cb.n - common)) * 10000 + 0.5) / 10000 AS jaccard
+      |        FROM pairs
+      |          JOIN cnt ca ON doc_a = ca.doc_id
+      |          JOIN cnt cb ON doc_b = cb.doc_id)""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q(
       "x1_exact_dedup",
@@ -43,51 +92,43 @@ object DedupQueries {
       "Exact 3-gram Jaccard similarity between document pairs via distinct-" +
         "shingle self-join (the small-corpus baseline LSH is verified " +
         "against). Top-20 pairs by similarity.",
+      (s, d) => DedupQueries.ngramJaccardPairs(s, d)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")),
+      Some(s"""WITH $jaccardPairsSql
+              |SELECT doc_a, doc_b, jaccard FROM jac
+              |ORDER BY jaccard DESC NULLS LAST, doc_a, doc_b LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "dd_cluster",
+      "Dedup clustering: near-dup pairs (3-gram Jaccard >= 0.2) fed through " +
+        "connected components — every document labeled with the min doc_id " +
+        "of its cluster (the canonical survivor), singletons labeling " +
+        "themselves. Pairs alone under-dedup: A~B and B~C must collapse to " +
+        "one cluster even when A!~C. Oracle is a recursive-CTE transitive " +
+        "closure over the same pair table.",
       (s, d) => {
-        import s.implicits._
-        // Shingling in one typed pass: the HOF form (transform+element_at
-        // over split(text)) re-tokenizes per nested lambda after
-        // CollapseProject inlining — measured 14s of the query's wall time
-        // at sf0.1. Shingle strings are identical, so the oracle is unmoved.
-        val sh = Tables.documents(s, d)
-          .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
-          .flatMap { case (id, text) =>
-            val t = text.split(" ")
-            if (t.length >= 3)
-              t.sliding(3).map(_.mkString(" ")).toArray.distinct.map(s => (id, s))
-            else Iterator.empty
-          }
-          .toDF("doc_id", "sh")
-        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val pairs = sh.as("a")
-          .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("common"))
-        pairs
-          .join(cnt.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
-          .join(cnt.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
-          .select(col("doc_a"), col("doc_b"),
-            round(col("common").cast(DoubleType)
-              / (col("na") + col("nb") - col("common")).cast(DoubleType), 4).as("jaccard"))
-          .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-          .limit(20)
-          .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        val edges = DedupQueries.ngramJaccardPairs(s, d)
+          .where(col("jaccard") >= 0.2)
+        val comp = graft.operators.ConnectedComponents
+          .components(edges, "doc_a", "doc_b")
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(comp, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+          .orderBy("doc_id")
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |sh AS (SELECT doc_id,
-             |         unnest(list_distinct(list_transform(range(0, len(t) - 2),
-             |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh
-             |       FROM toks WHERE len(t) >= 3),
-             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-             |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-             |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-             |          GROUP BY 1, 2)
-             |SELECT doc_a, doc_b,
-             |  floor((CAST(common AS DOUBLE) / (ca.n + cb.n - common)) * 10000 + 0.5) / 10000 AS jaccard
-             |FROM pairs
-             |  JOIN cnt ca ON doc_a = ca.doc_id
-             |  JOIN cnt cb ON doc_b = cb.doc_id
-             |ORDER BY jaccard DESC NULLS LAST, doc_a, doc_b LIMIT 20""".stripMargin)
+      Some(s"""WITH RECURSIVE $jaccardPairsSql,
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM jac WHERE jaccard >= 0.2
+              |          UNION SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.2),
+              |reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              |                UNION
+              |                SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+              |comp AS (SELECT u AS id, min(r) AS component FROM reach GROUP BY u)
+              |SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
+              |FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+              |ORDER BY doc_id""".stripMargin)
     ),
     Q(
       "x2_minhash_lsh",

@@ -205,6 +205,48 @@ object ExtendedQueries {
              |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)
     ),
     Q(
+      "f15_map_funcs",
+      "Map functions over JSON-derived maps: from_json to map<string,long>, " +
+        "size/keys/element access — the typed-metadata access pattern for " +
+        "semi-structured columns.",
+      (s, d) => {
+        val m = from_json(col("props"), MapType(StringType, LongType))
+        Tables.events(s, d).select(
+          col("event_id"),
+          size(m).cast(LongType).as("n_keys"),
+          element_at(map_keys(m), 1).as("first_key"),
+          element_at(m, "k").as("k_val"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+             |  json_keys(props)[1] AS first_key,
+             |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    Q(
+      "w5_range_frame",
+      "RANGE-framed window: per customer, rolling 7-day sum of order totals " +
+        "(range frame over event time, not row count — peers at equal dates " +
+        "aggregate together on both engines). DECIMAL-summed for exactness.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").cast(TimestampType).cast(LongType))
+          .rangeBetween(-7L * 86400, 0)
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          round(sum(col("o_totalprice").cast(DecimalType(38, 6))).over(w)
+            .cast(DoubleType), 4).as("rolling_7d"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate ASC
+             |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)) * 10000 + 0.5) / 10000 AS rolling_7d
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "a8_approx_distinct",
       "HyperLogLog++ approximate distinct suppliers per returnflag — the " +
         "sketch that replaces exact count-distinct's Expand+reshuffle at " +

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.components(edges.toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain collapses to one component labeled by its min (transitivity)") {
+    // 1-2, 2-3, 3-4, 4-5: A~B, B~C must merge even though A!~C
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep separate min labels") {
+    val got = cc(Seq((10L, 11L), (20L, 21L), (21L, 22L), (5L, 10L)))
+    assert(got == Map(5L -> 5L, 10L -> 5L, 11L -> 5L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("edge direction and duplicates do not matter") {
+    val a = cc(Seq((2L, 1L), (1L, 2L), (2L, 3L)))
+    val b = cc(Seq((1L, 2L), (3L, 2L)))
+    assert(a == b)
+    assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("self-loops and null-free handling") {
+    val got = cc(Seq((1L, 1L), (1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("star graph converges in few rounds with high-id center") {
+    // center 100 connected to 1..6: min label 1 must reach all spokes
+    val got = cc((1L to 6L).map(i => (100L, i)))
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1L to 6L).toSet + 100L)
+  }
+}
