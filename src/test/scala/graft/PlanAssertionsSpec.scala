@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.Ingest
+import graft.queries.QueryCatalog
+
+/** Plan-shape guarantees, asserted — not just documented. Each test pins one
+  * of the scale properties the engine is designed around; a regression that
+  * silently drops pushdown, pruning, or a broadcast shows up here, not in a
+  * 100 TB bill.
+  */
+class PlanAssertionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val d = TestSpark.sf0001
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = Tables.orders(spark, d).where(col("o_orderkey") < 100)
+      .select("o_orderkey", "o_totalprice")
+    val p = plan(df)
+    assert(p.contains("PushedFilters:") &&
+      p.contains("LessThan(o_orderkey,100)"), s"no pushed filter in:\n$p")
+  }
+
+  test("column pruning: scan reads only the projected columns") {
+    val df = Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("partition pruning on Ingestion_date-partitioned ingested tables") {
+    val dir = Files.createTempDirectory("graft-prune")
+    Files.writeString(dir.resolve("prune_t.csv"),
+      "id,v\n1,a\n2,b\n")
+    Ingest.ingestFile(spark, dir.resolve("prune_t.csv").toString,
+      Date.valueOf("2026-08-10"))
+    Files.writeString(dir.resolve("prune_t.csv"), "id,v\n3,c\n")
+    Ingest.ingestFile(spark, dir.resolve("prune_t.csv").toString,
+      Date.valueOf("2026-08-11"))
+    val df = spark.table("prune_t").where(col("Ingestion_date") === lit("2026-08-11"))
+    assert(df.count() == 1)
+    val p = plan(df)
+    // the date predicate must land in PartitionFilters (metadata-only prune),
+    // not in PushedFilters/post-scan Filter
+    val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("Ingestion_date"), s"no partition filter in:\n$p")
+    spark.sql("DROP TABLE prune_t")
+  }
+
+  test("j2 plans a broadcast hash join, not a shuffle join") {
+    val p = plan(QueryCatalog.byName("j2_join_broadcast").build(spark, d))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join in:\n$p")
+  }
+
+  test("j3 joins the dimensions by broadcast, never by shuffling a dimension") {
+    val p = plan(QueryCatalog.byName("j3_join_multiway").build(spark, d))
+    // customer/nation/region must ride broadcasts; at sf0.001 even
+    // lineitem⋈orders broadcasts (4 total), at scale it becomes the plan's
+    // single shuffle join — either is correct, a shuffled dimension is not
+    assert(p.split("BroadcastHashJoin").length >= 4, s"missing broadcasts in:\n$p")
+    assert(p.split("SortMergeJoin").length <= 2, s">1 shuffle join in:\n$p")
+  }
+
+  test("a1 aggregation is partial+final (map-side combine)") {
+    val p = plan(QueryCatalog.byName("a1_agg_pricing").build(spark, d))
+    assert(p.split("HashAggregate").length >= 3,
+      s"expected partial and final HashAggregate in:\n$p")
+  }
+
+  test("native vector expressions stay inside WholeStageCodegen") {
+    val df = Tables.embeddings(spark, d).select(
+      graft.expressions.VectorExpressions.dotF(col("embedding"), col("embedding"))
+        .as("selfdot"))
+    val p = plan(df)
+    // FormattedMode marks codegen'd operators with `[codegen id : N]`; the
+    // Project evaluating the expression must carry one
+    val projLine = p.linesIterator.find(l =>
+      l.contains("Project") && l.contains("codegen id")).getOrElse("")
+    assert(projLine.nonEmpty, s"expression Project not codegen'd in:\n$p")
+    assert(p.contains("float_vector_dot"), s"expression missing from plan:\n$p")
+    assert(!p.contains("CodegenFallback"), s"codegen fallback in:\n$p")
+  }
+}
