@@ -31,6 +31,22 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** JSON-lines sibling of readCsv: same inference + never-error posture.
+    * Beyond the reference's surface (it only ships CSVs) but the alignment
+    * semantics downstream are format-agnostic by construction.
+    */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
+  /** Extension-dispatched reader for the drop dir. */
+  def readAuto(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".jsonl") || lower.endsWith(".json")) readJsonl(spark, path)
+    else readCsv(spark, path)
+  }
+
   /** R7: table name = lowercase(stem(filename)) (reference `big_uery_handler.py:74`). */
   def tableNameFor(fileName: String): String = {
     val stem = fileName.lastIndexOf('.') match {
@@ -55,7 +71,7 @@ object Ingest {
     */
   def ingestFile(spark: SparkSession, filePath: String, runDate: Date): String = {
     val table = tableNameFor(Paths.get(filePath).getFileName.toString)
-    val raw   = readCsv(spark, filePath)
+    val raw   = readAuto(spark, filePath)
     if (!spark.catalog.tableExists(table)) {
       SchemaAlign.stampIngestionDate(raw, runDate)
         .write.mode(SaveMode.Overwrite)
@@ -85,13 +101,17 @@ object Ingest {
     */
   def runDropDir(spark: SparkSession, dropDir: String, runDate: Date,
                  deleteOnSuccess: Boolean = true,
-                 failedDir: Option[String] = None): Seq[FileOutcome] = {
+                 failedDir: Option[String] = None,
+                 extensions: Set[String] = Set(".csv")): Seq[FileOutcome] = {
     import scala.jdk.CollectionConverters._
     // Files.list holds a directory handle until closed (try-with-resources
     // contract) — materialize the listing inside Using so it never leaks.
+    // Default extension filter is CSV-only, matching the reference
+    // (`big_uery_handler.py:71-72`); pass Set(".csv", ".jsonl") to widen.
     val files = scala.util.Using.resource(Files.list(Paths.get(dropDir))) { s =>
       s.iterator().asScala
-        .filter(p => p.getFileName.toString.toLowerCase.endsWith(".csv"))
+        .filter(p => extensions.exists(
+          p.getFileName.toString.toLowerCase.endsWith))
         .toSeq
     }.sortBy(_.getFileName.toString)
     files.map { p =>

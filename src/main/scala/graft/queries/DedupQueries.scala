@@ -29,6 +29,11 @@ object DedupQueries {
   def ngramJaccardPairs(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // The shingle table feeds three consumers (self-join left/right + the
+    // per-doc counts); without persistence the flatMap re-shingles the
+    // corpus three times. MEMORY_AND_DISK so a 100 TB shingle set spills
+    // instead of OOMing; ~|docs|·|shingles| rows, far smaller than the
+    // candidate join it feeds.
     val sh = Tables.documents(s, d)
       .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -38,6 +43,7 @@ object DedupQueries {
         else Iterator.empty
       }
       .toDF("doc_id", "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

@@ -1,7 +1,5 @@
 package graft.similarity
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -13,36 +11,75 @@ import graft.expressions.VectorExpressions
 /** IVF (inverted-file) approximate nearest neighbor: the k-means-cell
   * counterpart to `Ann.lshTopK` — the other standard scale path.
   *
-  * Index build: k-means over the corpus (one-time, seeded); every vector is
-  * assigned to its nearest coarse centroid ("cell"). Search: each query
-  * probes its `nProbe` nearest cells only, so the candidate join is an
-  * equality on the cell id — O(n/nCells · nProbe) per query at any corpus
-  * size, with exact cosine re-ranking on the candidates.
-  *
-  * The centroid table is tiny (nCells × dim) and rides as a broadcast
-  * literal; cell assignment and all distances go through the codegen'd
-  * native vector expressions.
+  * Index build: the coarse quantizer is trained with local Lloyd iterations
+  * on a bounded, deterministic SAMPLE of the corpus — the standard IVF
+  * recipe (FAISS trains coarse centroids on ~10⁵ samples regardless of
+  * corpus size): centroid quality needs representative data, not all data.
+  * One collect of `sampleSize` rows replaces a multi-job distributed
+  * k-means; at 100 TB the sample is the only thing that ever reaches the
+  * driver. Every corpus vector is then assigned to its nearest centroid in
+  * a single narrow codegen'd pass (the centroids ride as broadcast
+  * literals). Search: each query probes its `nProbe` nearest cells only, so
+  * the candidate join is an equality on the cell id — O(n/nCells · nProbe)
+  * per query at any corpus size, with exact cosine re-ranking.
   */
 object Ivf {
 
   final case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame)
 
-  /** Build the coarse index: seeded k-means, then cell assignment for every
-    * corpus vector. `assigned` = (vec_id, embedding, cell).
+  private def distSqLocal(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic local Lloyd: seeds = evenly spaced sample vectors (the
+    * sample is vec_id-ordered, so seeding is content-independent and
+    * reproducible); empty cells keep their previous centroid.
     */
-  def build(corpus: DataFrame, nCells: Int = 16): IvfIndex = {
-    val featured = corpus.withColumn("features", array_to_vector(col("embedding")))
-    // A coarse quantizer needs rough Voronoi cells, not convergence: random
-    // init (k-means|| costs ~5 extra distributed passes) and few iterations.
-    // Cell quality only moves recall, which AnnSpec asserts independently.
-    val model = new KMeans()
-      .setK(nCells).setSeed(42L).setMaxIter(8)
-      .setInitMode("random").setTol(1e-3)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(featured)
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+  private[similarity] def lloyd(sample: Array[Array[Float]], k: Int,
+                                iters: Int): Array[Array[Float]] = {
+    val n = sample.length
+    val dim = sample.head.length
+    val kk = math.min(k, n)
+    var centroids = Array.tabulate(kk)(i => sample((i.toLong * n / kk).toInt))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centroids.length) {
+          val dd = distSqLocal(v, centroids(c))
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best); var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Build the coarse index: sample → local k-means → one distributed
+    * assignment pass. `assigned` = (vec_id, embedding, cell).
+    */
+  def build(corpus: DataFrame, nCells: Int = 16, sampleSize: Int = 10000,
+            iters: Int = 8): IvfIndex = {
+    val sample = corpus.select(col("vec_id"), col("embedding"))
+      .where(col("embedding").isNotNull)
+      .orderBy("vec_id").limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val centroids = lloyd(sample, nCells, iters)
+    val cell = element_at(probeCells(col("embedding"), centroids, 1), 1)
     IvfIndex(centroids,
-      model.transform(featured).select(col("vec_id"), col("embedding"), col("cell")))
+      corpus.select(col("vec_id"), col("embedding"), cell.as("cell")))
   }
 
   /** Squared L2 distance to a literal centroid, via native expressions:

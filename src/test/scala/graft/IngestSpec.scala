@@ -126,4 +126,34 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Ingest.tableNameFor("Buyers.csv") == "buyers")
     assert(Ingest.tableNameFor("noext") == "noext")
   }
+
+  test("JSON-lines ingest: create then align-append with type drift → NULL") {
+    val dir = tmp()
+    write(dir, "leads_j.jsonl",
+      """{"lead_id": 1, "name": "Jane", "price": 250000.5}
+        |{"lead_id": 2, "name": "Bob", "price": 180000.0}
+        |""".stripMargin)
+    val out1 = Ingest.runDropDir(spark, dir.toString, run,
+      extensions = Set(".csv", ".jsonl"))
+    assert(out1 == Seq(Ingest.Loaded(dir.resolve("leads_j.jsonl").toString, "leads_j")))
+    assert(spark.table("leads_j").count() == 2)
+    // append: price arrives as a non-numeric string → safe-cast to NULL;
+    // extra column dropped (R2/R4 semantics, format-agnostic)
+    write(dir, "leads_j.jsonl",
+      """{"lead_id": 3, "name": "Ann", "price": "call me", "extra": true}
+        |""".stripMargin)
+    Ingest.runDropDir(spark, dir.toString, run, extensions = Set(".jsonl"))
+    val t = spark.table("leads_j")
+    assert(t.count() == 3)
+    assert(!t.columns.contains("extra"))
+    assert(t.where("lead_id = 3").collect()(0).getAs[Any]("price") == null)
+  }
+
+  test("default extension filter stays CSV-only (reference semantics)") {
+    val dir = tmp()
+    write(dir, "skipme.jsonl", """{"a": 1}""" + "\n")
+    val out = Ingest.runDropDir(spark, dir.toString, run)
+    assert(out.isEmpty)
+    assert(Files.exists(dir.resolve("skipme.jsonl")))
+  }
 }
