@@ -17,6 +17,7 @@ object TestSpark {
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.expressions.GraftFunctions.register(s)
     s
   }
 
