@@ -205,6 +205,80 @@ object ExtendedQueries {
              |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)
     ),
     Q(
+      "j9_full_outer",
+      "Full outer join: high-balance customers against big orders — " +
+        "unmatched rows survive on BOTH sides (null-padded), the missing " +
+        "outer-join variant beside j4's left. Both inputs filtered so each " +
+        "side genuinely has non-matching rows.",
+      (s, d) => {
+        val c = Tables.customer(s, d).where(col("c_acctbal") > 0)
+          .select("c_custkey", "c_name")
+        val o = Tables.orders(s, d).where(col("o_totalprice") > 200000)
+          .select("o_orderkey", "o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+          .select(col("c_custkey"), col("o_orderkey"))
+          .orderBy(col("c_custkey").asc, col("o_orderkey").asc)
+      },
+      Some("""SELECT c_custkey, o_orderkey
+             |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0) c
+             |  FULL OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders
+             |                   WHERE o_totalprice > 200000) o
+             |  ON c.c_custkey = o.o_custkey
+             |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "j10_cross",
+      "Explicit cross join of the two smallest dims (region × nation) — " +
+        "the deliberate-cartesian case; anything larger than dim × dim " +
+        "belongs to a broadcast nested loop you opted into, never an " +
+        "accident (Spark requires crossJoin/spark.sql.crossJoin.enabled).",
+      (s, d) => {
+        Tables.region(s, d).select(col("r_name"))
+          .crossJoin(Tables.nation(s, d).select(col("n_name")))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+             |ORDER BY r_name, n_name""".stripMargin)
+    ),
+    Q(
+      "a9_scalar_subquery",
+      "Scalar subquery in a predicate: orders above the global average " +
+        "price — Catalyst plans the subquery as a one-row broadcast; the " +
+        "average goes through DECIMAL so the cut-off is bit-exact on both " +
+        "engines (a double average would move boundary rows between them).",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_a9")
+        s.sql(
+          """SELECT o_orderkey, o_totalprice FROM orders_a9
+            |WHERE CAST(o_totalprice AS DECIMAL(38,6)) >
+            |  (SELECT avg(CAST(o_totalprice AS DECIMAL(38,6))) FROM orders_a9)
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE CAST(o_totalprice AS DECIMAL(38,6)) >
+             |  (SELECT avg(CAST(o_totalprice AS DECIMAL(38,6))) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "f16_collect_sorted",
+      "Ordered collect: per customer, the comma-joined sorted list of " +
+        "their order keys — collect_list is unordered by contract, so " +
+        "sort_array makes it deterministic (the only safe way to emit " +
+        "per-group lists).",
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(concat_ws(",",
+            sort_array(collect_list(
+              lpad(col("o_orderkey").cast(StringType), 12, "0")))).as("orderkeys"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey,
+             |  string_agg(lpad(CAST(o_orderkey AS VARCHAR), 12, '0'), ','
+             |    ORDER BY lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS orderkeys
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    ),
+    Q(
       "f15_map_funcs",
       "Map functions over JSON-derived maps: from_json to map<string,long>, " +
         "size/keys/element access — the typed-metadata access pattern for " +
