@@ -100,7 +100,11 @@ object MinHash {
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.5, shingleWidth: Int = 3): DataFrame = {
+    // Three consumers (band explode + two shingle-array joins) — persist so
+    // the typed signature pass runs once, not per consumer. MEMORY_AND_DISK:
+    // signatures are O(corpus) and must spill, not OOM, at scale.
     val sigs = signatures(docs, idCol, textCol, shingleWidth).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Candidate generation: explode bands, self-join on the band signature —
     // ids ONLY. Band collisions can be dense; carrying shingle arrays

@@ -48,10 +48,18 @@ object ConnectedComponents {
           col("v") === col("v_id"))
         .groupBy(col("u").as("n_id"))
         .agg(min(col("v_label")).as("nbr_min"))
-      val stepped = labels
+      val tentative = labels
         .join(nbrMin, col("id") === col("n_id"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("mid"))
+      // Pointer jump: label ← label(label). Labels are vertex ids, so the
+      // self-join always resolves; chains collapse exponentially instead of
+      // one hop per round (diameter D needs ~log₂D rounds, not D).
+      val stepped = tentative
+        .join(tentative.select(col("id").as("p_id"), col("mid").as("p_label")),
+          col("mid") === col("p_id"), "left")
+        .select(col("id"), col("label"),
+          least(col("mid"), coalesce(col("p_label"), col("mid"))).as("next"))
         .localCheckpoint(true)
       changed = stepped.where(col("next") =!= col("label")).count()
       labels = stepped.select(col("id"), col("next").as("label"))
