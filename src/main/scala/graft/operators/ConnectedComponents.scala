@@ -67,4 +67,75 @@ object ConnectedComponents {
     }
     labels.select(col("id"), col("label").as("component"))
   }
+
+  /** The 100 TB variant: alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — O(log n) rounds
+    * independent of component diameter, and each round is a plain
+    * groupBy-min + join (no state that grows with degree on one machine,
+    * unlike collecting a neighborhood).
+    *
+    *  - large-star: every vertex points its LARGER neighbors at the min of
+    *    its neighborhood (+ itself) — breaks up high-degree hubs;
+    *  - small-star: with edges directed high→low, every vertex points its
+    *    smaller neighbors AND itself at the neighborhood min — contracts
+    *    chains.
+    *
+    * Fixpoint: the edge set becomes stars rooted at component minima; the
+    * root of each star is the component label. Same contract as
+    * `components` (vertices that appear in an edge; label = min id).
+    */
+  def componentsStar(edges0: DataFrame, srcCol: String, dstCol: String,
+                     maxIter: Int = 30): DataFrame = {
+    val init = edges0
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    val vertices = init.select(col("hi").as("id"))
+      .union(init.select(col("lo").as("id"))).distinct().localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m = sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.join(m, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .where(col("hi") =!= col("lo"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges already directed hi -> lo
+      val m = e.groupBy("hi").agg(least(min(col("lo")), first(col("hi"))).as("m"))
+      val pointed = e.join(m, "hi")
+        .select(col("lo").as("x"), col("m"))
+      val self = m.select(col("hi").as("x"), col("m"))
+      pointed.union(self)
+        .where(col("x") =!= col("m"))
+        .select(greatest(col("x"), col("m")).as("hi"),
+          least(col("x"), col("m")).as("lo"))
+        .distinct()
+    }
+
+    var e = init
+    var stable = false
+    var iter = 0
+    while (!stable && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // fixpoint when the canonical edge sets are equal (sizes equal and no
+      // edge leaves the set)
+      val nextCount = next.count()
+      stable = nextCount == e.count() &&
+        next.except(e).isEmpty
+      e = next
+      iter += 1
+    }
+    // stars: every non-root points at its root; roots label themselves
+    vertices
+      .join(e.select(col("hi").as("id"), col("lo").as("root")), Seq("id"), "left")
+      .groupBy("id").agg(min(coalesce(col("root"), col("id"))).as("component"))
+  }
 }

@@ -43,4 +43,52 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L))
     assert(got.keySet == (1L to 6L).toSet + 100L)
   }
+
+  private def ccStar(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.componentsStar(edges.toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Reference union-find on the driver — ground truth for both variants. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // min id per root
+    val minOf = verts.groupBy(find).map { case (r, vs) => r -> vs.min }
+    verts.map(v => v -> minOf(find(v))).toMap
+  }
+
+  test("large-star/small-star equals propagation equals union-find on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield edges.filter(e => e._1 != e._2)
+    (0 until 8).foreach { i =>
+      val edges = edgeGen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(Nil)
+      if (edges.nonEmpty) {
+        val want = ufComponents(edges)
+        assert(cc(edges) == want, s"propagation differs from union-find, seed=$i")
+        assert(ccStar(edges) == want, s"star variant differs from union-find, seed=$i")
+      }
+    }
+  }
+
+  test("large-star/small-star handles a long chain (diameter >> rounds)") {
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    assert(ccStar(chain).values.toSet == Set(1L))
+  }
 }
