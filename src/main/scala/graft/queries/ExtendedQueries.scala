@@ -205,6 +205,58 @@ object ExtendedQueries {
              |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)
     ),
     Q(
+      "u4_intersect_all",
+      "Bag-semantics intersect: nations represented among customers AND " +
+        "suppliers, keeping multiplicity (INTERSECT ALL = min of the two " +
+        "bags' counts — a different operator from u2's set intersect).",
+      (s, d) => {
+        Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+          .intersectAll(
+            Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT ALL
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)
+    ),
+    Q(
+      "u5_except_all",
+      "Bag-semantics except: customer nation keys minus supplier nation " +
+        "keys with multiplicity (each supplier occurrence cancels ONE " +
+        "customer occurrence).",
+      (s, d) => {
+        Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+          .exceptAll(
+            Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT ALL
+             |SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)
+    ),
+    Q(
+      "f17_null_safe_eq",
+      "Null-safe comparison (<=> / IS NOT DISTINCT FROM) against JSON " +
+        "values that go NULL on missing keys — the predicate form where " +
+        "NULL = NULL is true and NULL = x is false, not unknown.",
+      (s, d) => {
+        val k = get_json_object(col("props"), "$.missing").try_cast(LongType)
+        Tables.events(s, d).select(
+          col("event_id"),
+          (k <=> lit(null)).as("is_missing"),
+          (k <=> lit(0L)).as("is_zero"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  (TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT)
+             |     IS NOT DISTINCT FROM NULL) AS is_missing,
+             |  (TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT)
+             |     IS NOT DISTINCT FROM 0) AS is_zero
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "j9_full_outer",
       "Full outer join: high-balance customers against big orders — " +
         "unmatched rows survive on BOTH sides (null-padded), the missing " +
