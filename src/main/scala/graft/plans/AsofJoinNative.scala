@@ -1,0 +1,196 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole-operator Catalyst extension — the (c) tier of the design doctrine:
+  * a native as-of join as `LogicalPlan` + `SparkStrategy` + `SparkPlan`,
+  * planned through `spark.experimental.extraStrategies`.
+  *
+  * Semantics (left as-of): every left row gains the right row with the
+  * greatest `rightTime <= leftTime` for the same key, or nulls. SQL-null
+  * key/time rows never match, mirroring equi-join semantics.
+  *
+  * Why a physical operator when `AsofJoin.asofLeft` (union + running-max
+  * window) already works: the window idiom materializes a combined sorted
+  * partition and drags a payload struct through a running max; this exec
+  * declares `requiredChildDistribution`/`Ordering` so Catalyst plans ONE
+  * hash shuffle + per-partition sort per side (identical to a sort-merge
+  * join's cost model), then streams both sides in a single forward merge —
+  * no combined buffer, no struct comparisons, and the right side is
+  * consumed strictly once. At 100 TB both idioms scale, but the merge is
+  * the one a native engine would run, and Catalyst still owns pruning,
+  * AQE re-planning, and exchange reuse around it.
+  */
+object AsofJoinNative {
+
+  /** Logical node. Keys/times are Attributes resolved against the children,
+    * so the node enters analysis already resolved and the optimizer treats
+    * it as an opaque barrier (safe, if conservative, for pruning).
+    */
+  case class AsofJoinNode(
+      left: LogicalPlan, right: LogicalPlan,
+      leftKey: Attribute, rightKey: Attribute,
+      leftTime: Attribute, rightTime: Attribute,
+      rightTiebreak: Option[Attribute])
+    extends BinaryNode {
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+      copy(left = newLeft, right = newRight)
+  }
+
+  object AsofJoinStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case AsofJoinNode(l, r, lk, rk, lt, rt, tb) =>
+        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Total ordering on the physical (InternalRow) representation of the
+    * supported key/time types — all atomic corpus types are Long-backed or
+    * primitive. Nulls are handled by the merge itself, never compared here.
+    */
+  private def physicalOrdering(dt: DataType): Ordering[Any] = (dt match {
+    case LongType | TimestampType | TimestampNTZType => Ordering.Long
+    case IntegerType | DateType                      => Ordering.Int
+    case ShortType                                   => Ordering.Short
+    case DoubleType                                  => Ordering.Double.TotalOrdering
+    case FloatType                                   => Ordering.Float.TotalOrdering
+    case StringType => new Ordering[UTF8String] {
+      def compare(a: UTF8String, b: UTF8String): Int = a.compareTo(b)
+    }
+    case other =>
+      throw new IllegalArgumentException(
+        s"as-of join key/time type not supported: ${other.catalogString}")
+  }).asInstanceOf[Ordering[Any]]
+
+  case class AsofJoinExec(
+      left: SparkPlan, right: SparkPlan,
+      leftKey: Attribute, rightKey: Attribute,
+      leftTime: Attribute, rightTime: Attribute,
+      rightTiebreak: Option[Attribute])
+    extends BinaryExecNode {
+
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+
+    // One hash exchange per side on the join key — exactly a sort-merge
+    // join's distribution contract, so AQE/exchange-reuse apply unchanged.
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(Seq(leftKey)) ::
+        ClusteredDistribution(Seq(rightKey)) :: Nil
+
+    // Per-partition (key, time) sort; Catalyst inserts SortExec only when
+    // the child isn't already sorted (e.g. bucketed+sorted sources skip it).
+    // The optional right tiebreak makes equal-time matches deterministic:
+    // the merge keeps the LAST row <= leftTime, i.e. max(time, tiebreak).
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+      Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+        Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+          rightTiebreak.map(SortOrder(_, Ascending)))
+
+    override def outputPartitioning: Partitioning = left.outputPartitioning
+    override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val lOut = left.output
+      val rOut = right.output
+      val lKeyIdx = lOut.indexWhere(_.exprId == leftKey.exprId)
+      val lTimeIdx = lOut.indexWhere(_.exprId == leftTime.exprId)
+      val rKeyIdx = rOut.indexWhere(_.exprId == rightKey.exprId)
+      val rTimeIdx = rOut.indexWhere(_.exprId == rightTime.exprId)
+      require(lKeyIdx >= 0 && lTimeIdx >= 0 && rKeyIdx >= 0 && rTimeIdx >= 0,
+        "as-of join attributes must come from the respective child outputs")
+      val keyDt = leftKey.dataType
+      val timeDt = leftTime.dataType
+      val rWidth = rOut.length
+
+      left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+        val keyOrd = physicalOrdering(keyDt)
+        val timeOrd = physicalOrdering(timeDt)
+        val rBuf = rIter.buffered
+        val nullRight = new GenericInternalRow(rWidth)
+        val joined = new JoinedRow
+        // last right row with rKey == matchKey and rTime <= current left
+        // time; rows are reused by the scan, so the match is a copy
+        var matchKey: Any = null
+        var lastMatch: InternalRow = null
+
+        lIter.map { lRow =>
+          val lk = if (lRow.isNullAt(lKeyIdx)) null else lRow.get(lKeyIdx, keyDt)
+          val lt = if (lRow.isNullAt(lTimeIdx)) null else lRow.get(lTimeIdx, timeDt)
+          if (lk == null || lt == null) {
+            joined(lRow, nullRight)
+          } else {
+            if (matchKey == null || keyOrd.compare(matchKey, lk) != 0) {
+              matchKey = null; lastMatch = null
+            }
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val head = rBuf.head
+              val rk = if (head.isNullAt(rKeyIdx)) null else head.get(rKeyIdx, keyDt)
+              val rt = if (head.isNullAt(rTimeIdx)) null else head.get(rTimeIdx, timeDt)
+              if (rk == null || rt == null) {
+                rBuf.next() // null keys/times sort first and never match
+              } else {
+                val c = keyOrd.compare(rk, lk)
+                if (c < 0) {
+                  rBuf.next() // keys below current left key are exhausted
+                } else if (c == 0 && timeOrd.compare(rt, lt) <= 0) {
+                  lastMatch = rBuf.next().copy()
+                  matchKey = lk
+                } else {
+                  advancing = false // future key, or time beyond left row
+                }
+              }
+            }
+            if (lastMatch != null && matchKey != null &&
+              keyOrd.compare(matchKey, lk) == 0) joined(lRow, lastMatch)
+            else joined(lRow, nullRight)
+          }
+        }
+      }
+    }
+  }
+
+  /** Public entry: left as-of join by column name. Registers the strategy
+    * once per session (idempotent) and builds the node from the analyzed
+    * child plans. Left and right must be distinct plans (self-as-of needs
+    * an alias, same as any self-join).
+    */
+  def asofLeft(left: DataFrame, leftKeyCol: String, leftTimeCol: String,
+               right: DataFrame, rightKeyCol: String, rightTimeCol: String,
+               rightTiebreakCol: Option[String] = None): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    }
+    val lPlan = GraftBridge.analyzed(left)
+    val rPlan = GraftBridge.analyzed(right)
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name).mkString(", ")}"))
+    GraftBridge.dataset(spark,
+      AsofJoinNode(lPlan, rPlan,
+        attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol),
+        attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol),
+        rightTiebreakCol.map(attr(rPlan, _))))
+  }
+}

@@ -41,6 +41,34 @@ object AdvancedQueries {
              |WHERE rn = 1 ORDER BY event_id""".stripMargin)
     ),
     Q(
+      "j7b_asof_native",
+      "The same as-of semantics as j7 through the custom physical operator " +
+        "(AsofJoinNode -> AsofJoinStrategy -> AsofJoinExec): one hash " +
+        "exchange + sort per side, single forward merge per partition — " +
+        "hash-checked against the identical DuckDB oracle as the window " +
+        "idiom, so both implementations are pinned to the same semantics.",
+      (s, d) => {
+        val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+        val o = Tables.orders(s, d)
+          .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        graft.plans.AsofJoinNative.asofLeft(
+          e, "user_id", "ts", o, "o_custkey", "o_orderdate",
+          rightTiebreakCol = Some("o_orderkey"))
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("last_orderkey"),
+            round(col("o_totalprice"), 4).as("last_price"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, last_orderkey, last_price FROM (
+             |  SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey,
+             |    floor((o.o_totalprice) * 10000 + 0.5) / 10000 AS last_price,
+             |    row_number() OVER (PARTITION BY e.event_id
+             |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+             |  FROM events e LEFT JOIN orders o
+             |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+             |WHERE rn = 1 ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "j8_range_join",
       "Banded range join: per anchor event, same-user events in the " +
         "following hour. Equality shuffle on (key, time-bucket) with 2x " +
