@@ -80,6 +80,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"expected partial and final HashAggregate in:\n$p")
   }
 
+  test("o2 top-k per group gets the rank-limit pushdown (WindowGroupLimit)") {
+    val p = plan(QueryCatalog.byName("o2_topk_per_group").build(spark, d))
+    // Spark 3.5+ InferWindowGroupLimit turns rank<=k filters into a
+    // per-partition top-k before the full window sort — the difference
+    // between sorting every group and keeping k rows per group at 100 TB
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+  }
+
   test("native vector expressions stay inside WholeStageCodegen") {
     val df = Tables.embeddings(spark, d).select(
       graft.expressions.VectorExpressions.dotF(col("embedding"), col("embedding"))
