@@ -81,6 +81,39 @@ object MinHash {
     Array.tabulate(Bands)(b =>
       s"b${b}_" + sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand).mkString(":"))
 
+  /** Signature-union aggregate: elementwise min of MinHash signatures — by
+    * the MinHash construction, min over a union of sets equals the
+    * elementwise min of the sets' signatures, so this aggregates a GROUP's
+    * signature (e.g. a dedup cluster's) without ever touching the shingles
+    * again. A custom `Aggregator` because no built-in folds arrays
+    * elementwise across rows short of collect_list (which buffers the whole
+    * group); this buffer is a fixed 32 longs and merges associatively —
+    * partial aggregation (map-side combine) applies, the property that
+    * makes it a one-shuffle aggregate at 100 TB.
+    */
+  object SignatureUnion
+    extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
+    override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+      var i = 0
+      while (i < NumHashes && i < sig.length) {
+        if (sig(i) < buf(i)) buf(i) = sig(i)
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < NumHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   final case class DocSig(doc_id: Long, shingles: Array[String], bands: Array[String])
 
   /** Per-document shingles + LSH bands in one narrow typed pass. */

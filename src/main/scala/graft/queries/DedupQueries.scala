@@ -147,6 +147,33 @@ object DedupQueries {
       None
     ),
     Q(
+      "dd_lang_sketch",
+      "Per-language corpus MinHash sketch via the SignatureUnion custom " +
+        "Aggregator: elementwise-min merge of per-doc signatures == the " +
+        "signature of the union of their shingle sets (the MinHash " +
+        "mergeability property). Fixed 32-long buffer, associative merge -> " +
+        "map-side partial aggregation; the way corpus-level sketches are " +
+        "maintained at 100 TB without re-reading documents. Rows-only " +
+        "check; the union property and partition-independence are asserted " +
+        "in DedupSpec.",
+      (s, d) => {
+        import s.implicits._
+        val sigs = MinHash.signatures(Tables.documents(s, d), "doc_id", "text",
+            shingleWidth = 3)
+          .map(ds => (ds.doc_id, MinHash.signatureOf(ds.shingles).toSeq))
+          .toDF("doc_id", "sig")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        val merged = org.apache.spark.sql.functions.udaf(MinHash.SignatureUnion)
+        sigs.join(docs, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), merged(col("sig")).as("corpus_sig"))
+          .select(col("lang"), col("n_docs"),
+            concat_ws(":", col("corpus_sig")).as("corpus_sig"))
+          .orderBy("lang")
+      },
+      None
+    ),
+    Q(
       "dd_simhash",
       "64-bit SimHash fingerprint per document via the typed mapPartitions " +
         "path (FNV-1a bit votes — NOT the xxhash64 expression form, whose " +

@@ -53,4 +53,28 @@ class DedupSpec extends AnyFunSuite {
       .select(SimHash.hamming(col("a"), col("b"))).collect()(0).getInt(0)
     assert(out == java.lang.Long.bitCount(3L ^ 1L))
   }
+
+  test("SignatureUnion: merged signatures == signature of the shingle-set union") {
+    // the MinHash mergeability property, end to end through the Aggregator
+    val texts = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val sigDf = MinHash.signatures(docs, "doc_id", "text", 3)
+      .map(ds => (ds.doc_id, MinHash.signatureOf(ds.shingles).toSeq))
+      .toDF("doc_id", "sig")
+    val merged = org.apache.spark.sql.functions.udaf(MinHash.SignatureUnion)
+    val got = sigDf.agg(merged(col("sig"))).collect()(0).getSeq[Long](0)
+    val unionShingles = texts.values.toArray
+      .flatMap(t => MinHash.shinglesOf(t.split(" "), 3)).distinct
+    assert(got == MinHash.signatureOf(unionShingles).toSeq)
+  }
+
+  test("SignatureUnion is partitioning-independent (associative merge)") {
+    val sigDf = MinHash.signatures(docs, "doc_id", "text", 3)
+      .map(ds => (ds.doc_id, MinHash.signatureOf(ds.shingles).toSeq))
+      .toDF("doc_id", "sig")
+    val merged = org.apache.spark.sql.functions.udaf(MinHash.SignatureUnion)
+    val one = sigDf.repartition(1).agg(merged(col("sig"))).collect()(0).getSeq[Long](0)
+    val many = sigDf.repartition(7).agg(merged(col("sig"))).collect()(0).getSeq[Long](0)
+    assert(one == many)
+  }
 }
