@@ -9,6 +9,12 @@ import graft.queries.QueryCatalog
   * Runs every declared query on SPARK_GRAFT_SF_DIR with a full materialize
   * (noop sink — forces all columns/rows through the plan, unlike count()
   * which lets Catalyst prune the world), prints ONE JSON line.
+  *
+  * Since round 3 each query is timed as the MIN of two back-to-back runs:
+  * the first run absorbs plan compilation + codegen of that query's
+  * operators (~0.1-0.3 s of driver-side one-time cost per query, which at
+  * sf0.1 rivals the execution itself); min-of-2 measures the steady-state
+  * execution a throughput comparison is about. Noted in BASELINE.md.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,12 +34,21 @@ object Bench {
       }
     }
 
+    def runBest(name: String): Double = {
+      val a = runOnce(name)
+      if (a < 0) a
+      else {
+        val b = runOnce(name)
+        if (b < 0) a else math.min(a, b)
+      }
+    }
+
     val names = QueryCatalog.all.map(_.name)
     // JVM/codegen warmup on a representative query (parquet scan + shuffle
     // join) so the first measured query doesn't absorb classloading costs.
     runOnce("j1_join_inner")
 
-    val results = names.map(n => n -> runOnce(n))
+    val results = names.map(n => n -> runBest(n))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
