@@ -22,13 +22,15 @@ import org.apache.spark.sql.SparkSession
   *    DuckDB oracle; corpus timestamps are NTZ so they never shift anyway.
   */
 object GraftSession {
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  def cpus(defaultCpus: String = "32"): String =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
 
-  def builder(appName: String): SparkSession.Builder =
+  def builder(appName: String, defaultCpus: String = "32"): SparkSession.Builder = {
+    val n = cpus(defaultCpus)
     SparkSession.builder()
       .appName(appName)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(s"local[$n]")
+      .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -36,9 +38,10 @@ object GraftSession {
       // rejects; read as epoch-nanos Long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+  }
 
-  def getOrCreate(appName: String = "graft"): SparkSession = {
-    val spark = builder(appName).getOrCreate()
+  def getOrCreate(appName: String = "graft", defaultCpus: String = "32"): SparkSession = {
+    val spark = builder(appName, defaultCpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftFunctions.register(spark)
     spark

@@ -75,7 +75,9 @@ object SimHash {
     import spark.implicits._
     docs.select(col(idCol).cast(org.apache.spark.sql.types.LongType), col(textCol))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) => (id, simhashLocal(text.split(" "))) })
+      .mapPartitions(_.map { case (id, text) =>
+        (id, simhashLocal(if (text == null) Array.empty[String] else text.split(" ")))
+      })
       .toDF("doc_id", "simhash")
   }
 }

@@ -36,12 +36,16 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "float_vector_dot"
 
-  // A null element anywhere poisons the sum, exactly as the HOF form's
-  // `acc + null` would: the whole result is null (SQL arithmetic semantics).
+  // Null semantics mirror the HOF form exactly: a null element poisons the
+  // sum (`acc + null`), and mismatched lengths are null too — zip_with
+  // null-pads the shorter array, so its products (and the fold) go null.
+  // Truncating to the shorter prefix would return a plausible-looking wrong
+  // similarity instead.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -57,11 +61,15 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double ${ev.value}_acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  ${ev.value}_acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    ${ev.value}_acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
          |${ev.value} = ${ev.value}_acc;
        """.stripMargin

@@ -117,7 +117,16 @@ object Ingest {
     files.map { p =>
       try {
         val table = ingestFile(spark, p.toString, runDate)
-        if (deleteOnSuccess) Files.deleteIfExists(p)
+        // Post-success cleanup failure must NOT demote the outcome to
+        // Failed: the rows are already in the table, and archiving the file
+        // for retry would ingest them twice on the next run.
+        if (deleteOnSuccess) {
+          try Files.deleteIfExists(p)
+          catch {
+            case NonFatal(e) => System.err.println(
+              s"[ingest] loaded $p but could not delete it: ${e.getMessage}")
+          }
+        }
         Loaded(p.toString, table)
       } catch {
         case NonFatal(e) =>

@@ -48,10 +48,13 @@ object ConnectedComponents {
           col("v") === col("v_id"))
         .groupBy(col("u").as("n_id"))
         .agg(min(col("v_label")).as("nbr_min"))
+      // checkpoint before the self-join below, or the edges⋈labels+groupBy
+      // subtree executes twice per round (once per join side)
       val tentative = labels
         .join(nbrMin, col("id") === col("n_id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("mid"))
+        .localCheckpoint(true)
       // Pointer jump: label ← label(label). Labels are vertex ids, so the
       // self-join always resolves; chains collapse exponentially instead of
       // one hop per round (diameter D needs ~log₂D rounds, not D).

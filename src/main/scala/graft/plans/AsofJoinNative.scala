@@ -42,6 +42,15 @@ object AsofJoinNative {
       leftTime: Attribute, rightTime: Attribute,
       rightTiebreak: Option[Attribute])
     extends BinaryNode {
+    // The exec reads BOTH sides' key/time values through the LEFT types, so
+    // mismatched physical types (e.g. DATE days-as-int vs NTZ micros-as-
+    // long) would compare garbage — reject at construction, not at runtime.
+    require(leftKey.dataType == rightKey.dataType,
+      s"as-of join key types differ: ${leftKey.dataType.catalogString} vs " +
+        rightKey.dataType.catalogString)
+    require(leftTime.dataType == rightTime.dataType,
+      s"as-of join time types differ: ${leftTime.dataType.catalogString} vs " +
+        rightTime.dataType.catalogString)
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
     override protected def withNewChildrenInternal(

@@ -76,6 +76,8 @@ object Ivf {
       .where(col("embedding").isNotNull)
       .orderBy("vec_id").limit(sampleSize)
       .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty,
+      "Ivf.build: corpus has no non-null embeddings to train the quantizer on")
     val centroids = lloyd(sample, nCells, iters)
     val cell = element_at(probeCells(col("embedding"), centroids, 1), 1)
     IvfIndex(centroids,

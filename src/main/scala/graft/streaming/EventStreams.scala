@@ -164,7 +164,13 @@ object EventStreams {
               cur = if (t - cur._2 >= gapMs) {
                 closed += SessionAgg(user, cur._1, cur._2, cur._3)
                 (t, t, 1L)
-              } else (cur._1, t, cur._3 + 1L)
+              } else {
+                // late-but-in-gap events (above the watermark, behind the
+                // stored last-seen) fold INTO the session: start may move
+                // down, last-seen must never move backward or the next
+                // gap test and the timeout both misfire early
+                (math.min(cur._1, t), math.max(cur._2, t), cur._3 + 1L)
+              }
             }
             // A file source delivers by modification time, not event time, so
             // a whole batch can arrive behind the watermark. A timeout in the

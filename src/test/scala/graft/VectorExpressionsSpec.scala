@@ -47,14 +47,20 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(viaSql.getDouble(1) == viaApi.getDouble(1))
   }
 
-  test("null vector yields null, mismatched lengths use the shorter prefix") {
+  test("null vector and mismatched lengths yield null, matching the HOF form") {
     import spark.implicits._
     val df = Seq(
       (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f, 5.0f))),
-      (None: Option[Array[Float]], Some(Array(1.0f)))
+      (None: Option[Array[Float]], Some(Array(1.0f))),
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f)))
     ).toDF("a", "b")
-    val out = df.select(VectorExpressions.dotF(col("a"), col("b"))).collect()
-    assert(out(0).getDouble(0) == (1.0 * 3.0 + 2.0 * 4.0))
-    assert(out(1).isNullAt(0))
+    val out = df.select(
+      VectorExpressions.dotF(col("a"), col("b")).as("native"),
+      graft.similarity.Ann.dot(col("a"), col("b")).as("hof")).collect()
+    // mismatched lengths: zip_with null-pads → null fold; native must agree
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+    assert(out(2).getDouble(0) == (1.0 * 3.0 + 2.0 * 4.0))
+    assert(out(2).getDouble(0) == out(2).getDouble(1))
   }
 }
