@@ -58,6 +58,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions injects the functions at session build (deployment path)") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force TestSpark init first
+    // getOrCreate reuses the active/default session (whose registry already
+    // has the functions) — clear both so the builder genuinely constructs a
+    // NEW session over the shared SparkContext, applying the extensions;
+    // restore the shared session afterwards.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.expressions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne base, "builder must have created a fresh session")
+      val r = s2.sql(
+        "SELECT float_vector_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
+        .collect()(0).getDouble(0)
+      assert(math.abs(r - 5.0) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("SQL type check rejects non-float arrays for vector functions") {
     registerViews()
     val e = intercept[Exception] {
