@@ -151,6 +151,28 @@ object DedupQueries {
       None
     ),
     Q(
+      "dd_cluster_lsh",
+      "The 100 TB dedup-clustering path end to end: LSH band candidates -> " +
+        "exact-Jaccard verify (>= 0.2) -> connected components -> every doc " +
+        "labeled with its cluster's min doc_id. Identical shape to " +
+        "dd_cluster but candidate generation is the O(candidates) band " +
+        "join, never the all-pairs shingle self-join. Rows-only check " +
+        "(murmur-based bands); DedupSpec asserts every LSH cluster refines " +
+        "an exact cluster.",
+      (s, d) => {
+        val edges = MinHash.nearDuplicates(
+          Tables.documents(s, d), "doc_id", "text", threshold = 0.2)
+        val comp = graft.operators.ConnectedComponents
+          .components(edges, "id_a", "id_b")
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(comp, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+          .orderBy("doc_id")
+      },
+      None
+    ),
+    Q(
       "dd_lang_sketch",
       "Per-language corpus MinHash sketch via the SignatureUnion custom " +
         "Aggregator: elementwise-min merge of per-doc signatures == the " +

@@ -68,6 +68,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got == MinHash.signatureOf(unionShingles).toSeq)
   }
 
+  test("dd_cluster_lsh refines dd_cluster: same-LSH-cluster implies same-exact-cluster") {
+    val d = TestSpark.sf0001
+    val exact = graft.queries.QueryCatalog.byName("dd_cluster")
+      .build(spark, d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = graft.queries.QueryCatalog.byName("dd_cluster_lsh")
+      .build(spark, d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsh.keySet == exact.keySet)
+    // LSH can only MISS edges (finer clustering), never invent them: docs
+    // the LSH path clusters together must share an exact cluster
+    lsh.groupBy(_._2).values.foreach { members =>
+      val exactComps = members.map { case (doc, _) => exact(doc) }.toSet
+      assert(exactComps.size == 1,
+        s"LSH cluster spans exact clusters: $members -> $exactComps")
+    }
+    // and it must do real work: some non-singleton clusters exist
+    assert(lsh.groupBy(_._2).values.exists(_.size > 1))
+  }
+
   test("SignatureUnion is partitioning-independent (associative merge)") {
     val sigDf = MinHash.signatures(docs, "doc_id", "text", 3)
       .map(ds => (ds.doc_id, MinHash.signatureOf(ds.shingles).toSeq))
