@@ -88,6 +88,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
   }
 
+  test("AQE finalizes and coalesces the shuffle at runtime") {
+    val df = QueryCatalog.byName("j1_join_inner").build(spark, d)
+    df.collect() // execute THIS QueryExecution (a write plans its own)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
+    // at sf0.001 the tiny shuffles must be coalesced below the static 4
+    assert(p.contains("AQEShuffleRead coalesced") || p.contains("coalesced"),
+      s"AQE did not coalesce partitions:\n$p")
+  }
+
   test("native vector expressions stay inside WholeStageCodegen") {
     val df = Tables.embeddings(spark, d).select(
       graft.expressions.VectorExpressions.dotF(col("embedding"), col("embedding"))
