@@ -373,6 +373,26 @@ object ExtendedQueries {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "f18_date_arith",
+      "Date arithmetic: day deltas against an epoch, calendar-aware month " +
+        "addition (month-end clamped identically on both engines), and " +
+        "month-end derivation.",
+      (s, d) => {
+        val od = col("o_orderdate").cast(DateType)
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          datediff(od, lit("2024-01-01").cast(DateType)).cast(LongType).as("days_since"),
+          add_months(od, 2).as("plus2m"),
+          last_day(od).as("month_end"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+             |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "a8_approx_distinct",
       "HyperLogLog++ approximate distinct suppliers per returnflag — the " +
         "sketch that replaces exact count-distinct's Expand+reshuffle at " +
