@@ -33,6 +33,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // ansi=false drags in legacy sizeOfNull (size(NULL) = -1), which would
+      // silently diverge from the DuckDB oracle's NULL on null arrays —
+      // e.g. a PERMISSIVE-ingested null text row would count -1 tokens.
+      .config("spark.sql.legacy.sizeOfNull", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet stores ts as TIMESTAMP(NANOS) which the Spark reader
       // rejects; read as epoch-nanos Long and convert in Tables.events.

@@ -114,9 +114,13 @@ object MinHash {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
-  final case class DocSig(doc_id: Long, shingles: Array[String], bands: Array[String])
+  final case class DocSig(doc_id: Long, shingles: Array[String],
+                          sig: Array[Long], bands: Array[String])
 
-  /** Per-document shingles + LSH bands in one narrow typed pass. */
+  /** Per-document shingles + signature + LSH bands in ONE narrow typed pass
+    * (the signature is carried rather than recomputed by consumers that
+    * need it — 32 permutations × |shingles| modular ops per doc).
+    */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  shingleWidth: Int): Dataset[DocSig] = {
     val spark = docs.sparkSession
@@ -127,7 +131,8 @@ object MinHash {
       .mapPartitions(_.map { case (id, text) =>
         val tokens = if (text == null) Array.empty[String] else text.split(" ")
         val sh = shinglesOf(tokens, shingleWidth)
-        DocSig(id, sh, bandsOf(signatureOf(sh)))
+        val sig = signatureOf(sh)
+        DocSig(id, sh, sig, bandsOf(sig))
       })
   }
 
@@ -137,7 +142,9 @@ object MinHash {
   // Persisted signature tables keyed by (input plan, params): three
   // consumers per build (band explode + two shingle-array joins) and
   // repeated builds (bench reruns) all share one cached copy instead of
-  // stacking persisted blocks per invocation.
+  // stacking persisted blocks per invocation. Entries bound to a stopped
+  // SparkContext are evicted on access (a second session in the same JVM
+  // must rebuild, not throw).
   private val sigCache =
     scala.collection.concurrent.TrieMap[String, DataFrame]()
 
@@ -146,6 +153,8 @@ object MinHash {
     // MEMORY_AND_DISK: signatures are O(corpus) and must spill, not OOM.
     val cacheKey =
       s"${docs.queryExecution.analyzed.semanticHash()}|$idCol|$textCol|$shingleWidth"
+    sigCache.get(cacheKey).filter(_.sparkSession.sparkContext.isStopped)
+      .foreach(_ => sigCache.remove(cacheKey))
     val sigs = sigCache.getOrElseUpdate(cacheKey,
       signatures(docs, idCol, textCol, shingleWidth).toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

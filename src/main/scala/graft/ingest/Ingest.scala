@@ -130,10 +130,17 @@ object Ingest {
         Loaded(p.toString, table)
       } catch {
         case NonFatal(e) =>
+          // Archiving is best-effort: a failed move must not escape and
+          // abort the batch ("one bad file never stops the batch").
           failedDir.foreach { d =>
-            val dst = Paths.get(d)
-            Files.createDirectories(dst)
-            Files.move(p, dst.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
+            try {
+              val dst = Paths.get(d)
+              Files.createDirectories(dst)
+              Files.move(p, dst.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
+            } catch {
+              case NonFatal(e2) => System.err.println(
+                s"[ingest] could not archive failed file $p: ${e2.getMessage}")
+            }
           }
           Failed(p.toString, Option(e.getMessage).getOrElse(e.getClass.getName))
       }

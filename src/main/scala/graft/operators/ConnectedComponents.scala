@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Free the block-manager storage behind a localCheckpoint'd DataFrame
+    * once the next round no longer reads it — otherwise every round's
+    * label table stays cached until driver GC + ContextCleaner get to it,
+    * and peak storage grows O(rounds × |V|) on big graphs.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** @return (id, component) for every vertex that appears in an edge;
     *         isolated vertices don't appear (union them in with
     *         component = id at the call site if needed).
@@ -36,9 +47,10 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
-    var labels = edges.select(col("u").as("id")).distinct()
+    var labelsCk = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    var labels = labelsCk
 
     var changed = 1L
     var iter = 0
@@ -65,9 +77,16 @@ object ConnectedComponents {
           least(col("mid"), coalesce(col("p_label"), col("mid"))).as("next"))
         .localCheckpoint(true)
       changed = stepped.where(col("next") =!= col("label")).count()
+      // stepped is materialized; the round's intermediate and the previous
+      // labels' storage are dead — free their blocks now, not at driver GC
+      unpersistCheckpoint(tentative)
+      unpersistCheckpoint(labelsCk)
+      labelsCk = stepped
       labels = stepped.select(col("id"), col("next").as("label"))
       iter += 1
     }
+    // the result reads only the final labels' blocks; the edge table is done
+    unpersistCheckpoint(edges)
     labels.select(col("id"), col("label").as("component"))
   }
 
@@ -133,6 +152,7 @@ object ConnectedComponents {
       val nextCount = next.count()
       stable = nextCount == e.count() &&
         next.except(e).isEmpty
+      if (e ne init) unpersistCheckpoint(e) // init also feeds `vertices`
       e = next
       iter += 1
     }

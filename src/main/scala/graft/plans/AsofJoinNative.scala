@@ -135,8 +135,15 @@ object AsofJoinNative {
         val rBuf = rIter.buffered
         val nullRight = new GenericInternalRow(rWidth)
         val joined = new JoinedRow
+        // Physical-operator output contract: parents (Sort/Exchange/
+        // getByteArrayRdd) cast rows to UnsafeRow — a raw JoinedRow would
+        // ClassCastException the moment no Project sits above us.
+        val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(output.map(_.dataType).toArray)
         // last right row with rKey == matchKey and rTime <= current left
-        // time; rows are reused by the scan, so the match is a copy
+        // time; scan rows (and any values read from them, e.g. UTF8String
+        // keys aliasing a reused buffer) are reused — both the row AND the
+        // key must be deep-copied when retained across iterations
         var matchKey: Any = null
         var lastMatch: InternalRow = null
 
@@ -144,7 +151,7 @@ object AsofJoinNative {
           val lk = if (lRow.isNullAt(lKeyIdx)) null else lRow.get(lKeyIdx, keyDt)
           val lt = if (lRow.isNullAt(lTimeIdx)) null else lRow.get(lTimeIdx, timeDt)
           if (lk == null || lt == null) {
-            joined(lRow, nullRight)
+            toUnsafe(joined(lRow, nullRight))
           } else {
             if (matchKey == null || keyOrd.compare(matchKey, lk) != 0) {
               matchKey = null; lastMatch = null
@@ -162,15 +169,15 @@ object AsofJoinNative {
                   rBuf.next() // keys below current left key are exhausted
                 } else if (c == 0 && timeOrd.compare(rt, lt) <= 0) {
                   lastMatch = rBuf.next().copy()
-                  matchKey = lk
+                  matchKey = InternalRow.copyValue(lk)
                 } else {
                   advancing = false // future key, or time beyond left row
                 }
               }
             }
             if (lastMatch != null && matchKey != null &&
-              keyOrd.compare(matchKey, lk) == 0) joined(lRow, lastMatch)
-            else joined(lRow, nullRight)
+              keyOrd.compare(matchKey, lk) == 0) toUnsafe(joined(lRow, lastMatch))
+            else toUnsafe(joined(lRow, nullRight))
           }
         }
       }

@@ -29,7 +29,8 @@ object DedupQueries {
   // One persisted shingle table per corpus dir, shared by every consumer
   // (the self-join's two sides, the counts, and both dd_ngram_jaccard and
   // dd_cluster) — repeated query builds must reuse the SAME cached blocks,
-  // not stack a new persisted copy per invocation.
+  // not stack a new persisted copy per invocation. Stopped-session entries
+  // are evicted on access.
   private val shingleCache =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
 
@@ -38,6 +39,8 @@ object DedupQueries {
     import s.implicits._
     // MEMORY_AND_DISK so a 100 TB shingle set spills instead of OOMing;
     // ~|docs|·|shingles| rows, far smaller than the candidate join it feeds.
+    shingleCache.get(d).filter(_.sparkSession.sparkContext.isStopped)
+      .foreach(_ => shingleCache.remove(d))
     val sh = shingleCache.getOrElseUpdate(d, Tables.documents(s, d)
       .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -186,7 +189,7 @@ object DedupQueries {
         import s.implicits._
         val sigs = MinHash.signatures(Tables.documents(s, d), "doc_id", "text",
             shingleWidth = 3)
-          .map(ds => (ds.doc_id, MinHash.signatureOf(ds.shingles).toSeq))
+          .map(ds => (ds.doc_id, ds.sig.toSeq))
           .toDF("doc_id", "sig")
         val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
         val merged = org.apache.spark.sql.functions.udaf(MinHash.SignatureUnion)

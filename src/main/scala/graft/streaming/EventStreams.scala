@@ -217,12 +217,21 @@ object EventStreams {
     */
   def writeBatchIdempotent(batch: DataFrame, table: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val stamped = batch.withColumn("_batch_id", lit(batchId))
     if (!spark.catalog.tableExists(table)) {
       stamped.write.partitionBy("_batch_id").saveAsTable(table)
     } else {
-      stamped.write.mode("overwrite").insertInto(table)
+      // Scope the dynamic partition-overwrite to THIS write: leaking it into
+      // the shared session would silently change unrelated partitioned
+      // Overwrite writes from truncate-table to overwrite-matching-partitions.
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try stamped.write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
   }
 
