@@ -373,6 +373,98 @@ object ExtendedQueries {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "a10_stats",
+      "Statistical aggregates per returnflag: sample stddev/variance and " +
+        "quantity-price correlation — streaming co-moment aggregates " +
+        "(mergeable partials, one shuffle). FP-order stability validated by " +
+        "the cross-partition-count verify runs.",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            round(var_samp(col("l_quantity")), 4).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  floor((stddev_samp(l_quantity)) * 10000 + 0.5) / 10000 AS sd_qty,
+             |  floor((var_samp(l_quantity)) * 10000 + 0.5) / 10000 AS var_qty,
+             |  floor((corr(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000 AS qty_price_corr
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "w6_ignore_nulls",
+      "IGNORE NULLS analytic: per customer, the most recent big-order key " +
+        "seen so far (last over a running frame skipping null marks) — the " +
+        "carry-forward-last-observation pattern.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          last(when(col("o_totalprice") > 200000, col("o_orderkey")),
+            ignoreNulls = true).over(w).as("last_big"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  last_value(CASE WHEN o_totalprice > 200000 THEN o_orderkey END IGNORE NULLS)
+             |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "f19_date_spine",
+      "Gap-filled monthly order counts: per customer, a generated month " +
+        "spine between their first and last order, left-joined to actual " +
+        "counts with zero fill — the time-series densification every " +
+        "warehouse needs (sequence + explode generates the spine " +
+        "distributively; no driver-side calendar loop).",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
+        val bounds = o.groupBy("o_custkey")
+          .agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+        val spine = bounds.select(col("o_custkey"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 MONTH"))).as("m"))
+        val counts = o.groupBy(col("o_custkey").as("c2"), col("m").as("m2"))
+          .agg(count(lit(1)).as("n"))
+        spine.join(counts,
+            spine("o_custkey") === counts("c2") && spine("m") === counts("m2"), "left")
+          .select(col("o_custkey"), col("m").cast(DateType).as("month"),
+            coalesce(col("n"), lit(0L)).as("n_orders"))
+          .orderBy("o_custkey", "month")
+      },
+      Some("""WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m FROM orders),
+             |bounds AS (SELECT o_custkey, min(m) AS lo, max(m) AS hi FROM o GROUP BY o_custkey),
+             |spine AS (SELECT o_custkey,
+             |            unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m
+             |          FROM bounds),
+             |counts AS (SELECT o_custkey AS c2, m AS m2, count(*) AS n FROM o GROUP BY 1, 2)
+             |SELECT spine.o_custkey, CAST(spine.m AS DATE) AS month,
+             |  coalesce(counts.n, 0) AS n_orders
+             |FROM spine LEFT JOIN counts ON spine.o_custkey = counts.c2 AND spine.m = counts.m2
+             |ORDER BY o_custkey, month""".stripMargin)
+    ),
+    Q(
+      "f20_bitwise_agg",
+      "Bitwise aggregates (bit_and/bit_or/bit_xor of order keys per " +
+        "status) — commutative-associative folds, pure map-side-combinable.",
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(expr("bit_and(o_orderkey)").as("ba"),
+            expr("bit_or(o_orderkey)").as("bo"),
+            expr("bit_xor(o_orderkey)").as("bx"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, bit_and(o_orderkey) AS ba,
+             |  bit_or(o_orderkey) AS bo, bit_xor(o_orderkey) AS bx
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+    Q(
       "f18_date_arith",
       "Date arithmetic: day deltas against an epoch, calendar-aware month " +
         "addition (month-end clamped identically on both engines), and " +
