@@ -394,6 +394,51 @@ object ExtendedQueries {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
     Q(
+      "a11_regression",
+      "Linear-regression aggregates: slope/intercept/r2 of extended price " +
+        "over quantity per returnflag — the co-moment family beside a10; " +
+        "mergeable partials, round-4 stability cross-checked at two " +
+        "partition counts.",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+            round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+            round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  floor((regr_slope(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS slope,
+             |  floor((regr_intercept(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS intercept,
+             |  floor((regr_r2(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS r2
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "f21_array_setops",
+      "Array set operations (distinct-element intersect/union/except " +
+        "cardinalities between each document's first and second 30-token " +
+        "windows) — compared by size since element ORDER differs by engine.",
+      (s, d) => {
+        val t = split(col("text"), " ")
+        val a = slice(t, 1, 30)
+        val b = slice(t, 31, 30)
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(array_intersect(a, b)).cast(LongType).as("n_common"),
+          size(array_union(a, b)).cast(LongType).as("n_union"),
+          size(array_except(a, b)).cast(LongType).as("n_only_head"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |s AS (SELECT doc_id, t[1:30] AS a, t[31:60] AS b FROM w)
+             |SELECT doc_id,
+             |  CAST(len(list_distinct(list_intersect(a, b))) AS BIGINT) AS n_common,
+             |  CAST(len(list_distinct(a || b)) AS BIGINT) AS n_union,
+             |  CAST(len(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS BIGINT) AS n_only_head
+             |FROM s ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "w6_ignore_nulls",
       "IGNORE NULLS analytic: per customer, the most recent big-order key " +
         "seen so far (last over a running frame skipping null marks) — the " +
