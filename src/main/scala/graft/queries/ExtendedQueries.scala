@@ -494,6 +494,26 @@ object ExtendedQueries {
              |ORDER BY o_custkey, month""".stripMargin)
     ),
     Q(
+      "a12_bool_aggs",
+      "Boolean/conditional aggregates per order status: count_if, " +
+        "bool_and, bool_or — predicate summaries in one map-side-" +
+        "combinable pass instead of self-joins.",
+      (s, d) => {
+        Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count_if(col("o_totalprice") > 200000).as("n_big"),
+            bool_and(col("o_totalprice") > 0).as("all_positive"),
+            bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+             |  bool_and(o_totalprice > 0) AS all_positive,
+             |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+    Q(
       "f20_bitwise_agg",
       "Bitwise aggregates (bit_and/bit_or/bit_xor of order keys per " +
         "status) — commutative-associative folds, pure map-side-combinable.",
