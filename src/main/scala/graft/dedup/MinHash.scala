@@ -139,25 +139,22 @@ object MinHash {
   /** Full pipeline: docs(idCol, textCol) → verified near-dup pairs
     * (id_a < id_b, jaccard ≥ threshold).
     */
-  // Persisted signature tables keyed by (input plan, params): three
+  // Persisted signature tables keyed by (session, input plan, params): three
   // consumers per build (band explode + two shingle-array joins) and
   // repeated builds (bench reruns) all share one cached copy instead of
-  // stacking persisted blocks per invocation. Entries bound to a stopped
-  // SparkContext are evicted on access (a second session in the same JVM
-  // must rebuild, not throw).
-  private val sigCache =
-    scala.collection.concurrent.TrieMap[String, DataFrame]()
+  // stacking persisted blocks per invocation. Bounded LRU — distinct
+  // inputs/params beyond the cap unpersist the oldest entry rather than
+  // accumulating blocks for the life of the session.
+  private val sigCache = new graft.util.PersistedTableCache(maxEntries = 8)
 
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.5, shingleWidth: Int = 3): DataFrame = {
-    // MEMORY_AND_DISK: signatures are O(corpus) and must spill, not OOM.
+    // MEMORY_AND_DISK (cache default): signatures are O(corpus) and must
+    // spill, not OOM.
     val cacheKey =
       s"${docs.queryExecution.analyzed.semanticHash()}|$idCol|$textCol|$shingleWidth"
-    sigCache.get(cacheKey).filter(_.sparkSession.sparkContext.isStopped)
-      .foreach(_ => sigCache.remove(cacheKey))
-    val sigs = sigCache.getOrElseUpdate(cacheKey,
-      signatures(docs, idCol, textCol, shingleWidth).toDF()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sigs = sigCache.getOrElseUpdate(docs.sparkSession, cacheKey)(
+      signatures(docs, idCol, textCol, shingleWidth).toDF())
 
     // Candidate generation: explode bands, self-join on the band signature —
     // ids ONLY. Band collisions can be dense; carrying shingle arrays

@@ -118,15 +118,12 @@ object Ingest {
       try {
         val table = ingestFile(spark, p.toString, runDate)
         // Post-success cleanup failure must NOT demote the outcome to
-        // Failed: the rows are already in the table, and archiving the file
-        // for retry would ingest them twice on the next run.
-        if (deleteOnSuccess) {
-          try Files.deleteIfExists(p)
-          catch {
-            case NonFatal(e) => System.err.println(
-              s"[ingest] loaded $p but could not delete it: ${e.getMessage}")
-          }
-        }
+        // Failed (the rows are already in the table) — but the file must
+        // also not stay in the drop dir, or the next runDropDir pass would
+        // re-ingest it via the align-append path and duplicate its rows.
+        // Escalation: delete → retry delete → move out to `.ingested/`
+        // (out of the listing, so out of future runs either way).
+        if (deleteOnSuccess) removeIngested(p)
         Loaded(p.toString, table)
       } catch {
         case NonFatal(e) =>
@@ -143,6 +140,32 @@ object Ingest {
             }
           }
           Failed(p.toString, Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+    }
+  }
+
+  /** Remove a successfully-ingested file from the drop dir so it can never
+    * be picked up again: delete, retry the delete once (transient holders —
+    * AV scanners, still-closing readers — usually release between attempts),
+    * and as a last resort archive it into a `.ingested/` subdirectory, which
+    * `runDropDir`'s non-recursive listing never revisits. Only if all three
+    * fail is the file left in place (loudly), the one state that risks a
+    * double ingest.
+    */
+  private def removeIngested(p: java.nio.file.Path): Unit = {
+    def tryDelete(): Boolean =
+      try { Files.deleteIfExists(p); true } catch { case NonFatal(_) => false }
+    if (!tryDelete() && !tryDelete()) {
+      try {
+        val archived = p.resolveSibling(".ingested")
+        Files.createDirectories(archived)
+        Files.move(p, archived.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
+        System.err.println(
+          s"[ingest] loaded $p but could not delete it; archived to $archived")
+      } catch {
+        case NonFatal(e) => System.err.println(
+          s"[ingest] loaded $p but could not delete OR archive it — " +
+            s"MANUAL REMOVAL REQUIRED to avoid double ingest: ${e.getMessage}")
       }
     }
   }

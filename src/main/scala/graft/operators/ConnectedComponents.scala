@@ -87,6 +87,13 @@ object ConnectedComponents {
     }
     // the result reads only the final labels' blocks; the edge table is done
     unpersistCheckpoint(edges)
+    // Partially-converged labels are silently WRONG for every consumer
+    // (over-split dedup clusters that quietly under-dedup) — fail loudly
+    // rather than return them. changed==0 guarantees a true fixpoint.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"ConnectedComponents.components did not converge in $maxIter " +
+          s"iterations ($changed labels still changing); raise maxIter")
     labels.select(col("id"), col("label").as("component"))
   }
 
@@ -156,6 +163,12 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
+    // Same contract as components(): a non-fixpoint edge set means the
+    // star decomposition is incomplete and labels would be over-split.
+    if (!stable)
+      throw new IllegalStateException(
+        s"ConnectedComponents.componentsStar did not converge in $maxIter " +
+          "iterations; raise maxIter")
     // stars: every non-root points at its root; roots label themselves
     vertices
       .join(e.select(col("hi").as("id"), col("lo").as("root")), Seq("id"), "left")

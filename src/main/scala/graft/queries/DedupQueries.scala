@@ -26,22 +26,20 @@ object DedupQueries {
     * Shared by dd_ngram_jaccard (top-20 pairs) and dd_cluster (edges for
     * connected components).
     */
-  // One persisted shingle table per corpus dir, shared by every consumer
-  // (the self-join's two sides, the counts, and both dd_ngram_jaccard and
-  // dd_cluster) — repeated query builds must reuse the SAME cached blocks,
-  // not stack a new persisted copy per invocation. Stopped-session entries
-  // are evicted on access.
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
+  // One persisted shingle table per (session, corpus dir), shared by every
+  // consumer (the self-join's two sides, the counts, and both
+  // dd_ngram_jaccard and dd_cluster) — repeated query builds must reuse the
+  // SAME cached blocks, not stack a new persisted copy per invocation.
+  // Bounded LRU: corpora beyond the cap unpersist the oldest entry.
+  private val shingleCache = new graft.util.PersistedTableCache(maxEntries = 4)
 
   def ngramJaccardPairs(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    // MEMORY_AND_DISK so a 100 TB shingle set spills instead of OOMing;
-    // ~|docs|·|shingles| rows, far smaller than the candidate join it feeds.
-    shingleCache.get(d).filter(_.sparkSession.sparkContext.isStopped)
-      .foreach(_ => shingleCache.remove(d))
-    val sh = shingleCache.getOrElseUpdate(d, Tables.documents(s, d)
+    // MEMORY_AND_DISK (cache default) so a 100 TB shingle set spills instead
+    // of OOMing; ~|docs|·|shingles| rows, far smaller than the candidate
+    // join it feeds.
+    val sh = shingleCache.getOrElseUpdate(s, d)(Tables.documents(s, d)
       .select(col("doc_id").cast(LongType), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val t = if (text == null) Array.empty[String] else text.split(" ")
@@ -49,8 +47,7 @@ object DedupQueries {
           t.sliding(3).map(_.mkString(" ")).toArray.distinct.map(s => (id, s))
         else Iterator.empty
       }
-      .toDF("doc_id", "sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .toDF("doc_id", "sh"))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

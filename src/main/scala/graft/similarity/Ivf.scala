@@ -72,9 +72,16 @@ object Ivf {
     */
   def build(corpus: DataFrame, nCells: Int = 16, sampleSize: Int = 10000,
             iters: Int = 8): IvfIndex = {
+    // Deterministic but content-independent sample: ordering by a hash of
+    // vec_id spreads the sample across the whole corpus. A plain
+    // orderBy(vec_id).limit is a *prefix* — if vec_id correlates with
+    // content (time- or source-ordered corpora, the common case at scale)
+    // the centroids would skew to the prefix and cell balance/recall
+    // degrade. orderBy+limit compiles to TakeOrderedAndProject (per-
+    // partition top-k + driver merge), so no full sort at 100 TB either.
     val sample = corpus.select(col("vec_id"), col("embedding"))
       .where(col("embedding").isNotNull)
-      .orderBy("vec_id").limit(sampleSize)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleSize)
       .collect().map(_.getSeq[Float](1).toArray)
     require(sample.nonEmpty,
       "Ivf.build: corpus has no non-null embeddings to train the quantizer on")

@@ -212,8 +212,8 @@ object EventStreams {
 
   /** One micro-batch commit: overwrite exactly the `_batch_id=<id>`
     * partition. First batch creates the partitioned table; subsequent ones
-    * use insertInto, which honors dynamic partition-overwrite (saveAsTable
-    * with Overwrite would drop the whole table instead).
+    * static-partition-overwrite their own partition (saveAsTable with
+    * Overwrite would drop the whole table instead).
     */
   def writeBatchIdempotent(batch: DataFrame, table: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -221,17 +221,20 @@ object EventStreams {
     if (!spark.catalog.tableExists(table)) {
       stamped.write.partitionBy("_batch_id").saveAsTable(table)
     } else {
-      // Scope the dynamic partition-overwrite to THIS write: leaking it into
-      // the shared session would silently change unrelated partitioned
-      // Overwrite writes from truncate-table to overwrite-matching-partitions.
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try stamped.write.mode("overwrite").insertInto(table)
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+      // STATIC partition overwrite of exactly `_batch_id=<id>`: the batch id
+      // is a literal, so SQL's PARTITION (_batch_id = <id>) clause names the
+      // one partition a replay must rewrite. Unlike toggling
+      // spark.sql.sources.partitionOverwriteMode on the shared session conf
+      // (observable — or revertible mid-write — by concurrent queries), or a
+      // writer option (ignored by insertInto), a static spec truncates only
+      // the named partition under EITHER overwrite mode.
+      val cols = spark.table(table).columns.filterNot(_ == "_batch_id")
+      val view = s"graft_batch_${batchId}_${System.nanoTime()}"
+      batch.select(cols.map(col): _*).createOrReplaceTempView(view)
+      try spark.sql(
+        s"INSERT OVERWRITE TABLE $table PARTITION (_batch_id = $batchId) " +
+          s"SELECT * FROM $view")
+      finally spark.catalog.dropTempView(view)
     }
   }
 
