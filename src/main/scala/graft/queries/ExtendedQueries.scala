@@ -59,7 +59,10 @@ object ExtendedQueries {
             "metric", "value")
           .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
             col("metric"), round(col("value"), 4).as("value"))
-          .orderBy("l_orderkey", "l_linenumber", "metric")
+          // value joins the sort because (l_orderkey, l_linenumber) is NOT
+          // unique in this corpus — without it tied rows with different
+          // values could legally interleave differently per engine.
+          .orderBy("l_orderkey", "l_linenumber", "metric", "value")
       },
       Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, metric,
              |  floor((value) * 10000 + 0.5) / 10000 AS value
@@ -69,7 +72,7 @@ object ExtendedQueries {
              |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
              |  UNION ALL
              |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
-             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)
+             |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin)
     ),
     Q(
       "a7_percentile",

@@ -35,7 +35,8 @@ object QueryCatalog {
       SimilarityQueries.defs ++
       MultimodalQueries.defs ++
       AdvancedQueries.defs ++
-      ExtendedQueries.defs
+      ExtendedQueries.defs ++
+      Round4Queries.defs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

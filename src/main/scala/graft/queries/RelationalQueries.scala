@@ -44,13 +44,15 @@ object RelationalQueries {
             col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
             round(col("o_totalprice"), 4).as("o_price"),
             round(col("l_quantity"), 4).as("qty"))
-          .orderBy("l_orderkey", "l_linenumber")
+          // qty joins the sort: (l_orderkey, l_linenumber) is NOT unique in
+          // this corpus, so it alone is not a total order.
+          .orderBy("l_orderkey", "l_linenumber", "qty")
       },
       Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
              |  floor((o_totalprice) * 10000 + 0.5) / 10000 AS o_price, floor((l_quantity) * 10000 + 0.5) / 10000 AS qty
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_orderstatus = 'F'
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+             |ORDER BY l_orderkey, l_linenumber, qty""".stripMargin)
     ),
     Q(
       "j2_join_broadcast",

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.QueryCatalog
+
+/** Semantic assertions for the round-4 queries (value-level correctness is
+  * the DuckDB oracle gate; these pin the semantics the oracle can't express
+  * as directly — per-row invariants and plan shapes).
+  */
+class Round4QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def df(name: String) =
+    QueryCatalog.byName(name).build(spark, TestSpark.sf0001)
+
+  test("j11_lateral_topk: at most 2 orders per customer, each among that customer's priciest") {
+    val out = df("j11_lateral_topk").cache()
+    try {
+      val perCust = out.groupBy("c_custkey").count().agg(max("count")).head.getLong(0)
+      assert(perCust <= 2)
+      // cross-check against the window idiom (same semantics, different syntax)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val expect = Tables.orders(spark, TestSpark.sf0001)
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") <= 2).drop("rn")
+      assert(out.exceptAll(expect).isEmpty && expect.exceptAll(out).isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("j11_lateral_topk: correlated LIMIT decorrelates to WindowGroupLimit, no nested loop") {
+    val plan = df("j11_lateral_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected rank-limit pushdown:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"lateral join must not plan a nested loop:\n$plan")
+  }
+
+  test("a13_exists_subquery: every row has an urgent order and no finished order") {
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+    val urgent = orders.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val finished = orders.where(col("o_orderstatus") === "F")
+      .select(col("o_custkey")).distinct()
+    val got = df("a13_exists_subquery").select(col("c_custkey"))
+    assert(got.join(urgent, got("c_custkey") === urgent("o_custkey"), "left_anti").isEmpty)
+    assert(got.join(finished, got("c_custkey") === finished("o_custkey"), "left_semi").isEmpty)
+  }
+
+  test("f22_width_bucket: buckets in [0,13] and counts sum to the table size") {
+    val out = df("f22_width_bucket").collect()
+    assert(out.forall { r => val b = r.getLong(0); b >= 0 && b <= 13 })
+    val total = out.map(_.getLong(1)).sum
+    assert(total == Tables.orders(spark, TestSpark.sf0001).count())
+  }
+
+  // (l_orderkey, l_linenumber) is not unique in this corpus, so assert by
+  // counts rather than a (many-to-many) key join.
+  test("f23_try_arith: per_disc is NULL exactly as often as discount is zero or null") {
+    val out = df("f23_try_arith")
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val expectNull = li.where(col("l_discount") === 0 || col("l_discount").isNull
+      || col("l_extendedprice").isNull).count()
+    assert(out.where(col("per_disc").isNull).count() == expectNull)
+    assert(out.count() == li.count())
+  }
+
+  test("r9_recursive_cte: contiguous month spine covering every order, counts sum to total") {
+    val rows = df("r9_recursive_cte").collect()
+    val months = rows.map(_.getDate(0).toLocalDate)
+    months.sliding(2).foreach { pair =>
+      if (pair.length == 2)
+        assert(pair(0).plusMonths(1) == pair(1), s"gap between ${pair(0)} and ${pair(1)}")
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.orders(spark, TestSpark.sf0001).count())
+  }
+
+  test("x9_sequence_packing: per-language packs partition all tokens, pack ids dense from 0") {
+    val out = df("x9_sequence_packing").cache()
+    try {
+      val docs = Tables.documents(spark, TestSpark.sf0001)
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("tok"))
+        .groupBy("lang").agg(sum("tok").as("total"), count(lit(1)).as("n"))
+      val packed = out.groupBy("lang")
+        .agg(sum("n_tokens").as("ptotal"), sum("n_docs").as("pn"),
+          min("pack").as("lo"), max("pack").as("hi"), count(lit(1)).as("npacks"))
+      val j = packed.join(docs, "lang").collect()
+      j.foreach { r =>
+        assert(r.getAs[Long]("ptotal") == r.getAs[Long]("total"), s"token loss in $r")
+        assert(r.getAs[Long]("pn") == r.getAs[Long]("n"), s"doc loss in $r")
+        assert(r.getAs[Long]("lo") == 0L, s"packs must start at 0: $r")
+      }
+    } finally out.unpersist()
+  }
+
+  test("x10_source_mixture: src0 keeps everything, kept never exceeds total") {
+    val rows = df("x10_source_mixture").collect()
+    rows.foreach { r =>
+      val (src, total, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(kept <= total)
+      if (src == "src0") assert(kept == total, s"src0 must keep all: $r")
+    }
+  }
+}
