@@ -232,19 +232,29 @@ object Round4Queries {
         "projection, so depth, not data volume, is the only serial axis).",
       (s, d) => {
         Tables.orders(s, d).createOrReplaceTempView("orders_r9")
+        // Bounds are computed ONCE and inlined as literals: a scalar
+        // subquery in the recursive step's WHERE is re-evaluated every
+        // iteration — ~n_months full re-scans of the fact table (13 s vs
+        // 0.3 s at sf0.1, and unrunnable at 100 TB). One tiny agg job
+        // first, then the recursion only touches its own frontier.
+        val b = s.sql(
+          """SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+            |       CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+            |FROM orders_r9""".stripMargin).head()
+        val (lo, hi) = (b.getAs[java.sql.Date]("lo"), b.getAs[java.sql.Date]("hi"))
         s.sql(
-          """WITH RECURSIVE months(m) AS (
-            |  SELECT (SELECT date_trunc('month', min(o_orderdate)) FROM orders_r9)
-            |  UNION ALL
-            |  SELECT m + INTERVAL 1 MONTH FROM months
-            |  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders_r9)
-            |)
-            |SELECT CAST(m AS DATE) AS month, coalesce(n, CAST(0 AS BIGINT)) AS n_orders
-            |FROM months LEFT JOIN (
-            |  SELECT date_trunc('month', o_orderdate) AS mo, count(*) AS n
-            |  FROM orders_r9 GROUP BY 1) c
-            |ON months.m = c.mo
-            |ORDER BY month""".stripMargin)
+          s"""WITH RECURSIVE months(m) AS (
+             |  SELECT CAST(DATE '$lo' AS TIMESTAMP)
+             |  UNION ALL
+             |  SELECT m + INTERVAL 1 MONTH FROM months
+             |  WHERE m < CAST(DATE '$hi' AS TIMESTAMP)
+             |)
+             |SELECT CAST(m AS DATE) AS month, coalesce(n, CAST(0 AS BIGINT)) AS n_orders
+             |FROM months LEFT JOIN (
+             |  SELECT date_trunc('month', o_orderdate) AS mo, count(*) AS n
+             |  FROM orders_r9 GROUP BY 1) c
+             |ON months.m = c.mo
+             |ORDER BY month""".stripMargin)
       },
       Some("""WITH RECURSIVE months(m) AS (
              |  SELECT (SELECT date_trunc('month', min(o_orderdate)) FROM orders)
