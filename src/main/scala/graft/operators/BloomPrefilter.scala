@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, udf}
+
+/** Semi-join reduction with a Bloom filter — the explicit form of the
+  * runtime-filter pattern.
+  *
+  * Build a Bloom filter over the build side's join keys (one pass,
+  * mergeable, fixed size), broadcast it, and pre-filter the probe side
+  * BEFORE the join's exchange. Bloom filters have no false negatives, so
+  * the subsequent real join keeps the result exact; false positives only
+  * cost shuffled rows that the join then drops.
+  *
+  * Why it matters at 100 TB: when the build side is selective (say 1% of
+  * orders are "big"), the probe side's non-matching rows — the other ~99%
+  * — die at the scan, ahead of the shuffle, for the price of a broadcast
+  * measured in megabytes. Spark's own runtime bloom filter
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, on by default)
+  * injects the same shape automatically when size thresholds and a
+  * selective build-side filter line up; this operator is the explicit
+  * version with control over expectedN/fpp, usable regardless of
+  * optimizer thresholds. The per-row probe is a broadcast-closure UDF —
+  * acceptable here because it replaces a full shuffle of the probe side,
+  * not a codegen'd projection.
+  */
+object BloomPrefilter {
+
+  /** Probe-side rows whose `probeKey` (long) might match `buildKey`;
+    * followed by a real left-semi join for exactness.
+    */
+  def semiJoin(probe: DataFrame, probeKey: String,
+               build: DataFrame, buildKey: String,
+               expectedN: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = build.stat.bloomFilter(buildKey, expectedN, fpp)
+    val bc = probe.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    val prefiltered = probe.where(col(probeKey).isNotNull &&
+      mightContain(col(probeKey)))
+    prefiltered.join(build.select(col(buildKey)).distinct(),
+      prefiltered(probeKey) === col(buildKey), "left_semi")
+  }
+
+  /** Just the prefilter stage (no verifying join) — for measuring the
+    * reduction factor; may contain false positives at ~fpp rate.
+    */
+  def prefilterOnly(probe: DataFrame, probeKey: String,
+                    build: DataFrame, buildKey: String,
+                    expectedN: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = build.stat.bloomFilter(buildKey, expectedN, fpp)
+    val bc = probe.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    probe.where(col(probeKey).isNotNull && mightContain(col(probeKey)))
+  }
+}

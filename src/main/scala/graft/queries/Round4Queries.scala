@@ -348,6 +348,36 @@ object Round4Queries {
              |  count(*) FILTER (WHERE kept) AS n_kept,
              |  CAST(sum(CASE WHEN kept THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens
              |FROM d GROUP BY source ORDER BY source""".stripMargin)
+    ),
+    Q(
+      "x11_cms_heavy_hitters",
+      "Count-min-sketch heavy hitters: one mergeable fixed-memory sketch " +
+        "over the token stream (`count_min_sketch` partial agg — no " +
+        "per-token groupBy state), probed for the exact top-20 tokens so " +
+        "the CMS overestimate bound (est ≥ exact, est ≤ exact + ε·N) is " +
+        "visible in the output. At 100 TB the sketch replaces the exact " +
+        "groupBy entirely and is probed for a candidate set; the exact " +
+        "side here exists to verify the sketch. Rows-only check (sketch " +
+        "internals aren't DuckDB-reproducible); bounds asserted in spec.",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+        // one aggregation pass → one small binary on the driver
+        val bytes = toks
+          .select(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("cms"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+        val bc = s.sparkContext.broadcast(cms)
+        val estimate = udf((t: String) => bc.value.estimateCount(t))
+        toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+          .orderBy(col("exact").desc, col("tok").asc)
+          .limit(20)
+          // UDF probe runs over exactly 20 rows — not a hot path
+          .withColumn("est", estimate(col("tok")))
+          .select(col("tok"), col("exact"), col("est"))
+          .orderBy(col("exact").desc, col("tok").asc)
+      },
+      None
     )
   )
 }

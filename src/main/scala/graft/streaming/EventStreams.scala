@@ -250,4 +250,43 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("ts"), col("event_type"))
   }
+
+  /** Spark 4's arbitrary-state API (`transformWithState`): running per-user
+    * totals via a `StatefulProcessor` with a typed `ValueState` variable —
+    * the v2 replacement for mapGroupsWithState's single state blob (named
+    * state variables, timers, TTL, and schema evolution come with it).
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`), which is also the
+    * right provider at scale: state lives off-heap/on-disk per partition
+    * instead of in executor heap.
+    *
+    * Values are accumulated as integer cents, so the running total is exact
+    * and independent of row-arrival order — the same discipline as the
+    * DECIMAL sums in the batch queries.
+    */
+  def runningUserTotalsTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    class TotalsProcessor
+        extends StatefulProcessor[Long, (Long, Double), (Long, Long, Long)] {
+      @transient private var totals: ValueState[(Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        totals = getHandle.getValueState[(Long, Long)](
+          "totals", Encoders.product[(Long, Long)], TTLConfig.NONE)
+      override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+                                   tv: TimerValues): Iterator[(Long, Long, Long)] = {
+        var (cents, n) = if (totals.exists()) totals.get() else (0L, 0L)
+        rows.foreach { case (_, v) => cents += math.round(v * 100); n += 1 }
+        totals.update((cents, n))
+        Iterator.single((user, cents, n))
+      }
+    }
+
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new TotalsProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "total_cents", "n_events")
+  }
 }

@@ -96,6 +96,37 @@ class Round4QueriesSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("x11_cms_heavy_hitters: CMS estimate bounded below by exact, above by exact + eps*N") {
+    val rows = df("x11_cms_heavy_hitters").collect()
+    assert(rows.length == 20)
+    val totalTokens = Tables.documents(spark, TestSpark.sf0001)
+      .select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    val slack = math.ceil(0.001 * totalTokens).toLong
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS must never undercount: $r")
+      assert(est <= exact + slack, s"CMS overshoot beyond eps*N: $r (N=$totalTokens)")
+    }
+  }
+
+  test("BloomPrefilter.semiJoin is exact; prefilter passes all matches and few extras") {
+    import graft.operators.BloomPrefilter
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val big = Tables.orders(spark, TestSpark.sf0001)
+      .where(col("o_totalprice") > 300000).select("o_orderkey")
+    val got = BloomPrefilter.semiJoin(li, "l_orderkey", big, "o_orderkey",
+      expectedN = 10000L, fpp = 0.01)
+    val want = li.join(big, li("l_orderkey") === big("o_orderkey"), "left_semi")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // prefilter alone: no false negatives, false positives ≈ fpp
+    val pre = BloomPrefilter.prefilterOnly(li, "l_orderkey", big, "o_orderkey",
+      expectedN = 10000L, fpp = 0.01).count()
+    assert(pre >= want.count(), "bloom filter dropped a true match")
+    assert(pre <= want.count() + math.ceil(li.count() * 0.05).toLong,
+      s"false-positive rate far above fpp: pre=$pre want=${want.count()}")
+  }
+
   test("x10_source_mixture: src0 keeps everything, kept never exceeds total") {
     val rows = df("x10_source_mixture").collect()
     rows.foreach { r =>

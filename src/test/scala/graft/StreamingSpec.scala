@@ -117,6 +117,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalCounts == batch)
   }
 
+  test("transformWithState running totals converge to batch per-user cent sums") {
+    // transformWithState requires the RocksDB state store provider; scope
+    // the conf to this query and restore after (other suites keep HDFS-
+    // backed state).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = "sink_tws_" + System.nanoTime()
+      val stream = EventStreams.runningUserTotalsTws(
+        spark, EventStreams.readEventStream(spark, eventDir))
+      val query = stream.writeStream
+        .format("memory").queryName(name).outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      // last emitted row per user = final running total (cents are exact
+      // integers, so equality is bit-for-bit)
+      val finalRows = spark.table(name)
+        .groupBy("user_id")
+        .agg(max("total_cents").as("cents"), max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val batch = spark.read.schema(EventStreams.eventSchema).parquet(eventDir)
+        .groupBy("user_id")
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(finalRows == batch)
+      assert(finalRows.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("flatMapGroupsWithState timeout sessions: closed sessions match batch sessions") {
     val name = "sink_fmgs_" + System.nanoTime()
     val stream = EventStreams.timeoutSessions(
