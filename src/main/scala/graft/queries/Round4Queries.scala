@@ -350,6 +350,71 @@ object Round4Queries {
              |FROM d GROUP BY source ORDER BY source""".stripMargin)
     ),
     Q(
+      "o5_limit_offset",
+      "Keyset-free pagination: ORDER BY + LIMIT/OFFSET page 2 of the " +
+        "priciest orders. OFFSET ships offset+limit rows to the driver " +
+        "merge — fine for UI-depth pages; past a few thousand rows deep " +
+        "you switch to keyset pagination (WHERE (price,key) < last-seen), " +
+        "which o1's top-k shape already covers.",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_o5")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders_o5
+                |ORDER BY o_totalprice DESC, o_orderkey ASC
+                |LIMIT 20 OFFSET 10""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC
+             |LIMIT 20 OFFSET 10""".stripMargin)
+    ),
+    Q(
+      "f25_levenshtein",
+      "Edit-distance fuzzy matching: levenshtein between each part's name " +
+        "and type plus a bounded variant — the lead-dedup primitive for " +
+        "near-identical records (the reference's domain). As a projection " +
+        "it's codegen'd and embarrassingly parallel; for record linkage " +
+        "you'd block first (dd_* LSH) and run this on candidates only.",
+      (s, d) => {
+        Tables.part(s, d).select(
+          col("p_partkey"),
+          levenshtein(col("p_name"), col("p_type")).cast(LongType).as("dist"),
+          levenshtein(substring(col("p_name"), 1, 10),
+            substring(col("p_type"), 1, 10)).cast(LongType).as("dist10"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  CAST(levenshtein(p_name, p_type) AS BIGINT) AS dist,
+             |  CAST(levenshtein(substring(p_name, 1, 10), substring(p_type, 1, 10)) AS BIGINT) AS dist10
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+    Q(
+      "f26_from_xml",
+      "XML parsing (Spark 4 native from_xml): each event re-rendered as an " +
+        "XML fragment, parsed back to a typed struct, fields extracted. " +
+        "The oracle computes the same outputs from the raw columns, so the " +
+        "check verifies the parse is lossless — the semi-structured path " +
+        "beside JSON (f9/x5).",
+      (s, d) => {
+        // value rides as floor(v*10000) integer — float *formatting* is
+        // engine-specific (grouping, tie rounding), floor arithmetic isn't
+        val xml = concat(lit("<e><id>"), col("event_id"),
+          lit("</id><t>"), col("event_type"), lit("</t><v>"),
+          floor(col("value") * 10000).cast(LongType), lit("</v></e>"))
+        val parsed = from_xml(xml, StructType(Seq(
+          StructField("id", LongType),
+          StructField("t", StringType),
+          StructField("v", LongType))))
+        Tables.events(s, d).select(
+          col("event_id"),
+          parsed.getField("id").as("xml_id"),
+          parsed.getField("t").as("xml_type"),
+          parsed.getField("v").as("xml_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_id AS xml_id, event_type AS xml_type,
+             |  CAST(floor(value * 10000) AS BIGINT) AS xml_value
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "x11_cms_heavy_hitters",
       "Count-min-sketch heavy hitters: one mergeable fixed-memory sketch " +
         "over the token stream (`count_min_sketch` partial agg — no " +
