@@ -155,7 +155,10 @@ object Ingest {
   private def removeIngested(p: java.nio.file.Path): Unit = {
     def tryDelete(): Boolean =
       try { Files.deleteIfExists(p); true } catch { case NonFatal(_) => false }
-    if (!tryDelete() && !tryDelete()) {
+    // the pause is the point of the retry — a back-to-back second attempt
+    // would hit the same transient holder
+    def retryDelete(): Boolean = { Thread.sleep(100); tryDelete() }
+    if (!tryDelete() && !retryDelete()) {
       try {
         val archived = p.resolveSibling(".ingested")
         Files.createDirectories(archived)

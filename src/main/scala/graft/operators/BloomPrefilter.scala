@@ -27,18 +27,18 @@ import org.apache.spark.sql.functions.{col, udf}
 object BloomPrefilter {
 
   /** Probe-side rows whose `probeKey` (long) might match `buildKey`;
-    * followed by a real left-semi join for exactness.
+    * followed by a real left-semi join for exactness. The build key is
+    * aliased to a reserved name so the join condition stays unambiguous
+    * even when probeKey == buildKey (the common call shape).
     */
   def semiJoin(probe: DataFrame, probeKey: String,
                build: DataFrame, buildKey: String,
                expectedN: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bf = build.stat.bloomFilter(buildKey, expectedN, fpp)
-    val bc = probe.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    val prefiltered = probe.where(col(probeKey).isNotNull &&
-      mightContain(col(probeKey)))
-    prefiltered.join(build.select(col(buildKey)).distinct(),
-      prefiltered(probeKey) === col(buildKey), "left_semi")
+    val prefiltered =
+      prefilterOnly(probe, probeKey, build, buildKey, expectedN, fpp)
+    val buildKeys = build.select(col(buildKey).as("__bloom_build_key")).distinct()
+    prefiltered.join(buildKeys,
+      prefiltered(probeKey) === buildKeys("__bloom_build_key"), "left_semi")
   }
 
   /** Just the prefilter stage (no verifying join) — for measuring the

@@ -68,16 +68,19 @@ object FunctionQueries {
           ceil(base).cast(LongType).as("price_ceil"),
           floor(base).cast(LongType).as("price_floor"),
           round(abs(col("l_discount") - lit(0.05)), 4).as("disc_dev")
-          // disc_price/disc_dev join the sort: (l_orderkey, l_linenumber)
-          // is NOT unique in this corpus, so it alone is not a total order.
-        ).orderBy("l_orderkey", "l_linenumber", "disc_price", "disc_dev")
+          // ALL output columns join the sort: (l_orderkey, l_linenumber)
+          // is NOT unique in this corpus, so only a sort over the full
+          // output row is a total order.
+        ).orderBy("l_orderkey", "l_linenumber", "disc_price", "price_ceil",
+          "price_floor", "disc_dev")
       },
       Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
              |  floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS disc_price,
              |  CAST(ceil(l_extendedprice * (1 - l_discount)) AS BIGINT) AS price_ceil,
              |  CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS price_floor,
              |  floor((abs(l_discount - 0.05)) * 10000 + 0.5) / 10000 AS disc_dev
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_price, disc_dev""".stripMargin)
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, disc_price, price_ceil, price_floor, disc_dev""".stripMargin)
     ),
     Q(
       "f9_json_extract",

@@ -242,6 +242,9 @@ object Round4Queries {
             |       CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
             |FROM orders_r9""".stripMargin).head()
         val (lo, hi) = (b.getAs[java.sql.Date]("lo"), b.getAs[java.sql.Date]("hi"))
+        require(lo != null && hi != null,
+          "r9_recursive_cte: orders has no non-null o_orderdate rows — " +
+            "cannot derive the recursion bounds")
         s.sql(
           s"""WITH RECURSIVE months(m) AS (
              |  SELECT CAST(DATE '$lo' AS TIMESTAMP)

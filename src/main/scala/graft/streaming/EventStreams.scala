@@ -191,8 +191,9 @@ object EventStreams {
   }
 
   /** Effectively-once streaming table sink via foreachBatch: each
-    * micro-batch dynamic-partition-OVERWRITES the `_batch_id=<id>` partition
-    * of the target table. foreachBatch is at-least-once (the last batch can
+    * micro-batch OVERWRITES exactly its own `_batch_id=<id>` partition of
+    * the target table (static-partition INSERT OVERWRITE, see
+    * writeBatchIdempotent). foreachBatch is at-least-once (the last batch can
     * replay after a restart), but a replay rewrites the same partition with
     * the same rows, so the table converges — idempotence from the layout,
     * not from in-memory bookkeeping that a driver restart would lose. This
@@ -217,9 +218,9 @@ object EventStreams {
     */
   def writeBatchIdempotent(batch: DataFrame, table: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val stamped = batch.withColumn("_batch_id", lit(batchId))
     if (!spark.catalog.tableExists(table)) {
-      stamped.write.partitionBy("_batch_id").saveAsTable(table)
+      batch.withColumn("_batch_id", lit(batchId))
+        .write.partitionBy("_batch_id").saveAsTable(table)
     } else {
       // STATIC partition overwrite of exactly `_batch_id=<id>`: the batch id
       // is a literal, so SQL's PARTITION (_batch_id = <id>) clause names the

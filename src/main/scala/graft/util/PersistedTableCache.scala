@@ -2,7 +2,7 @@ package graft.util
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Bounded LRU cache of persisted DataFrames, shared by operators that
@@ -10,8 +10,8 @@ import org.apache.spark.storage.StorageLevel
   * across several consumers and repeated query builds.
   *
   * Invariants the cache enforces (vs. a bare map of `persist()` handles):
-  *  - **Session-scoped entries.** The key is prefixed with the owning
-  *    session's identity, so a DataFrame persisted under one session is
+  *  - **Session-scoped entries.** The key includes the owning session
+  *    object itself, so a DataFrame persisted under one session is
   *    never handed to a different session sharing the JVM.
   *  - **Bounded.** At most `maxEntries` live entries; the least-recently-used
   *    entry is `unpersist`ed on eviction, so a long-lived session calling an
@@ -28,8 +28,11 @@ final class PersistedTableCache(maxEntries: Int,
                                 level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
   require(maxEntries > 0, "maxEntries must be positive")
 
-  // insertion-ordered; LRU maintained by remove+re-put on access
-  private val entries = mutable.LinkedHashMap[String, DataFrame]()
+  // insertion-ordered; LRU maintained by remove+re-put on access. Keyed by
+  // the session REFERENCE itself (SparkSession uses default reference
+  // equality), not a hash of it — identity hash codes are not unique, and
+  // a collision would hand one session's cached plan to another.
+  private val entries = mutable.LinkedHashMap[(SparkSession, String), DataFrame]()
 
   private def isLive(df: DataFrame): Boolean =
     !df.sparkSession.sparkContext.isStopped
@@ -41,10 +44,9 @@ final class PersistedTableCache(maxEntries: Int,
   /** Look up `key` under `session`'s namespace, building and persisting on
     * miss. `build` runs under the cache lock — it must only construct a plan.
     */
-  def getOrElseUpdate(session: org.apache.spark.sql.SparkSession, key: String)
+  def getOrElseUpdate(session: SparkSession, key: String)
                      (build: => DataFrame): DataFrame = synchronized {
-    // identity hash distinguishes sessions sharing one JVM/SparkContext
-    val fullKey = s"${System.identityHashCode(session)}|$key"
+    val fullKey = (session, key)
     entries.filterInPlace((_, df) => isLive(df))
     entries.remove(fullKey) match {
       case Some(df) =>

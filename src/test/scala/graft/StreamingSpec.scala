@@ -134,11 +134,13 @@ class StreamingSpec extends AnyFunSuite {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      // last emitted row per user = final running total (cents are exact
-      // integers, so equality is bit-for-bit)
+      // last emitted row per user = final running total; select it by the
+      // monotonic n_events (max(total_cents) would break if the corpus ever
+      // gained negative values — totals aren't monotonic, event counts are)
       val finalRows = spark.table(name)
         .groupBy("user_id")
-        .agg(max("total_cents").as("cents"), max("n_events").as("n"))
+        .agg(max_by(col("total_cents"), col("n_events")).as("cents"),
+          max("n_events").as("n"))
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       val batch = spark.read.schema(EventStreams.eventSchema).parquet(eventDir)
         .groupBy("user_id")
