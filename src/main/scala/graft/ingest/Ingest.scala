@@ -40,10 +40,22 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .json(path)
 
+  /** Self-describing columnar siblings: parquet/ORC carry their own schema,
+    * so no inference step — the alignment semantics downstream stay
+    * identical (a drifted column still SAFE_CASTs to the target type).
+    */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Extension-dispatched reader for the drop dir. */
   def readAuto(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
     if (lower.endsWith(".jsonl") || lower.endsWith(".json")) readJsonl(spark, path)
+    else if (lower.endsWith(".parquet")) readParquet(spark, path)
+    else if (lower.endsWith(".orc")) readOrc(spark, path)
     else readCsv(spark, path)
   }
 

@@ -149,6 +149,38 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.where("lead_id = 3").collect()(0).getAs[Any]("price") == null)
   }
 
+  test("ORC/parquet ingest: self-describing schema, same align-append semantics") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    // Spark writes directories; land a real single-file .orc in the drop dir
+    def landFile(format: String, name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = Files.createTempDirectory("graft-stage")
+      df.coalesce(1).write.format(format).mode("overwrite").save(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val part = scala.util.Using.resource(Files.list(stage)) { s =>
+        s.iterator().asScala.find(_.getFileName.toString.startsWith("part-")).get
+      }
+      Files.move(part, dir.resolve(name))
+    }
+    import spark.implicits._
+    landFile("orc", "leads_o.orc",
+      Seq((1L, "Jane", 250000.5), (2L, "Bob", 180000.0))
+        .toDF("lead_id", "name", "price"))
+    val out1 = Ingest.runDropDir(spark, dir.toString, run, extensions = Set(".orc"))
+    assert(out1 == Seq(Ingest.Loaded(dir.resolve("leads_o.orc").toString, "leads_o")))
+    assert(spark.table("leads_o").count() == 2)
+    // append from parquet with a type-drifted price (string) and an extra
+    // column: SAFE_CAST → NULL, extra dropped — format-agnostic R2/R4
+    landFile("parquet", "leads_o.parquet",
+      Seq((3L, "Ann", "call me", true))
+        .toDF("lead_id", "name", "price", "extra"))
+    Ingest.runDropDir(spark, dir.toString, run, extensions = Set(".parquet"))
+    val t = spark.table("leads_o")
+    assert(t.count() == 3)
+    assert(!t.columns.contains("extra"))
+    assert(t.where(col("lead_id") === 3).head.getAs[Any]("price") == null)
+  }
+
   test("default extension filter stays CSV-only (reference semantics)") {
     val dir = tmp()
     write(dir, "skipme.jsonl", """{"a": 1}""" + "\n")
