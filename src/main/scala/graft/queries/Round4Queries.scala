@@ -418,6 +418,24 @@ object Round4Queries {
              |FROM events ORDER BY event_id""".stripMargin)
     ),
     Q(
+      "x12_global_index",
+      "Distributed global example ids: range-partition + per-partition " +
+        "sort + zipWithIndex offsets (two fully parallel passes) instead " +
+        "of row_number() OVER (ORDER BY …), whose single-partition window " +
+        "funnels every row through one task. Equals the window form " +
+        "exactly — the oracle IS the window form.",
+      (s, d) => {
+        graft.operators.GlobalIndex
+          .withGlobalIndex(Tables.documents(s, d)
+            .select(col("doc_id"), col("lang")), Seq(col("doc_id")), "idx")
+          .select(col("doc_id"), col("lang"), col("idx"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+             |  CAST(row_number() OVER (ORDER BY doc_id ASC) - 1 AS BIGINT) AS idx
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "x11_cms_heavy_hitters",
       "Count-min-sketch heavy hitters: one mergeable fixed-memory sketch " +
         "over the token stream (`count_min_sketch` partial agg — no " +

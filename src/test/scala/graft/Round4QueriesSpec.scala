@@ -127,6 +127,23 @@ class Round4QueriesSpec extends AnyFunSuite {
       s"false-positive rate far above fpp: pre=$pre want=${want.count()}")
   }
 
+  test("x12_global_index: dense 0-based, order-consistent, multi-partition") {
+    import graft.operators.GlobalIndex
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "lang")
+    val out = GlobalIndex.withGlobalIndex(docs, Seq(col("doc_id")), "idx").cache()
+    try {
+      val n = docs.count()
+      assert(out.count() == n)
+      // dense [0, n) and strictly increasing with doc_id
+      assert(out.agg(min("idx"), max("idx")).head == org.apache.spark.sql.Row(0L, n - 1))
+      val rows = out.orderBy("doc_id").select("doc_id", "idx").collect()
+      rows.sliding(2).foreach { p =>
+        if (p.length == 2) assert(p(0).getLong(1) < p(1).getLong(1))
+      }
+      assert(rows.map(_.getLong(1)).toSet.size == n.toInt)
+    } finally out.unpersist()
+  }
+
   test("x10_source_mixture: src0 keeps everything, kept never exceeds total") {
     val rows = df("x10_source_mixture").collect()
     rows.foreach { r =>
