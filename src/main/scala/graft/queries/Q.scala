@@ -36,7 +36,8 @@ object QueryCatalog {
       MultimodalQueries.defs ++
       AdvancedQueries.defs ++
       ExtendedQueries.defs ++
-      Round4Queries.defs
+      Round4Queries.defs ++
+      Round4bQueries.defs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Canon.round // canonical floor-based rounding (oracle-safe)
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Round-4 continuation: the ETL-maintenance operators the reference's
+  * domain actually needs (CDC merge/upsert, gaps-and-islands change runs,
+  * data profiling, incremental aggregation), the stream-stream interval
+  * join's batch-equivalent form (ST5's oracle), the salted-join skew
+  * operator surfaced as an oracle-gated query, and remaining SQL-surface
+  * parity items (listagg WITHIN GROUP, timestamp arithmetic) plus a
+  * train/val contamination check for the training-data pipeline.
+  *
+  * Scale notes inline per entry; every query ends in a total ORDER BY and
+  * routes doubles through DECIMAL + Canon.round per the §2.11 contract.
+  */
+object Round4bQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(38, 6)))
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "st5_interval_join",
+      "Batch-equivalent of ST5 (EventStreams.purchaseClickJoin): each " +
+        "purchase joined to the same user's clicks in the preceding hour. " +
+        "The streaming form bounds join state by watermark eviction; this " +
+        "batch form is what DuckDB can check, and the watermarked stream " +
+        "converges to exactly it. One shuffle on user_id; the interval " +
+        "predicate is a post-join filter on co-partitioned rows, not a " +
+        "cross product.",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"))
+        purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+            col("click_ts") <= col("purchase_ts"))
+          .select(col("purchase_id"), col("click_id"),
+            col("p_user").as("user_id"))
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             |  p.user_id AS user_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |ON p.user_id = c.user_id
+             |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+             |ORDER BY purchase_id, click_id""".stripMargin)
+    ),
+    Q(
+      "r10_merge_upsert",
+      "CDC merge (MERGE INTO semantics on plain tables): a deterministic " +
+        "change batch — updates (+1000 price for status-O keys ≡ 0 mod 7) " +
+        "and deletes (status-F keys ≡ 0 mod 13) — merged latest-wins into " +
+        "the base. One left join on the key + anti filter for deletes; " +
+        "with the base bucketed on the key the join is shuffle-free on " +
+        "the big side, which is how an append-only reference pipeline " +
+        "(big_uery_handler.py:158-165) grows into upserts at 100 TB.",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+        val updates = base
+          .filter(col("o_orderstatus") === "O" &&
+            pmod(col("o_orderkey"), lit(7)) === 0)
+          .select(col("o_orderkey").as("k"),
+            (col("o_totalprice") + 1000d).as("new_price"), lit("U").as("op"))
+        val deletes = base
+          .filter(col("o_orderstatus") === "F" &&
+            pmod(col("o_orderkey"), lit(13)) === 0)
+          .select(col("o_orderkey").as("k"),
+            lit(null).cast(DoubleType).as("new_price"), lit("D").as("op"))
+        base.join(updates.unionByName(deletes),
+            col("o_orderkey") === col("k"), "left")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("o_orderkey"),
+            round(coalesce(col("new_price"), col("o_totalprice")), 4)
+              .as("price"),
+            coalesce(col("op"), lit("B")).as("src"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH changes AS (
+             |  SELECT o_orderkey AS k, o_totalprice + 1000 AS new_price, 'U' AS op
+             |  FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 7 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey AS k, NULL AS new_price, 'D' AS op
+             |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 13 = 0)
+             |SELECT o_orderkey,
+             |  floor(coalesce(new_price, o_totalprice) * 10000 + 0.5) / 10000 AS price,
+             |  coalesce(op, 'B') AS src
+             |FROM orders LEFT JOIN changes ON o_orderkey = k
+             |WHERE op IS NULL OR op <> 'D'
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "w8_gaps_islands",
+      "Gaps-and-islands: runs of consecutive same-status orders per " +
+        "customer (the row_number-difference trick — two windows over ONE " +
+        "exchange: hash(o_custkey) satisfies both partitionings, so the " +
+        "second window only re-sorts, never reshuffles; plan-asserted). " +
+        "min(o_orderkey) per run is the unique run id the " +
+        "total ORDER BY needs; this is SCD-style change tracking done " +
+        "relationally.",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_w8")
+        s.sql(
+          """WITH s AS (
+            |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+            |    row_number() OVER (PARTITION BY o_custkey
+            |                       ORDER BY o_orderdate, o_orderkey) AS rn,
+            |    row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+            |                       ORDER BY o_orderdate, o_orderkey) AS rns
+            |  FROM orders_w8)
+            |SELECT o_custkey, o_orderstatus,
+            |  min(o_orderkey) AS run_first_key,
+            |  min(o_orderdate) AS run_start, max(o_orderdate) AS run_end,
+            |  count(*) AS run_len
+            |FROM s GROUP BY o_custkey, o_orderstatus, rn - rns
+            |ORDER BY o_custkey, run_first_key""".stripMargin)
+      },
+      Some("""WITH s AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_orderdate, o_orderkey) AS rn,
+             |    row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+             |                       ORDER BY o_orderdate, o_orderkey) AS rns
+             |  FROM orders)
+             |SELECT o_custkey, o_orderstatus,
+             |  min(o_orderkey) AS run_first_key,
+             |  min(o_orderdate) AS run_start, max(o_orderdate) AS run_end,
+             |  count(*) AS run_len
+             |FROM s GROUP BY o_custkey, o_orderstatus, rn - rns
+             |ORDER BY o_custkey, run_first_key""".stripMargin)
+    ),
+    Q(
+      "dq1_profile",
+      "Data-quality profile: null count / exact distinct / min / max for " +
+        "four orders columns in ONE aggregation pass, reshaped long via " +
+        "stack. Numeric min/max ride as floor-scaled integer strings so " +
+        "the mixed-type value column never hits engine float formatting. " +
+        "Multiple exact countDistincts expand the input 4× — at 100 TB " +
+        "swap in approx_count_distinct (a8's sketch) or one pass per " +
+        "column; the reshape itself is free (driver-side 1-row stack).",
+      (s, d) => {
+        def nulls(c: String) = count(when(col(c).isNull, 1))
+        val cents = (c: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =>
+          floor(f(col(c)) * 100 + 0.5).cast(LongType).cast(StringType)
+        Tables.orders(s, d).agg(
+          nulls("o_orderstatus").as("st_n"),
+          countDistinct(col("o_orderstatus")).as("st_d"),
+          min("o_orderstatus").as("st_min"), max("o_orderstatus").as("st_max"),
+          nulls("o_orderpriority").as("pr_n"),
+          countDistinct(col("o_orderpriority")).as("pr_d"),
+          min("o_orderpriority").as("pr_min"), max("o_orderpriority").as("pr_max"),
+          nulls("o_custkey").as("ck_n"),
+          countDistinct(col("o_custkey")).as("ck_d"),
+          min("o_custkey").cast(StringType).as("ck_min"),
+          max("o_custkey").cast(StringType).as("ck_max"),
+          nulls("o_totalprice").as("tp_n"),
+          countDistinct(col("o_totalprice")).as("tp_d"),
+          cents("o_totalprice", min).as("tp_min"),
+          cents("o_totalprice", max).as("tp_max"))
+          .selectExpr(
+            """stack(4,
+              |  'o_orderstatus',   st_n, st_d, st_min, st_max,
+              |  'o_orderpriority', pr_n, pr_d, pr_min, pr_max,
+              |  'o_custkey',       ck_n, ck_d, ck_min, ck_max,
+              |  'o_totalprice',    tp_n, tp_d, tp_min, tp_max)
+              |AS (col_name, n_nulls, n_distinct, min_val, max_val)""".stripMargin)
+          .orderBy("col_name")
+      },
+      Some("""SELECT 'o_orderstatus' AS col_name,
+             |  count(*) FILTER (WHERE o_orderstatus IS NULL) AS n_nulls,
+             |  count(DISTINCT o_orderstatus) AS n_distinct,
+             |  min(o_orderstatus) AS min_val, max(o_orderstatus) AS max_val
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_orderpriority',
+             |  count(*) FILTER (WHERE o_orderpriority IS NULL),
+             |  count(DISTINCT o_orderpriority),
+             |  min(o_orderpriority), max(o_orderpriority)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_custkey',
+             |  count(*) FILTER (WHERE o_custkey IS NULL),
+             |  count(DISTINCT o_custkey),
+             |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_totalprice',
+             |  count(*) FILTER (WHERE o_totalprice IS NULL),
+             |  count(DISTINCT o_totalprice),
+             |  CAST(CAST(floor(min(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR),
+             |  CAST(CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR)
+             |FROM orders
+             |ORDER BY col_name""".stripMargin)
+    ),
+    Q(
+      "j12_salted_join",
+      "Skew-salted equi-join surfaced as a declared query: lineitem ⋈ " +
+        "supplier through SaltedJoin (hot key's rows spread over 8 salted " +
+        "reducers; small side replicated 8×), then revenue per supplier " +
+        "nation. The oracle is the PLAIN join — salting must be " +
+        "result-invariant, and this gate proves it. Manual fallback for " +
+        "when AQE skew splitting can't reach the operator; salt is " +
+        "xxhash64-derived (deterministic under retries).",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val sup = Tables.supplier(s, d)
+        graft.operators.SaltedJoin.saltedEquiJoin(
+            li, li("l_suppkey"), sup, sup("s_suppkey"),
+            salts = 8,
+            uniquifier = li("l_orderkey") * lit(8) + li("l_linenumber"))
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_items"),
+            round(dsum(col("l_extendedprice")).cast(DoubleType), 4)
+              .as("revenue"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_items,
+             |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             |        * 10000 + 0.5) / 10000 AS revenue
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    ),
+    Q(
+      "a17_listagg",
+      "SQL-standard listagg WITHIN GROUP (Spark 4): nations per region as " +
+        "an ordered comma-joined string — the ISO surface over f16's " +
+        "sort_array(collect_list) idiom. The WITHIN GROUP order makes the " +
+        "string deterministic regardless of partitioning; group state is " +
+        "the concatenated string, so at scale it belongs on bounded-" +
+        "cardinality groups (dims), not per-document blobs.",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("nation_a17")
+        Tables.region(s, d).createOrReplaceTempView("region_a17")
+        s.sql(
+          """SELECT r_name,
+            |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+            |  count(*) AS n
+            |FROM nation_a17 JOIN region_a17 ON n_regionkey = r_regionkey
+            |GROUP BY r_name ORDER BY r_name""".stripMargin)
+      },
+      Some("""SELECT r_name,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |  count(*) AS n
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    ),
+    Q(
+      "f27_timestamp_arith",
+      "Timestamp arithmetic: +90-minute shift, minutes into the current " +
+        "hour, whole hours since an aligned epoch anchor. Spark " +
+        "timestampdiff counts complete units; DuckDB date_diff counts " +
+        "boundary crossings — identical ONLY because both anchors " +
+        "(date_trunc and an aligned literal ≤ min(ts)) sit on unit " +
+        "boundaries, which the oracle encodes. All codegen'd projections.",
+      (s, d) => {
+        Tables.events(s, d).select(
+          col("event_id"),
+          expr("timestampadd(MINUTE, 90, ts)").as("ts_plus90"),
+          expr("timestampdiff(MINUTE, date_trunc('hour', ts), ts)")
+            .cast(LongType).as("min_into_hour"),
+          expr("timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+            .cast(LongType).as("hours_since"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  ts + INTERVAL 90 MINUTE AS ts_plus90,
+             |  date_diff('minute', date_trunc('hour', ts), ts) AS min_into_hour,
+             |  date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS hours_since
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    Q(
+      "x13_contamination",
+      "Train/val contamination check: documents whose normalized 60-char " +
+        "prefix fingerprint appears in both the train and val splits of " +
+        "x7's deterministic doc_id-mod partition (exact-text overlap is " +
+        "the degenerate case; prefix fingerprints catch the " +
+        "boilerplate-prefix dupes that actually leak eval data). One " +
+        "equi-join on the fingerprint — at 100 TB both sides hash-" +
+        "partition on it; no pairwise scan.",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          substring(lower(trim(col("text"))), 1, 60).as("fp"))
+        val train = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+          .select(col("doc_id").as("train_doc"), col("fp"))
+        val valSplit = docs.filter(pmod(col("doc_id"), lit(10)) === 8)
+          .select(col("doc_id").as("val_doc"), col("fp"))
+        train.join(valSplit, "fp")
+          .select(col("train_doc"), col("val_doc"))
+          .orderBy("train_doc", "val_doc")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |    substring(lower(trim(text)), 1, 60) AS fp FROM documents)
+             |SELECT a.doc_id AS train_doc, b.doc_id AS val_doc
+             |FROM f a JOIN f b ON a.fp = b.fp
+             |WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 = 8
+             |ORDER BY train_doc, val_doc""".stripMargin)
+    ),
+    Q(
+      "x14_incremental_agg",
+      "Incremental aggregation by partial-state merge: pre-1998 base " +
+        "partials and 1998+ delta partials (count + DECIMAL sum each) " +
+        "merged by re-aggregation — bit-identical to the full recompute, " +
+        "which IS the oracle. The 100 TB pattern: persist per-partition " +
+        "partials, aggregate only the new partition each load " +
+        "(Ingestion_date-partitioned tables make the delta a partition " +
+        "prune), and merge — never re-scan history.",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        def partial(f: org.apache.spark.sql.DataFrame) =
+          f.groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("t"))
+        val cut = lit("1998-01-01").cast(TimestampNTZType)
+        partial(orders.filter(col("o_orderdate") < cut))
+          .unionByName(partial(orders.filter(col("o_orderdate") >= cut)))
+          .groupBy("o_orderstatus")
+          .agg(sum(col("n")).as("n_orders"),
+            round(sum(col("t")).cast(DoubleType), 4).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             |        * 10000 + 0.5) / 10000 AS total
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    )
+  )
+}
