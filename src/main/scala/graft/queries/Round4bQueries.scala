@@ -306,6 +306,69 @@ object Round4bQueries {
              |ORDER BY train_doc, val_doc""".stripMargin)
     ),
     Q(
+      "a18_approx_percentile",
+      "Approximate percentiles (KLL-style sketch behind approx_percentile): " +
+        "p50/p90/p99 of extended price per return flag with accuracy 1000 — " +
+        "the mergeable fixed-memory scale path beside a7's exact " +
+        "percentile_cont, whose per-group sorted-array buffer is the thing " +
+        "that dies first at 100 TB. Rows-only check (sketch internals " +
+        "aren't DuckDB-reproducible); rank-error bound asserted in spec.",
+      (s, d) => {
+        Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(expr(
+            "approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 1000)")
+            .as("qs"))
+          .select(col("l_returnflag"),
+            round(element_at(col("qs"), 1), 4).as("p50"),
+            round(element_at(col("qs"), 2), 4).as("p90"),
+            round(element_at(col("qs"), 3), 4).as("p99"))
+          .orderBy("l_returnflag")
+      },
+      None
+    ),
+    Q(
+      "x15_int8_quantize",
+      "Embedding int8 quantization: per-vector absmax scale (max|x|/127), " +
+        "elements quantized to floor(x/scale + 0.5) — the 4×-compression " +
+        "step before ANN/shipping embeddings at 100 TB. Pure per-row " +
+        "projection (no shuffle). Both engines evaluate the identical " +
+        "IEEE double chain: float→double widening is exact, and the " +
+        "nullif(scale, 0) guard makes the all-zero-vector edge NULL-" +
+        "propagate identically instead of diverging on ±Inf handling. " +
+        "Output carries scale + quantized min/max/sum as the checkable " +
+        "digest (500 × 64 raw values would bloat the compare).",
+      (s, d) => {
+        val sc = nullif(
+          array_max(transform(col("embedding"), x => abs(x))).cast(DoubleType)
+            / 127d, lit(0d))
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), sc.as("sc"))
+          .select(col("vec_id"), col("sc"),
+            transform(col("embedding"),
+              x => floor(x.cast(DoubleType) / col("sc") + 0.5).cast(LongType))
+              .as("qv"))
+          .select(col("vec_id"),
+            round(col("sc"), 6).as("scale_r"),
+            array_min(col("qv")).as("qmin"),
+            array_max(col("qv")).as("qmax"),
+            aggregate(col("qv"), lit(0L), (a, x) => a + x).as("qsum"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH s AS (SELECT vec_id, embedding,
+             |    nullif(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+             |           / 127, 0) AS sc
+             |  FROM embeddings),
+             |q AS (SELECT vec_id, sc,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT)) AS qv
+             |  FROM s)
+             |SELECT vec_id, floor(sc * 1000000 + 0.5) / 1000000 AS scale_r,
+             |  CAST(list_min(qv) AS BIGINT) AS qmin,
+             |  CAST(list_max(qv) AS BIGINT) AS qmax,
+             |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum
+             |FROM q ORDER BY vec_id""".stripMargin)
+    ),
+    Q(
       "x14_incremental_agg",
       "Incremental aggregation by partial-state merge: pre-1998 base " +
         "partials and 1998+ delta partials (count + DECIMAL sum each) " +

@@ -290,4 +290,84 @@ object EventStreams {
       .transformWithState(new TotalsProcessor, TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "total_cents", "n_events")
   }
+
+  /** Streaming CDC apply: foreachBatch upsert of each micro-batch into a
+    * key-bucketed table with latest-wins semantics (MERGE INTO on plain
+    * parquet tables — the streaming form of r10_merge_upsert).
+    *
+    * Layout: the target is partitioned by `_bucket = pmod(hash(key),
+    * nBuckets)`, so a micro-batch touches only the bucket partitions its
+    * keys hash into — the rewrite is proportional to the batch's key
+    * spread, never to table size. Per batch:
+    *   1. read ONLY the affected bucket partitions (partition-pruned scan)
+    *      and union the batch rows;
+    *   2. keep the greatest-(ts, seq) row per key — a deterministic total
+    *      order, so stored rows newer than the batch survive and replays
+    *      pick the same winner;
+    *   3. localCheckpoint the merged rows (severs the self-read so the
+    *      overwrite below doesn't read the files it is replacing), then
+    *      static-partition INSERT OVERWRITE each affected bucket.
+    * At-least-once foreachBatch replays re-merge the same rows into the
+    * same buckets — idempotent by construction, like writeBatchIdempotent.
+    */
+  def mergeToTable(updates: DataFrame, table: String, keyCol: String,
+                   tsCol: String, seqCol: String, checkpointDir: String,
+                   nBuckets: Int = 16,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow()) =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        mergeBatchUpsert(batch.toDF(), table, keyCol, tsCol, seqCol, nBuckets)
+      }
+      .start()
+
+  /** One micro-batch upsert commit (see mergeToTable). Also usable as the
+    * batch-mode MERGE. Conditional upsert, not last-writer-wins: a stored
+    * row survives if its (ts, seq) beats every incoming row for the key —
+    * so late/replayed/out-of-order batches can never regress a key to an
+    * older value (the WHEN MATCHED AND source.ts > target.ts form of
+    * MERGE), and applying the same batch twice is a no-op.
+    */
+  def mergeBatchUpsert(batch0: DataFrame, table: String, keyCol: String,
+                       tsCol: String, seqCol: String, nBuckets: Int): Unit = {
+    val spark = batch0.sparkSession
+    if (batch0.isEmpty) return
+    val dataCols = batch0.columns
+    // winner per key = max (ts, seq) — a deterministic total order, so
+    // replays and speculative retries resolve ties identically
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(seqCol).desc)
+    def latestWins(df: DataFrame): DataFrame = df
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    val batch = batch0
+      .withColumn("_bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
+
+    if (!spark.catalog.tableExists(table)) {
+      latestWins(batch).write.partitionBy("_bucket").saveAsTable(table)
+      return
+    }
+    val affected = batch.select("_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ nBuckets rows — driver-safe
+    val target = spark.table(table)
+      .where(col("_bucket").isin(affected.map(Integer.valueOf): _*))
+    val merged = latestWins(target.unionByName(batch))
+      .localCheckpoint(true) // sever the self-read before overwriting
+    val view = s"graft_merge_${System.nanoTime()}"
+    merged.select(dataCols.map(col) :+ col("_bucket"): _*)
+      .createOrReplaceTempView(view)
+    try affected.foreach { b =>
+      spark.sql(
+        s"INSERT OVERWRITE TABLE $table PARTITION (_bucket = $b) " +
+          s"SELECT ${dataCols.mkString(", ")} FROM $view WHERE _bucket = $b")
+    } finally {
+      spark.catalog.dropTempView(view)
+      merged.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
+  }
 }

@@ -139,6 +139,45 @@ class Round4bQueriesSpec extends AnyFunSuite {
     assert(joined.where(col("tfp") =!= col("vfp")).isEmpty)
   }
 
+  test("a18_approx_percentile: each estimate within the sketch's rank-error bound") {
+    // accuracy=1000 ⇒ rank error ε ≤ 1/1000; the estimate must lie between
+    // the exact (p−ε) and (p+ε) quantiles (inclusive, with index clamping)
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val byFlag = li.select("l_returnflag", "l_extendedprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val eps = 1.0 / 1000
+    df("a18_approx_percentile").collect().foreach { r =>
+      val vs = byFlag(r.getString(0))
+      val n = vs.length
+      def at(i: Int): Double = vs(math.min(n - 1, math.max(0, i)))
+      Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2), 0.99 -> r.getDouble(3))
+        .foreach { case (p, est) =>
+          // GK guarantee: returned element's rank ∈ [(p−ε)n, (p+ε)n];
+          // ±1 covers 0- vs 1-based rank conventions
+          val lo = at(math.floor((p - eps) * n).toInt - 1)
+          val hi = at(math.ceil((p + eps) * n).toInt)
+          assert(est >= lo - 1e-4 && est <= hi + 1e-4,
+            s"p=$p flag=${r.getString(0)}: est=$est outside [$lo, $hi]")
+        }
+    }
+  }
+
+  test("x15_int8_quantize: quantized range within [-128, 128], scale reconstructs absmax") {
+    val out = df("x15_int8_quantize").cache()
+    try {
+      // absmax/127 scaling keeps every quantized value in [-128, 128]
+      // (127 + the 0.5 round-up); qmin <= qmax always
+      assert(out.where(col("qmin") < -128 || col("qmax") > 128).isEmpty)
+      assert(out.where(col("qmin") > col("qmax")).isEmpty)
+      assert(out.count() ==
+        Tables.embeddings(spark, TestSpark.sf0001).count())
+      // the max-magnitude element must quantize to ±127 (that's what
+      // absmax scaling means)
+      assert(out.where(greatest(abs(col("qmin")), abs(col("qmax"))) < 127
+        && col("scale_r") > 0).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("x14_incremental_agg: partial-merge equals the full recompute") {
     val full = Tables.orders(spark, TestSpark.sf0001)
       .groupBy("o_orderstatus")

@@ -234,4 +234,52 @@ class StreamingSpec extends AnyFunSuite {
       .select("event_id").distinct().count()
     assert(ids.length == batchIds)
   }
+
+  /** Expected state of the merge table: per user, the event with the
+    * greatest (ts, event_id).
+    */
+  private def latestPerUser(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+  }
+
+  test("mergeBatchUpsert: conditional latest-wins, replay- and order-safe") {
+    val table = "t_merge_" + System.nanoTime()
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val older = ev.where(col("event_id") % 2 === 0)
+    val newer = ev.where(col("event_id") % 2 === 1)
+    def merge(b: DataFrame) =
+      EventStreams.mergeBatchUpsert(b, table, "user_id", "ts", "event_id", 8)
+    // apply in an order that is NOT event-time order, then replay
+    merge(newer); merge(older); merge(newer)
+    val got = spark.table(table).drop("_bucket")
+    val want = latestPerUser(ev)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "merge table must equal global latest-wins regardless of batch order")
+    // only the touched buckets' partitions exist, each key in exactly one
+    assert(spark.table(table)
+      .groupBy("user_id").count().where(col("count") > 1).isEmpty)
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("mergeToTable: streamed micro-batches converge to global latest-wins") {
+    val table = "t_merge_stream_" + System.nanoTime()
+    val ckpt = Files.createTempDirectory("graft-merge-ckpt").toString
+    val q = EventStreams.mergeToTable(
+      EventStreams.readEventStream(spark, eventDir)
+        .select("user_id", "ts", "event_id", "event_type", "value"),
+      table, "user_id", "ts", "event_id", ckpt, nBuckets = 8)
+    q.awaitTermination(120000)
+    val ev = spark.read.schema(EventStreams.eventSchema).parquet(eventDir)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val got = spark.table(table).drop("_bucket")
+    val want = latestPerUser(ev)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    spark.sql(s"DROP TABLE $table")
+  }
 }
