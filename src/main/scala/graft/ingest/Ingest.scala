@@ -81,7 +81,8 @@ object Ingest {
     * our scale improvement: daily ingests append whole partitions, and any
     * query filtering on ingestion date gets partition pruning for free.
     */
-  def ingestFile(spark: SparkSession, filePath: String, runDate: Date): String = {
+  def ingestFile(spark: SparkSession, filePath: String, runDate: Date,
+                 evolveSchema: Boolean = false): String = {
     val table = tableNameFor(Paths.get(filePath).getFileName.toString)
     val raw   = readAuto(spark, filePath)
     if (!spark.catalog.tableExists(table)) {
@@ -90,6 +91,25 @@ object Ingest {
         .partitionBy("Ingestion_date")
         .saveAsTable(table)
     } else {
+      // Opt-in schema evolution: the reference's rule is "existing tables
+      // never gain columns" (extra CSV columns silently dropped,
+      // big_uery_handler.py:148 — reproduced by alignToSchema's default).
+      // With evolveSchema=true, genuinely new columns are ADDed to the
+      // table first (metadata-only ALTER; historical rows read NULL, no
+      // rewrite at any scale) and the file then aligns to the widened
+      // schema. Existing columns still SAFE_CAST to their current type —
+      // evolution adds, never mutates.
+      if (evolveSchema) {
+        val existing = spark.table(table).schema.fieldNames
+          .map(_.toLowerCase).toSet
+        val newCols = raw.schema.fields.filterNot(f =>
+          existing.contains(f.name.toLowerCase))
+        if (newCols.nonEmpty) {
+          val ddl = newCols
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          spark.sql(s"ALTER TABLE $table ADD COLUMNS ($ddl)")
+        }
+      }
       val target  = spark.table(table).schema
       val aligned = SchemaAlign.alignToSchema(raw, target)
       SchemaAlign.stampIngestionDate(aligned, runDate)

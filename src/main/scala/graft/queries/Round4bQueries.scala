@@ -306,6 +306,25 @@ object Round4bQueries {
              |ORDER BY train_doc, val_doc""".stripMargin)
     ),
     Q(
+      "a19_skew_distinct",
+      "Skew-safe exact distinct: count(DISTINCT supplier) per return flag " +
+        "rewritten as two hash aggregations — groupBy(flag, supp) dedup, " +
+        "then groupBy(flag) count. With 3 flags over all of lineitem the " +
+        "naive per-group distinct-set state concentrates on 3 reducers; " +
+        "the rewrite's first phase keys on (flag, supp) — full parallelism, " +
+        "map-side combinable — and the second counts pre-deduped rows. " +
+        "Identical result by construction; the oracle is the naive form.",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_suppkey")).agg(lit(1))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_supp"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
       "a18_approx_percentile",
       "Approximate percentiles (KLL-style sketch behind approx_percentile): " +
         "p50/p90/p99 of extended price per return flag with accuracy 1000 — " +

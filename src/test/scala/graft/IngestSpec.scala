@@ -188,4 +188,50 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.isEmpty)
     assert(Files.exists(dir.resolve("skipme.jsonl")))
   }
+
+  test("opt-in schema evolution: new column ADDed, old rows read NULL; default still drops") {
+    val dir = tmp()
+    write(dir, "leads_evo.csv", batch1)
+    Ingest.ingestFile(spark, dir.resolve("leads_evo.csv").toString, run)
+    // default path (reference semantics): extra column dropped
+    write(dir, "leads_evo2.csv",
+      "lead_id,full_name,asking_price,motivated,agent\n2001,With Agent,1.0,true,Ava\n")
+    Files.move(dir.resolve("leads_evo2.csv"), dir.resolve("leads_evo.csv"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Ingest.ingestFile(spark, dir.resolve("leads_evo.csv").toString, run)
+    assert(!spark.table("leads_evo").columns.contains("agent"))
+    // evolveSchema=true: the column is added; historical rows read NULL
+    write(dir, "leads_evo.csv",
+      "lead_id,full_name,asking_price,motivated,agent\n2002,Evolved,2.0,false,Bo\n")
+    Ingest.ingestFile(spark, dir.resolve("leads_evo.csv").toString, run,
+      evolveSchema = true)
+    val t = spark.table("leads_evo")
+    assert(t.columns.contains("agent"))
+    assert(t.where("lead_id = 2002 AND agent = 'Bo'").count() == 1)
+    assert(t.where("lead_id < 2002 AND agent IS NULL").count() == 3)
+    // existing column types are never mutated by evolution
+    assert(t.schema("asking_price").dataType.typeName == "double")
+  }
+
+  test("compaction: many small files rewritten to few, rows and values intact") {
+    import graft.ingest.Compaction
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+    orders.repartition(64).write.mode("overwrite").parquet(dir)
+    val before = orders.count()
+    val (nBefore, nAfter) = Compaction.compactDir(spark, dir,
+      targetFileBytes = 8L * 1024 * 1024)
+    assert(nBefore == 64 && nAfter < 8,
+      s"expected 64 small files to compact to a few, got $nBefore -> $nAfter")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == before)
+    // value-level integrity, not just row count
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+    // no leftover tmp/backup dirs
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".compact-tmp")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".pre-compact")))
+    // idempotence: a second run is a no-op once already compact
+    val (b2, a2) = Compaction.compactDir(spark, dir, 8L * 1024 * 1024)
+    assert(b2 == a2)
+  }
 }
