@@ -41,6 +41,8 @@ object GraftSession {
       // events.parquet stores ts as TIMESTAMP(NANOS) which the Spark reader
       // rejects; read as epoch-nanos Long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4 SQL scripting (BEGIN…END control flow) — r11_sql_script
+      .config("spark.sql.scripting.enabled", "true")
       .config("spark.ui.enabled", "false")
   }
 

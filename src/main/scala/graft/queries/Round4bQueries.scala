@@ -306,6 +306,63 @@ object Round4bQueries {
              |ORDER BY train_doc, val_doc""".stripMargin)
     ),
     Q(
+      "r11_sql_script",
+      "Spark 4 SQL scripting: a BEGIN…END ETL control block — DECLARE'd " +
+        "cutoff, a scalar probe into a variable, IF/ELSE branch picking " +
+        "the aggregation — the procedural surface the reference builds in " +
+        "Python around BigQuery calls (fresh_picked_leads.py:224-266), " +
+        "expressed engine-side. Control flow runs on the driver; every " +
+        "statement inside is still a full Catalyst-planned distributed " +
+        "query, so scripting adds sequencing, not a row-at-a-time regime. " +
+        "Oracle replicates the branch the data makes both engines take.",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_r11")
+        s.sql(
+          """BEGIN
+            |  DECLARE cutoff TIMESTAMP_NTZ DEFAULT TIMESTAMP_NTZ '1998-01-01 00:00:00';
+            |  DECLARE n_recent BIGINT;
+            |  SET n_recent = (SELECT count(*) FROM orders_r11 WHERE o_orderdate >= cutoff);
+            |  IF n_recent > 0 THEN
+            |    SELECT o_orderstatus, count(*) AS n, 'recent' AS branch
+            |    FROM orders_r11 WHERE o_orderdate >= cutoff
+            |    GROUP BY o_orderstatus ORDER BY o_orderstatus;
+            |  ELSE
+            |    SELECT o_orderstatus, count(*) AS n, 'all' AS branch
+            |    FROM orders_r11 GROUP BY o_orderstatus ORDER BY o_orderstatus;
+            |  END IF;
+            |END""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, 'recent' AS branch
+             |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+    Q(
+      "f28_variant",
+      "Spark 4 VARIANT semi-structured path: events.props parsed once to a " +
+        "typed-agnostic variant (binary-encoded, predicate-pushable — the " +
+        "open-format answer to 'schema unknown at write time'), fields " +
+        "extracted via variant_get with per-use target types. Beside " +
+        "f9's string JsonPath and x5's rigid from_json struct, variant is " +
+        "the scale default for heterogeneous props: parse cost paid once, " +
+        "extraction codegen'd, no schema migration when producers add keys.",
+      (s, d) => {
+        Tables.events(s, d).select(
+          col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_long"),
+          expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+          expr("variant_get(parse_json(props), '$.missing', 'bigint')").as("k_missing"),
+          (expr("variant_get(parse_json(props), '$.k', 'bigint')") * 2)
+            .as("k_doubled"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CAST(props ->> '$.k' AS BIGINT) AS k_long,
+             |  props ->> '$.k' AS k_str,
+             |  CAST(props ->> '$.missing' AS BIGINT) AS k_missing,
+             |  CAST(props ->> '$.k' AS BIGINT) * 2 AS k_doubled
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "a19_skew_distinct",
       "Skew-safe exact distinct: count(DISTINCT supplier) per return flag " +
         "rewritten as two hash aggregations — groupBy(flag, supp) dedup, " +

@@ -42,6 +42,30 @@ object SchemaAlign {
     df.select(cols: _*)
   }
 
+  /** Alignment with data-quality counters riding the SAME job: for every
+    * safe-cast column, `observe` counts rows where the source value was
+    * present but the cast produced NULL (= the reference's silent
+    * SAFE_CAST data loss, made visible). `CollectMetricsExec` accumulates
+    * on the executors during the write itself — no second scan, no extra
+    * shuffle, which is the only acceptable cost model at 100 TB. Read the
+    * counts from the returned Observation after the ingest action:
+    * `obs.get("bad_<col>")`.
+    */
+  def alignToSchemaObserved(df: DataFrame, target: StructType)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val present = df.columns.map(n => n.toLowerCase -> n).toMap
+    val casted = target.fields.toSeq.flatMap { f =>
+      present.get(f.name.toLowerCase).map { src =>
+        (f.name, count(when(col(src).isNotNull &&
+          safeCast(col(src), f.dataType).isNull, 1)).as(s"bad_${f.name}"))
+      }
+    }
+    val obs = org.apache.spark.sql.Observation()
+    val aligned = alignToSchema(df.observe(obs, count(lit(1)).as("rows_in"),
+      casted.map(_._2): _*), target)
+    (aligned, obs)
+  }
+
   /** R5: stamp/backfill the ingestion-date audit column in the same ingest
     * (write-time `coalesce` replaces the reference's post-hoc
     * `UPDATE … WHERE Ingestion_date IS NULL`, `big_uery_handler.py:183-194`).

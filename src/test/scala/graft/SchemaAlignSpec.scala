@@ -138,4 +138,25 @@ class SchemaAlignSpec extends AnyFunSuite {
     assert(out(0).getDate(1) == run)                          // backfilled
     assert(out(1).getDate(1) == Date.valueOf("2026-01-01"))   // preserved
   }
+
+  test("alignToSchemaObserved: bad-cast counters ride the ingest job itself") {
+    import org.apache.spark.sql.functions.col
+    val src = spark.createDataFrame(
+      java.util.List.of(
+        Row("1", "ok"), Row("notanumber", "ok"),
+        Row("3", "ok"), Row(null, "ok")),
+      StructType(Seq(StructField("n", StringType), StructField("s", StringType))))
+    val target = StructType(Seq(
+      StructField("n", LongType), StructField("s", StringType)))
+    val (aligned, obs) = SchemaAlign.alignToSchemaObserved(src, target)
+    val rows = aligned.collect() // one action — metrics observed during it
+    assert(rows.length == 4)
+    assert(obs.get("rows_in") == 4L)
+    // "notanumber" is present-but-uncastable; the NULL input row is not bad
+    assert(obs.get("bad_n") == 1L)
+    assert(obs.get("bad_s") == 0L)
+    // alignment semantics unchanged: same rows as the unobserved path
+    val plain = SchemaAlign.alignToSchema(src, target)
+    assert(aligned.exceptAll(plain).isEmpty && plain.exceptAll(aligned).isEmpty)
+  }
 }
