@@ -139,6 +139,13 @@ class Round4bQueriesSpec extends AnyFunSuite {
     assert(joined.where(col("tfp") =!= col("vfp")).isEmpty)
   }
 
+  test("a19_skew_distinct: two-phase rewrite plans plain hash aggs, no Expand") {
+    val plan = df("a19_skew_distinct").queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"the rewrite exists to avoid the distinct-aggregate Expand:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+  }
+
   test("a18_approx_percentile: each estimate within the sketch's rank-error bound") {
     // accuracy=1000 ⇒ rank error ε ≤ 1/1000; the estimate must lie between
     // the exact (p−ε) and (p+ε) quantiles (inclusive, with index clamping)
