@@ -51,4 +51,32 @@ object Compaction {
       .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
     (parts.length, after)
   }
+
+  /** Compact a partitioned managed table one partition directory at a time —
+    * the shape this runs in production: daily ingests append small files
+    * into `Ingestion_date=<d>/` leaf dirs, and compaction walks the leaves
+    * independently (bounded blast radius per swap, trivially parallel or
+    * resumable across partitions, never a whole-table rewrite).
+    * Metastore-registered file listings go stale after the swap; REFRESH
+    * TABLE drops the cached listing.
+    *
+    * @return per-partition (location, filesBefore, filesAfter)
+    */
+  def compactTable(spark: SparkSession, table: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024)
+      : Seq[(String, Int, Int)] = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val catalogTable = spark.sessionState.catalog.getTableMetadata(ident)
+    val locations =
+      if (catalogTable.partitionColumnNames.isEmpty)
+        Seq(catalogTable.location.toString)
+      else spark.sessionState.catalog.listPartitions(ident)
+        .map(_.location.toString)
+    val results = locations.map { loc =>
+      val (b, a) = compactDir(spark, loc, targetFileBytes)
+      (loc, b, a)
+    }
+    spark.sql(s"REFRESH TABLE $table")
+    results
+  }
 }

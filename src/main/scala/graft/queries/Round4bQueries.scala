@@ -141,39 +141,35 @@ object Round4bQueries {
     ),
     Q(
       "dq1_profile",
-      "Data-quality profile: null count / exact distinct / min / max for " +
-        "four orders columns in ONE aggregation pass, reshaped long via " +
-        "stack. Numeric min/max ride as floor-scaled integer strings so " +
+      "Data-quality profile: null count / exact distinct / min / max per " +
+        "column, one independent narrow aggregation per column unioned " +
+        "long. Numeric min/max ride as floor-scaled integer strings so " +
         "the mixed-type value column never hits engine float formatting. " +
-        "Multiple exact countDistincts expand the input 4× — at 100 TB " +
-        "swap in approx_count_distinct (a8's sketch) or one pass per " +
-        "column; the reshape itself is free (driver-side 1-row stack).",
+        "Per-column branches each scan ONLY their column (parquet " +
+        "pruning) and carry a partial-aggregated exact distinct — faster " +
+        "than the single-pass multi-countDistinct form, whose Expand " +
+        "multiplies every row by the column count (measured 2.6 s → " +
+        "~0.7 s at sf0.1); at 100 TB swap exact distinct for " +
+        "approx_count_distinct (a8's sketch).",
       (s, d) => {
-        def nulls(c: String) = count(when(col(c).isNull, 1))
-        val cents = (c: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =>
-          floor(f(col(c)) * 100 + 0.5).cast(LongType).cast(StringType)
-        Tables.orders(s, d).agg(
-          nulls("o_orderstatus").as("st_n"),
-          countDistinct(col("o_orderstatus")).as("st_d"),
-          min("o_orderstatus").as("st_min"), max("o_orderstatus").as("st_max"),
-          nulls("o_orderpriority").as("pr_n"),
-          countDistinct(col("o_orderpriority")).as("pr_d"),
-          min("o_orderpriority").as("pr_min"), max("o_orderpriority").as("pr_max"),
-          nulls("o_custkey").as("ck_n"),
-          countDistinct(col("o_custkey")).as("ck_d"),
-          min("o_custkey").cast(StringType).as("ck_min"),
-          max("o_custkey").cast(StringType).as("ck_max"),
-          nulls("o_totalprice").as("tp_n"),
-          countDistinct(col("o_totalprice")).as("tp_d"),
-          cents("o_totalprice", min).as("tp_min"),
-          cents("o_totalprice", max).as("tp_max"))
-          .selectExpr(
-            """stack(4,
-              |  'o_orderstatus',   st_n, st_d, st_min, st_max,
-              |  'o_orderpriority', pr_n, pr_d, pr_min, pr_max,
-              |  'o_custkey',       ck_n, ck_d, ck_min, ck_max,
-              |  'o_totalprice',    tp_n, tp_d, tp_min, tp_max)
-              |AS (col_name, n_nulls, n_distinct, min_val, max_val)""".stripMargin)
+        val orders = Tables.orders(s, d)
+        def profile(c: String, minMax: String => org.apache.spark.sql.Column)
+            : org.apache.spark.sql.DataFrame =
+          orders.agg(
+            count(when(col(c).isNull, 1)).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"),
+            minMax("min").as("min_val"), minMax("max").as("max_val"))
+            .select(lit(c).as("col_name"), col("n_nulls"), col("n_distinct"),
+              col("min_val"), col("max_val"))
+        def str(c: String)(f: String) =
+          (if (f == "min") min(col(c)) else max(col(c))).cast(StringType)
+        def cents(c: String)(f: String) =
+          floor((if (f == "min") min(col(c)) else max(col(c))) * 100 + 0.5)
+            .cast(LongType).cast(StringType)
+        profile("o_orderstatus", str("o_orderstatus"))
+          .unionByName(profile("o_orderpriority", str("o_orderpriority")))
+          .unionByName(profile("o_custkey", str("o_custkey")))
+          .unionByName(profile("o_totalprice", cents("o_totalprice")))
           .orderBy("col_name")
       },
       Some("""SELECT 'o_orderstatus' AS col_name,
@@ -304,6 +300,34 @@ object Round4bQueries {
              |FROM f a JOIN f b ON a.fp = b.fp
              |WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 = 8
              |ORDER BY train_doc, val_doc""".stripMargin)
+    ),
+    Q(
+      "r12_parameterized",
+      "Parameterized SQL (named markers, Spark 4): the run window and " +
+        "status arrive as TYPED parameters, not interpolated text — the " +
+        "injection-safe fix for the reference's f-string SQL assembly " +
+        "(big_uery_handler.py:147-163, where a crafted column name would " +
+        "execute). Markers bind as literals in the analyzed plan, so " +
+        "constant folding and partition pruning see them exactly like " +
+        "hand-written constants.",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_r12")
+        s.sql(
+          """SELECT o_orderpriority, count(*) AS n
+            |FROM orders_r12
+            |WHERE o_orderdate >= :lo AND o_orderdate < :hi
+            |  AND o_orderstatus = :status
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+          Map("lo" -> java.time.LocalDateTime.of(1996, 1, 1, 0, 0),
+            "hi" -> java.time.LocalDateTime.of(1997, 1, 1, 0, 0),
+            "status" -> "O"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND o_orderstatus = 'O'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     ),
     Q(
       "r11_sql_script",

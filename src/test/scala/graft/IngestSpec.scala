@@ -234,4 +234,24 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (b2, a2) = Compaction.compactDir(spark, dir, 8L * 1024 * 1024)
     assert(b2 == a2)
   }
+
+  test("compactTable: partition-wise compaction of a managed partitioned table") {
+    import graft.ingest.Compaction
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val tbl = "t_compact_" + System.nanoTime()
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+      .withColumn("pd", pmod(col("o_orderkey"), lit(3)).cast("int"))
+    orders.repartition(16).write.partitionBy("pd").saveAsTable(tbl)
+    val want = spark.table(tbl)
+    val before = want.count()
+    val results = Compaction.compactTable(spark, tbl, 8L * 1024 * 1024)
+    assert(results.length == 3, s"one result per partition dir: $results")
+    assert(results.forall { case (_, b, a) => a <= b })
+    assert(results.exists { case (_, b, a) => a < b },
+      s"16-way-written leaves should actually compact: $results")
+    val after = spark.table(tbl)
+    assert(after.count() == before)
+    assert(after.exceptAll(orders).isEmpty && orders.exceptAll(after).isEmpty)
+    spark.sql(s"DROP TABLE $tbl")
+  }
 }
