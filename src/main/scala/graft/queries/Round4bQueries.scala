@@ -406,6 +406,37 @@ object Round4bQueries {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
     Q(
+      "a20_minmax_by",
+      "Argmin/argmax aggregates: each customer's priciest and cheapest " +
+        "order via max_by/min_by (one hash agg — no window, no self-join; " +
+        "the agg buffer is a single (value, ordering) pair, map-side " +
+        "combinable). Price ties are broken deterministically by packing " +
+        "(cents, orderkey) into one BIGINT ordering key — max_by/arg_max " +
+        "tie-breaking is otherwise engine- and partition-order-defined.",
+      (s, d) => {
+        val ord = floor(col("o_totalprice") * 100 + 0.5).cast(LongType) *
+          10000000000L + col("o_orderkey")
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(
+            max_by(col("o_orderkey"), ord).as("best_order"),
+            round(max_by(col("o_totalprice"), ord), 4).as("best_price"),
+            min_by(col("o_orderkey"), ord).as("worst_order"),
+            round(min_by(col("o_totalprice"), ord), 4).as("worst_price"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000000
+             |      + o_orderkey AS ord
+             |  FROM orders)
+             |SELECT o_custkey,
+             |  arg_max(o_orderkey, ord) AS best_order,
+             |  floor(arg_max(o_totalprice, ord) * 10000 + 0.5) / 10000 AS best_price,
+             |  arg_min(o_orderkey, ord) AS worst_order,
+             |  floor(arg_min(o_totalprice, ord) * 10000 + 0.5) / 10000 AS worst_price
+             |FROM o GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    ),
+    Q(
       "a18_approx_percentile",
       "Approximate percentiles (KLL-style sketch behind approx_percentile): " +
         "p50/p90/p99 of extended price per return flag with accuracy 1000 — " +
