@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction — the maintenance half of a drop-directory ingest.
@@ -9,17 +9,23 @@ import org.apache.spark.sql.SparkSession
   * 68-89`) accrete one parquet file per batch; after thousands of daily
   * loads a scan pays per-file open/footer costs and the scheduler drowns in
   * tiny splits. Compaction rewrites a directory into ~`targetFileBytes`
-  * files: read → `repartition(n)` (round-robin, so output files are
-  * size-balanced regardless of input skew) → write beside the original →
-  * swap directories.
+  * files: read (schema-merged across ALL footers — evolveSchema appends mean
+  * old and new files legitimately differ, and inferring from one footer
+  * would silently drop the newer columns' data) → `repartition(n)`
+  * (round-robin, so output files are size-balanced regardless of input
+  * skew) → write beside the original → swap directories.
   *
-  * The swap is rename-based (original → `.pre-compact` backup, new dir in),
-  * so a crash mid-swap leaves either the old or the new complete directory
-  * plus a leftover to clean — never a half-written mix readers could see.
-  * At 100 TB you compact per partition (Ingestion_date dirs), never the
-  * whole table in one job, and you take a partition-level lock or rely on
-  * the catalog's atomic location swap; this operator is that per-partition
-  * unit.
+  * Swap semantics, honestly: two renames (original → `.pre-compact` backup,
+  * tmp → original), each atomic, with a window between them where the data
+  * path does not exist — a concurrent reader in that window sees an empty
+  * partition, and a crash in it leaves the data only in `.pre-compact`.
+  * compactDir therefore (a) auto-recovers a crashed prior swap on entry
+  * (backup present + data path missing → restore), and (b) is meant to run
+  * in a maintenance window / single-writer regime. A truly seamless swap
+  * needs a catalog with atomic location updates (lakehouse table formats);
+  * on a plain filesystem this recover-on-entry pattern is the honest
+  * contract. At 100 TB you compact per partition (Ingestion_date dirs) —
+  * bounded blast radius — never the whole table in one job.
   */
 object Compaction {
 
@@ -28,6 +34,11 @@ object Compaction {
                  targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val path = new HPath(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new HPath(dir + ".pre-compact")
+    // recover a crashed prior swap: data only in the backup → restore it
+    if (!fs.exists(path) && fs.exists(bak) && !fs.rename(bak, path))
+      throw new java.io.IOException(
+        s"compaction: found orphaned backup $bak but could not restore it")
     val parts = fs.listStatus(path)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
     val totalBytes = parts.map(_.getLen).sum
@@ -35,9 +46,11 @@ object Compaction {
     if (parts.length <= n) return (parts.length, parts.length) // already compact
 
     val tmp = new HPath(dir + ".compact-tmp")
-    val bak = new HPath(dir + ".pre-compact")
     fs.delete(tmp, true); fs.delete(bak, true)
-    spark.read.parquet(dir).repartition(n)
+    // mergeSchema: the union of every footer's columns; files missing a
+    // column contribute NULLs (same semantics a reader of the mixed dir
+    // gets) instead of the rewrite truncating to one arbitrary footer
+    spark.read.option("mergeSchema", "true").parquet(dir).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
     // swap: two renames; each is atomic on HDFS/posix directories
     if (!fs.rename(path, bak))
@@ -57,8 +70,10 @@ object Compaction {
     * into `Ingestion_date=<d>/` leaf dirs, and compaction walks the leaves
     * independently (bounded blast radius per swap, trivially parallel or
     * resumable across partitions, never a whole-table rewrite).
-    * Metastore-registered file listings go stale after the swap; REFRESH
-    * TABLE drops the cached listing.
+    * Metastore-registered file listings go stale after every swap, so
+    * REFRESH TABLE runs in a finally — a failure on partition N must not
+    * leave partitions 1..N-1 swapped but the session still holding their
+    * old file listing (stale-cache FileNotFoundException on the next read).
     *
     * @return per-partition (location, filesBefore, filesAfter)
     */
@@ -72,11 +87,9 @@ object Compaction {
         Seq(catalogTable.location.toString)
       else spark.sessionState.catalog.listPartitions(ident)
         .map(_.location.toString)
-    val results = locations.map { loc =>
+    try locations.map { loc =>
       val (b, a) = compactDir(spark, loc, targetFileBytes)
       (loc, b, a)
-    }
-    spark.sql(s"REFRESH TABLE $table")
-    results
+    } finally spark.sql(s"REFRESH TABLE $table")
   }
 }

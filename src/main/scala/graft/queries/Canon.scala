@@ -22,4 +22,13 @@ object Canon {
     val f = math.pow(10, scale)
     floor(c.cast(DoubleType) * f + lit(0.5)).cast(DoubleType) / f
   }
+
+  /** Decimal-exact double sum: route the addition through DECIMAL(38,6) so
+    * the result is independent of partition/accumulation order, then cast
+    * back at the call site. One definition — the precision/scale choice is
+    * part of the oracle contract and must not drift per query file.
+    */
+  def dsum(c: Column): Column =
+    org.apache.spark.sql.functions.sum(
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 6)))
 }

@@ -24,7 +24,7 @@ object RelationalQueries {
     * sum(double) differs run-to-run with partitioning (and vs DuckDB);
     * decimal sums are exact and therefore engine- and partition-independent.
     */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6)))
+  import graft.queries.Canon.dsum
   private def asDouble4(c: Column): Column = round(c.cast(DoubleType), 4)
 
   val defs: Seq[Q] = Seq(

@@ -19,8 +19,7 @@ import graft.Tables
   */
 object Round4bQueries {
 
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(38, 6)))
+  import graft.queries.Canon.dsum
 
   val defs: Seq[Q] = Seq(
     Q(

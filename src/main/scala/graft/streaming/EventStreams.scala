@@ -333,8 +333,10 @@ object EventStreams {
   def mergeBatchUpsert(batch0: DataFrame, table: String, keyCol: String,
                        tsCol: String, seqCol: String, nBuckets: Int): Unit = {
     val spark = batch0.sparkSession
-    if (batch0.isEmpty) return
-    val dataCols = batch0.columns
+    def unpersistCk(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
     // winner per key = max (ts, seq) — a deterministic total order, so
     // replays and speculative retries resolve ties identically
     val w = org.apache.spark.sql.expressions.Window
@@ -342,32 +344,47 @@ object EventStreams {
       .orderBy(col(tsCol).desc, col(seqCol).desc)
     def latestWins(df: DataFrame): DataFrame = df
       .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    // checkpoint once: the batch otherwise re-evaluates for the emptiness
+    // probe, the affected-bucket collect, AND the union below
     val batch = batch0
       .withColumn("_bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
-
-    if (!spark.catalog.tableExists(table)) {
-      latestWins(batch).write.partitionBy("_bucket").saveAsTable(table)
-      return
-    }
-    val affected = batch.select("_bucket").distinct()
-      .collect().map(_.getInt(0)).sorted // ≤ nBuckets rows — driver-safe
-    val target = spark.table(table)
-      .where(col("_bucket").isin(affected.map(Integer.valueOf): _*))
-    val merged = latestWins(target.unionByName(batch))
-      .localCheckpoint(true) // sever the self-read before overwriting
-    val view = s"graft_merge_${System.nanoTime()}"
-    merged.select(dataCols.map(col) :+ col("_bucket"): _*)
-      .createOrReplaceTempView(view)
-    try affected.foreach { b =>
-      spark.sql(
-        s"INSERT OVERWRITE TABLE $table PARTITION (_bucket = $b) " +
-          s"SELECT ${dataCols.mkString(", ")} FROM $view WHERE _bucket = $b")
-    } finally {
-      spark.catalog.dropTempView(view)
-      merged.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-        case _ => ()
+      .localCheckpoint(true)
+    try {
+      if (batch.isEmpty) return
+      if (!spark.catalog.tableExists(table)) {
+        latestWins(batch).write.partitionBy("_bucket").saveAsTable(table)
+        return
       }
-    }
+      // INSERT below binds by POSITION — select in the TABLE's column
+      // order, never the batch's (a reordered batch would silently swap
+      // same-typed columns and NULL-cast the rest under ansi=false)
+      val tableCols = spark.table(table).columns.filterNot(_ == "_bucket")
+      require(batch0.columns.map(_.toLowerCase).toSet ==
+        tableCols.map(_.toLowerCase).toSet,
+        s"mergeBatchUpsert: batch columns ${batch0.columns.mkString(",")} " +
+          s"must match table columns ${tableCols.mkString(",")}")
+      val affected = batch.select("_bucket").distinct()
+        .collect().map(_.getInt(0)).sorted // ≤ nBuckets rows — driver-safe
+      val target = spark.table(table)
+        .where(col("_bucket").isin(affected.map(Integer.valueOf): _*))
+      val merged = latestWins(target.unionByName(batch))
+        .localCheckpoint(true) // sever the self-read before overwriting
+      val view = s"graft_merge_${System.nanoTime()}"
+      merged.createOrReplaceTempView(view)
+      val colList = tableCols.map(c => s"`$c`").mkString(", ")
+      // One static-partition INSERT per affected bucket: each job filters
+      // the in-memory checkpoint, so the loop costs |affected| cheap scans
+      // of already-materialized rows. The one-pass alternative (dynamic
+      // partitionOverwriteMode) needs a session-conf toggle that leaks to
+      // concurrent writers (see writeBatchIdempotent) — correctness first.
+      try affected.foreach { b =>
+        spark.sql(
+          s"INSERT OVERWRITE TABLE $table PARTITION (_bucket = $b) " +
+            s"SELECT $colList FROM $view WHERE _bucket = $b")
+      } finally {
+        spark.catalog.dropTempView(view)
+        unpersistCk(merged)
+      }
+    } finally unpersistCk(batch)
   }
 }

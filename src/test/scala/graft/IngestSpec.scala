@@ -235,6 +235,24 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b2 == a2)
   }
 
+  test("compaction preserves evolved-schema dirs: union of columns, not one footer") {
+    import graft.ingest.Compaction
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-compact-evo").toString
+    // pre-evolution files: (id) only; post-evolution: (id, agent)
+    spark.range(0, 100).selectExpr("id")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    spark.range(100, 200).selectExpr("id", "CAST(id AS STRING) AS agent")
+      .repartition(4).write.mode("append").parquet(dir)
+    val (b, a) = Compaction.compactDir(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(a < b)
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.toSet == Set("id", "agent"))
+    assert(back.count() == 200)
+    assert(back.where(col("agent").isNotNull).count() == 100,
+      "post-evolution column values must survive compaction")
+  }
+
   test("compactTable: partition-wise compaction of a managed partitioned table") {
     import graft.ingest.Compaction
     import org.apache.spark.sql.functions.{col, lit, pmod}

@@ -264,6 +264,12 @@ class StreamingSpec extends AnyFunSuite {
     // only the touched buckets' partitions exist, each key in exactly one
     assert(spark.table(table)
       .groupBy("user_id").count().where(col("count") > 1).isEmpty)
+    // a batch with PERMUTED column order must not bind positionally
+    val permuted = newer.select("value", "event_id", "ts", "event_type", "user_id")
+    EventStreams.mergeBatchUpsert(permuted, table, "user_id", "ts", "event_id", 8)
+    val got2 = spark.table(table).drop("_bucket")
+    assert(got2.exceptAll(want).isEmpty && want.exceptAll(got2).isEmpty,
+      "permuted-column replay must be a no-op, not a column swap")
     spark.sql(s"DROP TABLE $table")
   }
 
