@@ -78,6 +78,19 @@ object DedupQueries {
       |          JOIN cnt ca ON doc_a = ca.doc_id
       |          JOIN cnt cb ON doc_b = cb.doc_id)""".stripMargin
 
+  /** Shared continuation: jaccard pairs → transitive closure → per-doc
+    * component labels (comp.id, comp.component). One definition so
+    * dd_cluster and the survivorship query can never drift.
+    */
+  val clusterCtesSql: String =
+    s"""$jaccardPairsSql,
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM jac WHERE jaccard >= 0.2
+       |          UNION SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.2),
+       |reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |                UNION
+       |                SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+       |comp AS (SELECT u AS id, min(r) AS component FROM reach GROUP BY u)""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q(
       "x1_exact_dedup",
@@ -129,16 +142,51 @@ object DedupQueries {
             coalesce(col("component"), col("doc_id")).as("component"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE $jaccardPairsSql,
-              |edges AS (SELECT doc_a AS u, doc_b AS v FROM jac WHERE jaccard >= 0.2
-              |          UNION SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.2),
-              |reach(u, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-              |                UNION
-              |                SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
-              |comp AS (SELECT u AS id, min(r) AS component FROM reach GROUP BY u)
+      Some(s"""WITH RECURSIVE $clusterCtesSql
               |SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
               |FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
               |ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "x17_dedup_survivorship",
+      "Dedup survivorship: per near-dup cluster keep the BEST document, " +
+        "not an arbitrary one — survivor = arg-max over (token count, " +
+        "-doc_id) packed into one BIGINT ordering (quality first, " +
+        "deterministic low-id tie-break). Composes the clustering operator " +
+        "with a20's argmax pattern in ONE hash agg over the labeled docs — " +
+        "the 'keep the longest copy' policy a training corpus actually " +
+        "wants, vs dd_cluster's min-id canonical label.",
+      (s, d) => {
+        val edges = DedupQueries.ngramJaccardPairs(s, d)
+          .where(col("jaccard") >= 0.2)
+        val comp = graft.operators.ConnectedComponents
+          .components(edges, "doc_a", "doc_b")
+        val nTok = size(split(col("text"), " ")).cast(LongType)
+        val labeled = Tables.documents(s, d)
+          .select(col("doc_id"), nTok.as("n_tokens"))
+          .join(comp, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+        val ord = col("n_tokens") * 10000000000L - col("doc_id")
+        labeled.groupBy("component")
+          .agg(
+            max_by(col("doc_id"), ord).as("survivor"),
+            max(col("n_tokens")).as("survivor_tokens"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"))
+          .orderBy("component")
+      },
+      Some(s"""WITH RECURSIVE $clusterCtesSql,
+              |lab AS (SELECT d.doc_id,
+              |          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+              |          coalesce(comp.component, d.doc_id) AS component
+              |        FROM documents d LEFT JOIN comp ON d.doc_id = comp.id)
+              |SELECT component,
+              |  arg_max(doc_id, n_tokens * 10000000000 - doc_id) AS survivor,
+              |  max(n_tokens) AS survivor_tokens,
+              |  count(*) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+              |FROM lab GROUP BY component ORDER BY component""".stripMargin)
     ),
     Q(
       "x2_minhash_lsh",
