@@ -40,8 +40,19 @@ object AsofJoinNative {
       left: LogicalPlan, right: LogicalPlan,
       leftKey: Attribute, rightKey: Attribute,
       leftTime: Attribute, rightTime: Attribute,
-      rightTiebreak: Option[Attribute])
+      rightTiebreak: Option[Attribute],
+      toleranceUnits: Option[Long] = None)
     extends BinaryNode {
+    // Tolerance is a distance in the time column's PHYSICAL units (micros
+    // for TIMESTAMP/NTZ, days for DATE, raw for integers) — only meaningful
+    // on integral-backed time types.
+    require(toleranceUnits.forall(_ >= 0), "as-of tolerance must be >= 0")
+    require(toleranceUnits.isEmpty || (leftTime.dataType match {
+      case LongType | TimestampType | TimestampNTZType | IntegerType |
+           DateType | ShortType => true
+      case _ => false
+    }), s"as-of tolerance requires an integral-backed time type, got " +
+      leftTime.dataType.catalogString)
     // The exec reads BOTH sides' key/time values through the LEFT types, so
     // mismatched physical types (e.g. DATE days-as-int vs NTZ micros-as-
     // long) would compare garbage — reject at construction, not at runtime.
@@ -60,8 +71,8 @@ object AsofJoinNative {
 
   object AsofJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsofJoinNode(l, r, lk, rk, lt, rt, tb) =>
-        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+      case AsofJoinNode(l, r, lk, rk, lt, rt, tb, tol) =>
+        AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol) :: Nil
       case _ => Nil
     }
   }
@@ -88,8 +99,17 @@ object AsofJoinNative {
       left: SparkPlan, right: SparkPlan,
       leftKey: Attribute, rightKey: Attribute,
       leftTime: Attribute, rightTime: Attribute,
-      rightTiebreak: Option[Attribute])
+      rightTiebreak: Option[Attribute],
+      toleranceUnits: Option[Long] = None)
     extends BinaryExecNode {
+
+    private def timeAsLong(v: Any): Long = v match {
+      case l: Long  => l
+      case i: Int   => i.toLong
+      case s: Short => s.toLong
+      case other => throw new IllegalStateException(
+        s"tolerance on non-integral time value: $other")
+    }
 
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
@@ -146,6 +166,7 @@ object AsofJoinNative {
         // key must be deep-copied when retained across iterations
         var matchKey: Any = null
         var lastMatch: InternalRow = null
+        var lastMatchTime: Any = null
 
         lIter.map { lRow =>
           val lk = if (lRow.isNullAt(lKeyIdx)) null else lRow.get(lKeyIdx, keyDt)
@@ -154,7 +175,7 @@ object AsofJoinNative {
             toUnsafe(joined(lRow, nullRight))
           } else {
             if (matchKey == null || keyOrd.compare(matchKey, lk) != 0) {
-              matchKey = null; lastMatch = null
+              matchKey = null; lastMatch = null; lastMatchTime = null
             }
             var advancing = true
             while (advancing && rBuf.hasNext) {
@@ -170,13 +191,21 @@ object AsofJoinNative {
                 } else if (c == 0 && timeOrd.compare(rt, lt) <= 0) {
                   lastMatch = rBuf.next().copy()
                   matchKey = InternalRow.copyValue(lk)
+                  lastMatchTime = InternalRow.copyValue(rt)
                 } else {
                   advancing = false // future key, or time beyond left row
                 }
               }
             }
+            // The cached match is the max rightTime <= leftTime; any other
+            // candidate is older and therefore farther from leftTime, so the
+            // tolerance bound only ever needs checking against lastMatch.
+            val withinTol = toleranceUnits.forall(tol =>
+              lastMatchTime != null &&
+                timeAsLong(lt) - timeAsLong(lastMatchTime) <= tol)
             if (lastMatch != null && matchKey != null &&
-              keyOrd.compare(matchKey, lk) == 0) toUnsafe(joined(lRow, lastMatch))
+              keyOrd.compare(matchKey, lk) == 0 && withinTol)
+              toUnsafe(joined(lRow, lastMatch))
             else toUnsafe(joined(lRow, nullRight))
           }
         }
@@ -191,7 +220,8 @@ object AsofJoinNative {
     */
   def asofLeft(left: DataFrame, leftKeyCol: String, leftTimeCol: String,
                right: DataFrame, rightKeyCol: String, rightTimeCol: String,
-               rightTiebreakCol: Option[String] = None): DataFrame = {
+               rightTiebreakCol: Option[String] = None,
+               toleranceUnits: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -207,6 +237,6 @@ object AsofJoinNative {
       AsofJoinNode(lPlan, rPlan,
         attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol),
         attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol),
-        rightTiebreakCol.map(attr(rPlan, _))))
+        rightTiebreakCol.map(attr(rPlan, _)), toleranceUnits))
   }
 }

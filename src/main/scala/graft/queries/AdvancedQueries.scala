@@ -69,6 +69,38 @@ object AdvancedQueries {
              |WHERE rn = 1 ORDER BY event_id""".stripMargin)
     ),
     Q(
+      "j7c_asof_tolerance",
+      "Bounded as-of join (pandas merge_asof's tolerance): the most recent " +
+        "order only counts within 30 days of the event, else NULL — stale " +
+        "matches are usually worse than no match in feature engineering. " +
+        "Implemented INSIDE the custom exec: the cached last-match is the " +
+        "max rightTime <= leftTime, so the bound is one subtraction per " +
+        "left row against that single candidate (older candidates are " +
+        "strictly farther) — same one-exchange-per-side plan as j7b.",
+      (s, d) => {
+        val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+        val o = Tables.orders(s, d)
+          .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        graft.plans.AsofJoinNative.asofLeft(
+          e, "user_id", "ts", o, "o_custkey", "o_orderdate",
+          rightTiebreakCol = Some("o_orderkey"),
+          toleranceUnits = Some(30L * 86400L * 1000000L)) // 30 days in µs
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("last_orderkey"),
+            round(col("o_totalprice"), 4).as("last_price"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, last_orderkey, last_price FROM (
+             |  SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey,
+             |    floor((o.o_totalprice) * 10000 + 0.5) / 10000 AS last_price,
+             |    row_number() OVER (PARTITION BY e.event_id
+             |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+             |  FROM events e LEFT JOIN orders o
+             |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+             |      AND o.o_orderdate >= e.ts - INTERVAL 30 DAY) t
+             |WHERE rn = 1 ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "j8_range_join",
       "Banded range join: per anchor event, same-user events in the " +
         "following hour. Equality shuffle on (key, time-bucket) with 2x " +

@@ -93,6 +93,32 @@ class AsofJoinNativeSpec extends AnyFunSuite {
     assert(got == Map(1L -> -1L, 2L -> -1L, 3L -> 7L))
   }
 
+  test("tolerance: matches farther than the bound become NULL, others unchanged") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, d).select("event_id", "user_id", "ts")
+    val o = Tables.orders(spark, d)
+      .select("o_custkey", "o_orderdate", "o_orderkey")
+    val tolMicros = 30L * 86400L * 1000000L
+    val got = AsofJoinNative.asofLeft(e, "user_id", "ts", o,
+      "o_custkey", "o_orderdate", rightTiebreakCol = Some("o_orderkey"),
+      toleranceUnits = Some(tolMicros))
+      .select(col("event_id"), col("o_orderkey"))
+    // window-idiom reference with the same bound
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+    val want = e.join(o,
+        col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts") &&
+          col("o_orderdate") >= col("ts") - expr("INTERVAL 30 DAY"), "left")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the bound must actually bite: strictly fewer matches than unbounded
+    val unbounded = AsofJoinNative.asofLeft(e, "user_id", "ts", o,
+      "o_custkey", "o_orderdate", rightTiebreakCol = Some("o_orderkey"))
+      .where(col("o_orderkey").isNotNull).count()
+    assert(got.where(col("o_orderkey").isNotNull).count() < unbounded)
+  }
+
   test("plan shape: one AsofJoinExec, hash exchanges both sides") {
     val e = Tables.events(spark, d).select("event_id", "user_id", "ts")
     val o = Tables.orders(spark, d).select("o_custkey", "o_orderdate", "o_orderkey")
