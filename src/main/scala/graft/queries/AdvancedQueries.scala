@@ -101,6 +101,42 @@ object AdvancedQueries {
              |WHERE rn = 1 ORDER BY event_id""".stripMargin)
     ),
     Q(
+      "j7d_asof_forward",
+      "Forward as-of join (each click's NEXT purchase by the same user — " +
+        "the conversion-attribution primitive) through the SAME backward " +
+        "exec by time negation: max(-t_right) <= -t_left is min(t_right) " +
+        ">= t_left, and a negated tiebreak keeps equal-time ties " +
+        "deterministic (min purchase id). No second operator to maintain — " +
+        "direction is a 2-column projection, the merge/distribution/" +
+        "ordering machinery is shared. Times ride as negated epoch micros " +
+        "(exact integers), originals stay in the payload.",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            (-unix_micros(col("ts").cast(TimestampType))).as("neg_ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            (-unix_micros(col("ts").cast(TimestampType))).as("neg_pts"),
+            (-col("event_id")).as("neg_pid"),
+            col("event_id").as("purchase_id"))
+        graft.plans.AsofJoinNative.asofLeft(
+          clicks, "user_id", "neg_ts", purchases, "p_user", "neg_pts",
+          rightTiebreakCol = Some("neg_pid"))
+          .select(col("click_id"), col("user_id"), col("purchase_id"))
+          .orderBy("click_id")
+      },
+      Some("""SELECT click_id, user_id, purchase_id FROM (
+             |  SELECT c.event_id AS click_id, c.user_id,
+             |    p.event_id AS purchase_id,
+             |    row_number() OVER (PARTITION BY c.event_id
+             |      ORDER BY p.ts ASC NULLS LAST, p.event_id ASC NULLS LAST) AS rn
+             |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |    ON p.user_id = c.user_id AND p.ts >= c.ts) t
+             |WHERE rn = 1 ORDER BY click_id""".stripMargin)
+    ),
+    Q(
       "j8_range_join",
       "Banded range join: per anchor event, same-user events in the " +
         "following hour. Equality shuffle on (key, time-bucket) with 2x " +

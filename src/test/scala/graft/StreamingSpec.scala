@@ -273,6 +273,40 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("streaming materialized view: update-mode agg + merge sink == batch totals") {
+    // the serving-table pattern: per-user running (count, cent-total)
+    // aggregates in update mode, each micro-batch upserted by version —
+    // the converged table must equal the one-shot batch aggregate
+    val table = "t_matview_" + System.nanoTime()
+    val ckpt = Files.createTempDirectory("graft-mv-ckpt").toString
+    val agg = EventStreams.readEventStream(spark, eventDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value") * 100).cast("long")).as("cents"),
+        max(col("event_id")).as("version"))
+    val q = agg.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // version = max event_id seen per user: monotone per key, so
+        // latest-wins by (version, batch) applies newer snapshots only
+        EventStreams.mergeBatchUpsert(
+          b.toDF().withColumn("_b", lit(id)), table,
+          "user_id", "version", "_b", nBuckets = 8)
+      }
+      .start()
+    q.awaitTermination(120000)
+    val want = spark.read.schema(EventStreams.eventSchema).parquet(eventDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value") * 100).cast("long")).as("cents"))
+    val got = spark.table(table).select("user_id", "n_events", "cents")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "converged merge table must equal the batch aggregate")
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("mergeToTable: streamed micro-batches converge to global latest-wins") {
     val table = "t_merge_stream_" + System.nanoTime()
     val ckpt = Files.createTempDirectory("graft-merge-ckpt").toString
