@@ -137,6 +137,62 @@ object AdvancedQueries {
              |WHERE rn = 1 ORDER BY click_id""".stripMargin)
     ),
     Q(
+      "j7e_asof_nearest",
+      "Nearest as-of (merge_asof direction='nearest'): each click's " +
+        "time-closest purchase, either direction — one backward + one " +
+        "forward pass through the shared exec, then a projection picks " +
+        "the closer match (abs diff; ties → smaller purchase id, enforced " +
+        "by negated-id tiebreaks in BOTH passes so every layer is " +
+        "deterministic). Two exchanges total, both on the user key — " +
+        "still the sort-merge cost model, no pairwise scan.",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val us = unix_micros(col("ts").cast(TimestampType))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            us.as("cts"), (-us).as("neg_cts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), us.as("pts"),
+            (-us).as("neg_pts"), (-col("event_id")).as("neg_pid"),
+            col("event_id").as("purchase_id"))
+        val back = graft.plans.AsofJoinNative.asofLeft(
+          clicks.select("click_id", "user_id", "cts"), "user_id", "cts",
+          purchases.select(col("p_user"), col("pts"), col("neg_pid"),
+            col("purchase_id").as("b_pid")), "p_user", "pts",
+          rightTiebreakCol = Some("neg_pid"))
+          .select(col("click_id"), col("user_id"), col("cts"),
+            col("pts").as("b_pts"), col("b_pid"))
+        val fwd = graft.plans.AsofJoinNative.asofLeft(
+          clicks.select("click_id", "user_id", "neg_cts")
+            .withColumnRenamed("click_id", "f_click"), "user_id", "neg_cts",
+          purchases.select(col("p_user"), col("neg_pts"), col("neg_pid"),
+            col("purchase_id").as("f_pid")), "p_user", "neg_pts",
+          rightTiebreakCol = Some("neg_pid"))
+          .select(col("f_click"), (-col("neg_pts")).as("f_pts"), col("f_pid"))
+        val bd = col("cts") - col("b_pts")
+        val fd = col("f_pts") - col("cts")
+        back.join(fwd, col("click_id") === col("f_click"), "left")
+          .select(col("click_id"), col("user_id"),
+            when(col("b_pid").isNull, col("f_pid"))
+              .when(col("f_pid").isNull, col("b_pid"))
+              .when(fd < bd, col("f_pid"))
+              .when(bd < fd, col("b_pid"))
+              .otherwise(least(col("b_pid"), col("f_pid")))
+              .as("purchase_id"))
+          .orderBy("click_id")
+      },
+      Some("""SELECT click_id, user_id, purchase_id FROM (
+             |  SELECT c.event_id AS click_id, c.user_id,
+             |    p.event_id AS purchase_id,
+             |    row_number() OVER (PARTITION BY c.event_id
+             |      ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC NULLS LAST,
+             |        p.event_id ASC NULLS LAST) AS rn
+             |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |    ON p.user_id = c.user_id) t
+             |WHERE rn = 1 ORDER BY click_id""".stripMargin)
+    ),
+    Q(
       "j8_range_join",
       "Banded range join: per anchor event, same-user events in the " +
         "following hour. Equality shuffle on (key, time-bucket) with 2x " +
