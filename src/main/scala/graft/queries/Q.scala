@@ -37,7 +37,8 @@ object QueryCatalog {
       AdvancedQueries.defs ++
       ExtendedQueries.defs ++
       Round4Queries.defs ++
-      Round4bQueries.defs
+      Round4bQueries.defs ++
+      TpchQueries.defs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

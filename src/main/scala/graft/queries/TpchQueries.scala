@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** TPC-H on the corpus — the standard analytic suite, adapted to the
+  * driver's slimmed schema (no partsupp; lineitem lacks commit/receipt
+  * dates and shipmode; q2/q4/q9/q11/q12/q16/q19/q20/q21/q22 need those
+  * and are out of corpus reach — every other classic query is declared).
+  * Adaptations beyond column availability: literals re-anchored to the
+  * corpus's 1995-2001 date span and synthetic domains (p_type is a plain
+  * category so q14 matches 'PROMO' by equality; q7 aggregates region
+  * pairs because sf0.001 has only 10 suppliers and any fixed NATION pair
+  * can be empty), every query ends in a total ORDER BY, and double
+  * aggregates go through DECIMAL(38,6) + the floor-rounding formula per
+  * the §2.11 determinism contract.
+  *
+  * The SQL text is IDENTICAL for Spark and DuckDB — one string per query,
+  * the Spark build just rewrites table names to per-query temp views. The
+  * oracle therefore checks engine semantics, not a transliteration.
+  *
+  * Scale: these are the plans Catalyst's cost model exists for — star
+  * joins pick broadcast dims automatically (nation/region/part are tiny),
+  * fact-fact joins shuffle on the orderkey, group-bys partial-aggregate
+  * map-side. No hints needed; PlanAssertionsSpec pins the broadcast and
+  * pushdown behavior globally.
+  */
+object TpchQueries {
+
+  private val tableNames =
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
+
+  /** Run `sqlText` in Spark with every bare corpus table name rewritten to
+    * a per-tag temp view over the same parquet. Word-boundary replace is
+    * safe here: column names join fragments with '_' (a word character),
+    * so `\bpart\b` cannot match inside `p_partkey`.
+    */
+  private def run(s: SparkSession, d: String, tag: String,
+                  sqlText: String): DataFrame = {
+    var q = sqlText
+    tableNames.foreach { n =>
+      if (("""\b""" + n + """\b""").r.findFirstIn(q).isDefined) {
+        Tables.load(s, d, n).createOrReplaceTempView(s"${n}_$tag")
+        q = q.replaceAll("\\b" + n + "\\b", s"${n}_$tag")
+      }
+    }
+    s.sql(q)
+  }
+
+  private val r4 = (e: String) =>
+    s"floor(CAST($e AS DOUBLE) * 10000 + 0.5) / 10000"
+  private val dsum = (e: String) => s"sum(CAST($e AS DECIMAL(38,6)))"
+
+  private def tpch(name: String, doc: String, sql: String): Q =
+    Q(name, doc, (s, d) => run(s, d, name, sql), Some(sql))
+
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${r4(dsum("l_quantity"))} AS sum_qty,
+       |  ${r4(dsum("l_extendedprice"))} AS sum_base_price,
+       |  ${r4(dsum("l_extendedprice * (1 - l_discount)"))} AS sum_disc_price,
+       |  ${r4(dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)"))} AS sum_charge,
+       |  ${r4(s"CAST(${dsum("l_quantity")} AS DOUBLE) / count(*)")} AS avg_qty,
+       |  ${r4(s"CAST(${dsum("l_extendedprice")} AS DOUBLE) / count(*)")} AS avg_price,
+       |  ${r4(s"CAST(${dsum("l_discount")} AS DOUBLE) / count(*)")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= DATE '2001-08-06'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val q3Sql: String =
+    s"""SELECT l_orderkey,
+       |  ${r4(dsum("l_extendedprice * (1 - l_discount)"))} AS revenue,
+       |  o_orderdate
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  val q5Sql: String =
+    s"""SELECT n_name,
+       |  ${r4(dsum("l_extendedprice * (1 - l_discount)"))} AS revenue
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  val q6Sql: String =
+    s"""SELECT ${r4(dsum("l_extendedprice * l_discount"))} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  val q7Sql: String =
+    s"""SELECT supp_region, cust_region, l_year,
+       |  ${r4("sum(volume)")} AS revenue
+       |FROM (
+       |  SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+       |    CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+       |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume
+       |  FROM supplier, lineitem, orders, customer,
+       |    nation n1, nation n2, region r1, region r2
+       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+       |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+       |    AND c_nationkey = n2.n_nationkey
+       |    AND n1.n_regionkey = r1.r_regionkey AND n2.n_regionkey = r2.r_regionkey
+       |    AND ((r1.r_name = 'ASIA' AND r2.r_name = 'AMERICA')
+       |      OR (r1.r_name = 'AMERICA' AND r2.r_name = 'ASIA'))
+       |    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+       |) shipping
+       |GROUP BY supp_region, cust_region, l_year
+       |ORDER BY supp_region, cust_region, l_year""".stripMargin
+
+  val q8Sql: String =
+    s"""SELECT o_year,
+       |  ${r4("CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) / CAST(sum(volume) AS DOUBLE)")} AS mkt_share
+       |FROM (
+       |  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+       |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume,
+       |    n2.n_name AS nation
+       |  FROM part, supplier, lineitem, orders, customer,
+       |    nation n1, nation n2, region
+       |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+       |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+       |    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+       |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+       |    AND p_type = 'ECONOMY'
+       |) all_nations
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name,
+       |  ${r4(dsum("l_extendedprice * (1 - l_discount)"))} AS revenue,
+       |  c_acctbal, n_name
+       |FROM customer, orders, lineitem, nation
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+       |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  val q14Sql: String =
+    s"""SELECT ${r4("100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)")} AS promo_revenue
+       |FROM lineitem, part
+       |WHERE l_partkey = p_partkey
+       |  AND l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'""".stripMargin
+
+  val q18Sql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  ${r4(dsum("l_quantity"))} AS total_qty
+       |FROM customer, orders, lineitem
+       |WHERE o_orderkey IN (
+       |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+       |    HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 150)
+       |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    tpch("tpch_q1", "TPC-H Q1 pricing summary: full-scan groupBy over 4 " +
+      "decimal-exact sums + 3 averages — partial aggregation does almost " +
+      "all work map-side (6 groups).", q1Sql),
+    tpch("tpch_q3", "TPC-H Q3 shipping priority: segment-filtered " +
+      "customer ⋈ orders ⋈ lineitem with opposing date filters, top-10 by " +
+      "revenue. Both date filters reach their scans as PushedFilters.", q3Sql),
+    tpch("tpch_q5", "TPC-H Q5 local-supplier volume: 6-table star with the " +
+      "c_nationkey = s_nationkey locality constraint; dims broadcast, " +
+      "facts shuffle once on orderkey.", q5Sql),
+    tpch("tpch_q6", "TPC-H Q6 revenue forecast: pure scan-filter-aggregate " +
+      "— the pushdown/codegen benchmark (no join, no shuffle beyond the " +
+      "final 1-row combine).", q6Sql),
+    tpch("tpch_q7", "TPC-H Q7 volume shipping, region-pair form (the " +
+      "corpus's 10-supplier sf0.001 makes any fixed nation pair empty): " +
+      "directional ASIA↔AMERICA flows by ship year.", q7Sql),
+    tpch("tpch_q8", "TPC-H Q8 national market share: 8-table star + " +
+      "conditional-share aggregation; the CASE rides the DECIMAL volume " +
+      "so the ratio is partition-order independent.", q8Sql),
+    tpch("tpch_q10", "TPC-H Q10 returned-item reporting (minus the " +
+      "address/phone columns the corpus lacks): one quarter of 'R' " +
+      "returns, top-20 customers by lost revenue.", q10Sql),
+    tpch("tpch_q14", "TPC-H Q14 promotion effect: month-windowed " +
+      "lineitem ⋈ part with a conditional revenue share (p_type equality " +
+      "— the synthetic domain has no 'PROMO%' prefixes).", q14Sql),
+    tpch("tpch_q18", "TPC-H Q18 large-volume customers: IN-subquery over " +
+      "a grouped HAVING (decorrelates to a semi-join on the aggregated " +
+      "orderkeys), quantity threshold adapted to the corpus's ≤7 lines " +
+      "per order.", q18Sql)
+  )
+}
