@@ -167,6 +167,38 @@ object TpchQueries {
        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  val q13Sql: String =
+    s"""SELECT c_count, count(*) AS custdist
+       |FROM (
+       |  SELECT c_custkey, count(o_orderkey) AS c_count
+       |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |  GROUP BY c_custkey
+       |) c_orders
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  val q15Sql: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    ${dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, ${r4("total_revenue")} AS total_revenue
+       |FROM supplier, revenue
+       |WHERE s_suppkey = supplier_no
+       |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  val q17Sql: String =
+    s"""SELECT ${r4(s"CAST(${dsum("l_extendedprice")} AS DOUBLE) / 7.0")} AS avg_yearly
+       |FROM lineitem l, part p
+       |WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+       |  AND l.l_quantity < (
+       |    SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+       |                  / count(*))
+       |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+
   val defs: Seq[Q] = Seq(
     tpch("tpch_q1", "TPC-H Q1 pricing summary: full-scan groupBy over 4 " +
       "decimal-exact sums + 3 averages — partial aggregation does almost " +
@@ -195,6 +227,16 @@ object TpchQueries {
     tpch("tpch_q18", "TPC-H Q18 large-volume customers: IN-subquery over " +
       "a grouped HAVING (decorrelates to a semi-join on the aggregated " +
       "orderkeys), quantity threshold adapted to the corpus's ≤7 lines " +
-      "per order.", q18Sql)
+      "per order.", q18Sql),
+    tpch("tpch_q13", "TPC-H Q13 customer order distribution (minus the " +
+      "o_comment exclusion — the corpus has no comments): left join keeps " +
+      "zero-order customers, double aggregation builds the histogram.", q13Sql),
+    tpch("tpch_q15", "TPC-H Q15 top supplier: CTE revenue view + scalar " +
+      "max subquery; DECIMAL revenue makes the max-equality exact, ties " +
+      "surface as extra rows ordered by s_suppkey.", q15Sql),
+    tpch("tpch_q17", "TPC-H Q17 small-quantity revenue (brand-only — the " +
+      "corpus lacks p_container): correlated per-part average decorrelates " +
+      "to an aggregate + join, never a per-row re-scan; the avg rides " +
+      "DECIMAL-sum/count so both engines compare identical thresholds.", q17Sql)
   )
 }
