@@ -24,16 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Free the block-manager storage behind a localCheckpoint'd DataFrame
-    * once the next round no longer reads it — otherwise every round's
-    * label table stays cached until driver GC + ContextCleaner get to it,
-    * and peak storage grows O(rounds × |V|) on big graphs.
-    */
+  // Free each round's dead checkpoint storage eagerly (peak would otherwise
+  // grow O(rounds × |V|)); shared helper, see graft.util.Checkpoints.
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+    graft.util.Checkpoints.unpersist(df)
 
   /** @return (id, component) for every vertex that appears in an edge;
     *         isolated vertices don't appear (union them in with

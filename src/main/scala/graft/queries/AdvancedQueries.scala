@@ -189,7 +189,8 @@ object AdvancedQueries {
              |        p.event_id ASC NULLS LAST) AS rn
              |  FROM (SELECT * FROM events WHERE event_type = 'click') c
              |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-             |    ON p.user_id = c.user_id) t
+             |    ON p.user_id = c.user_id
+             |      AND c.ts IS NOT NULL AND p.ts IS NOT NULL) t
              |WHERE rn = 1 ORDER BY click_id""".stripMargin)
     ),
     Q(

@@ -32,12 +32,22 @@ object TpchQueries {
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
 
   /** Run `sqlText` in Spark with every bare corpus table name rewritten to
-    * a per-tag temp view over the same parquet. Word-boundary replace is
-    * safe here: column names join fragments with '_' (a word character),
-    * so `\bpart\b` cannot match inside `p_partkey`.
+    * a per-tag temp view over the same parquet. The rewrite's real
+    * contract: column names can't collide (fragments join with '_', a word
+    * character, so `\bpart\b` never matches inside `p_partkey`), and
+    * renaming an ALIAS that happens to equal a table name is harmless only
+    * because definition and every use rename together — but a table word
+    * inside a string LITERAL would be silently corrupted on the Spark side
+    * while DuckDB runs the original text. The guard below rejects that
+    * case outright instead of diverging the two engines.
     */
   private def run(s: SparkSession, d: String, tag: String,
                   sqlText: String): DataFrame = {
+    "'[^']*'".r.findAllIn(sqlText).foreach { lit =>
+      require(!tableNames.exists(n => ("\\b" + n + "\\b").r.findFirstIn(lit).isDefined),
+        s"TPC-H rewrite would corrupt string literal $lit — rename the " +
+          "literal or bypass the rewrite for this query")
+    }
     var q = sqlText
     tableNames.foreach { n =>
       if (("""\b""" + n + """\b""").r.findFirstIn(q).isDefined) {
@@ -122,11 +132,11 @@ object TpchQueries {
 
   val q8Sql: String =
     s"""SELECT o_year,
-       |  ${r4("CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) / CAST(sum(volume) AS DOUBLE)")} AS mkt_share
+       |  ${r4("CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) / CAST(sum(volume) AS DOUBLE)")} AS mkt_share
        |FROM (
        |  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume,
-       |    n2.n_name AS nation
+       |    n2.n_name AS supp_nation
        |  FROM part, supplier, lineitem, orders, customer,
        |    nation n1, nation n2, region
        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey

@@ -333,10 +333,7 @@ object EventStreams {
   def mergeBatchUpsert(batch0: DataFrame, table: String, keyCol: String,
                        tsCol: String, seqCol: String, nBuckets: Int): Unit = {
     val spark = batch0.sparkSession
-    def unpersistCk(df: DataFrame): Unit = df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+    def unpersistCk(df: DataFrame): Unit = graft.util.Checkpoints.unpersist(df)
     // winner per key = max (ts, seq) — a deterministic total order, so
     // replays and speculative retries resolve ties identically
     val w = org.apache.spark.sql.expressions.Window

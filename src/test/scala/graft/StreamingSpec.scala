@@ -296,15 +296,21 @@ class StreamingSpec extends AnyFunSuite {
           "user_id", "version", "_b", nBuckets = 8)
       }
       .start()
-    q.awaitTermination(120000)
-    val want = spark.read.schema(EventStreams.eventSchema).parquet(eventDir)
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"),
-        sum((col("value") * 100).cast("long")).as("cents"))
-    val got = spark.table(table).select("user_id", "n_events", "cents")
-    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
-      "converged merge table must equal the batch aggregate")
-    spark.sql(s"DROP TABLE $table")
+    try {
+      // a false return means timeout with the stream STILL RUNNING — assert
+      // loudly instead of comparing against a half-converged table
+      assert(q.awaitTermination(120000), "materialized-view stream timed out")
+      val want = spark.read.schema(EventStreams.eventSchema).parquet(eventDir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("value") * 100).cast("long")).as("cents"))
+      val got = spark.table(table).select("user_id", "n_events", "cents")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "converged merge table must equal the batch aggregate")
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
   }
 
   test("mergeToTable: streamed micro-batches converge to global latest-wins") {
