@@ -499,6 +499,49 @@ object Round4bQueries {
              |FROM q ORDER BY vec_id""".stripMargin)
     ),
     Q(
+      "x18_incremental_dedup",
+      "Incremental dedup: an incoming batch (doc_id ≡ 9 mod 10) checked " +
+        "against the existing corpus by fingerprint equi-join PLUS " +
+        "within-batch self-dedup — never re-clustering the corpus. Each " +
+        "incoming doc reports its match count in the corpus, its " +
+        "within-batch duplicate group's canonical id, and the verdict " +
+        "(keep the batch-canonical of unseen fingerprints). At 100 TB the " +
+        "corpus side is a pre-built fingerprint index; daily cost is " +
+        "O(batch), not O(corpus) — the batch form of what dd_cluster does " +
+        "wholesale.",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          substring(lower(trim(col("text"))), 1, 60).as("fp"))
+        val incoming = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+        val corpusHits = incoming.join(
+            corpus.select(col("fp"), lit(1).as("hit")), Seq("fp"), "left")
+          .groupBy(col("doc_id"), col("fp"))
+          .agg(count(col("hit")).as("n_corpus_dups"))
+        val batchCanon = incoming.groupBy("fp")
+          .agg(min(col("doc_id")).as("batch_canonical"))
+        corpusHits.join(batchCanon, "fp")
+          .select(col("doc_id"), col("n_corpus_dups"), col("batch_canonical"),
+            (col("n_corpus_dups") === 0 &&
+              col("doc_id") === col("batch_canonical")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |    substring(lower(trim(text)), 1, 60) AS fp FROM documents),
+             |incoming AS (SELECT * FROM f WHERE doc_id % 10 = 9),
+             |corpus AS (SELECT * FROM f WHERE doc_id % 10 <> 9),
+             |hits AS (
+             |  SELECT i.doc_id, i.fp, count(c.fp) AS n_corpus_dups
+             |  FROM incoming i LEFT JOIN corpus c ON i.fp = c.fp
+             |  GROUP BY i.doc_id, i.fp),
+             |canon AS (SELECT fp, min(doc_id) AS batch_canonical
+             |          FROM incoming GROUP BY fp)
+             |SELECT h.doc_id, h.n_corpus_dups, canon.batch_canonical,
+             |  (h.n_corpus_dups = 0 AND h.doc_id = canon.batch_canonical) AS keep
+             |FROM hits h JOIN canon ON h.fp = canon.fp
+             |ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "x14_incremental_agg",
       "Incremental aggregation by partial-state merge: pre-1998 base " +
         "partials and 1998+ delta partials (count + DECIMAL sum each) " +

@@ -253,6 +253,30 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-evolution column values must survive compaction")
   }
 
+  test("retention: partitions older than the horizon dropped, newer intact") {
+    import graft.ingest.Retention
+    val dir = tmp()
+    // three ingestion days into one table
+    for (day <- Seq("2026-08-01", "2026-08-05", "2026-08-12")) {
+      write(dir, "leads_ret.csv", batch1)
+      Ingest.ingestFile(spark, dir.resolve("leads_ret.csv").toString,
+        Date.valueOf(day))
+    }
+    assert(spark.table("leads_ret").count() == 6)
+    val dropped = Retention.dropExpiredPartitions(
+      spark, "leads_ret", keepDays = 7, asOf = Date.valueOf("2026-08-12"))
+    assert(dropped == Seq(Date.valueOf("2026-08-01")),
+      s"only the 11-day-old partition expires: $dropped")
+    val t = spark.table("leads_ret")
+    assert(t.count() == 4)
+    assert(t.where("Ingestion_date = date'2026-08-01'").count() == 0)
+    assert(t.where("Ingestion_date = date'2026-08-05'").count() == 2)
+    // idempotent: nothing more to drop
+    assert(Retention.dropExpiredPartitions(spark, "leads_ret", 7,
+      Date.valueOf("2026-08-12")).isEmpty)
+    spark.sql("DROP TABLE leads_ret")
+  }
+
   test("compactTable: partition-wise compaction of a managed partitioned table") {
     import graft.ingest.Compaction
     import org.apache.spark.sql.functions.{col, lit, pmod}
