@@ -291,6 +291,19 @@ object EventStreams {
       .toDF("user_id", "total_cents", "n_events")
   }
 
+  /** Stream-static enrichment join: each micro-batch of events joined to a
+    * static dimension (the customer table standing in for a user dim).
+    * The static side is planned per micro-batch — under the broadcast
+    * threshold it broadcasts, so the stream never shuffles; a dim too big
+    * to broadcast upgrades this to a shuffle per batch, at which point you
+    * pre-bucket the dim on the key. No watermark needed: the static side
+    * never changes mid-query, so there is no join state to bound.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String = "user_id",
+                    dimKey: String = "c_custkey"): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Streaming CDC apply: foreachBatch upsert of each micro-batch into a
     * key-bucketed table with latest-wins semantics (MERGE INTO on plain
     * parquet tables — the streaming form of r10_merge_upsert).

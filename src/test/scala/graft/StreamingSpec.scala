@@ -235,6 +235,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.length == batchIds)
   }
 
+  test("stream-static enrichment join converges to the batch join") {
+    val dim = Tables.customer(spark, TestSpark.sf0001)
+      .select("c_custkey", "c_mktsegment")
+    val got = runComplete(ev =>
+      EventStreams.enrichWithDim(
+        ev.select("event_id", "user_id"), dim)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n")))
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    val want = spark.read.schema(EventStreams.eventSchema).parquet(eventDir)
+      .select("event_id", "user_id")
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
   /** Expected state of the merge table: per user, the event with the
     * greatest (ts, event_id).
     */

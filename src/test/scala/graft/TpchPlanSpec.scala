@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.QueryCatalog
+
+/** Plan-shape assertions for the TPC-H block — the `.explain("formatted")`
+  * contract, pinned: filters reach the scans, tiny dims broadcast, no
+  * nested loops, and the scan-only query stays shuffle-free until its
+  * 1-row combine.
+  */
+class TpchPlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def plan(name: String): String =
+    QueryCatalog.byName(name).build(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("tpch_q6: pure scan-filter-aggregate — no join, filters pushed") {
+    val p = plan("tpch_q6")
+    assert(!p.contains("Join"), s"q6 must not join:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate bounds must reach the parquet scan:\n$p")
+  }
+
+  test("tpch_q3: both date filters pushed to their scans") {
+    val p = plan("tpch_q3")
+    assert(p.contains("LessThan(o_orderdate") || p.contains("lt(o_orderdate"),
+      s"orders date filter not pushed:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate") || p.contains("gt(l_shipdate"),
+      s"lineitem date filter not pushed:\n$p")
+  }
+
+  test("tpch_q5: star join broadcasts at least the nation/region dims") {
+    val p = plan("tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast in the star join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"star join must stay equi:\n$p")
+  }
+
+  test("tpch_q17: correlated average decorrelates to an aggregate join, no re-scan loop") {
+    val p = plan("tpch_q17")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"correlated subquery must decorrelate:\n$p")
+    assert(p.contains("HashAggregate"), s"expected the per-part aggregate:\n$p")
+  }
+
+  test("tpch_q18: HAVING subquery becomes a join, never a per-row scan") {
+    val p = plan("tpch_q18")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"IN-subquery must decorrelate:\n$p")
+  }
+}
