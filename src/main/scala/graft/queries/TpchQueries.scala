@@ -5,9 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
 
 /** TPC-H on the corpus — the standard analytic suite, adapted to the
-  * driver's slimmed schema (no partsupp; lineitem lacks commit/receipt
-  * dates and shipmode; q2/q4/q9/q11/q12/q16/q19/q20/q21/q22 need those
-  * and are out of corpus reach — every other classic query is declared).
+  * driver's slimmed schema: 14 of 22 classics declared (q4 and q19 in
+  * column-adapted forms). The remaining 8 (q2/q9/q11/q16/q20 need
+  * partsupp; q12/q21 need commit/receipt/shipmode; q22 needs c_phone)
+  * are genuinely out of corpus reach.
   * Adaptations beyond column availability: literals re-anchored to the
   * corpus's 1995-2001 date span and synthetic domains (p_type is a plain
   * category so q14 matches 'PROMO' by equality; q7 aggregates region
@@ -209,6 +210,28 @@ object TpchQueries {
        |                  / count(*))
        |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin
 
+  val q4Sql: String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+       |FROM orders o
+       |WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+       |  AND EXISTS (
+       |    SELECT 1 FROM lineitem l
+       |    WHERE l.l_orderkey = o.o_orderkey
+       |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  val q19Sql: String =
+    s"""SELECT ${r4(dsum("l_extendedprice * (1 - l_discount)"))} AS revenue
+       |FROM lineitem, part
+       |WHERE p_partkey = l_partkey AND (
+       |     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       |      AND l_quantity BETWEEN 1 AND 20)
+       |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       |      AND l_quantity BETWEEN 5 AND 30)
+       |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       |      AND l_quantity BETWEEN 10 AND 40))""".stripMargin
+
   val defs: Seq[Q] = Seq(
     tpch("tpch_q1", "TPC-H Q1 pricing summary: full-scan groupBy over 4 " +
       "decimal-exact sums + 3 averages — partial aggregation does almost " +
@@ -247,6 +270,14 @@ object TpchQueries {
     tpch("tpch_q17", "TPC-H Q17 small-quantity revenue (brand-only — the " +
       "corpus lacks p_container): correlated per-part average decorrelates " +
       "to an aggregate + join, never a per-row re-scan; the avg rides " +
-      "DECIMAL-sum/count so both engines compare identical thresholds.", q17Sql)
+      "DECIMAL-sum/count so both engines compare identical thresholds.", q17Sql),
+    tpch("tpch_q4", "TPC-H Q4 order-priority checking, shipdate-lag form " +
+      "(the corpus lacks commit/receipt dates — 'shipped >60 days after " +
+      "ordering' keeps the late-order EXISTS shape): correlated EXISTS " +
+      "decorrelates to a left-semi join.", q4Sql),
+    tpch("tpch_q19", "TPC-H Q19 discounted revenue, brand/size/quantity " +
+      "band form (no container/shipmode columns): the OR-of-ANDs " +
+      "disjunction — only p_partkey = l_partkey is pushable into the " +
+      "join; the bands evaluate post-join as one codegen'd predicate.", q19Sql)
   )
 }
