@@ -78,6 +78,23 @@ object DedupQueries {
       |          JOIN cnt ca ON doc_a = ca.doc_id
       |          JOIN cnt cb ON doc_b = cb.doc_id)""".stripMargin
 
+  /** Connected-component labels over the >=0.2-Jaccard graph, shared by
+    * dd_cluster and x17_dedup_survivorship — one cached computation per
+    * (session, corpus): the label propagation is an eager multi-job loop,
+    * and each consumer re-running it doubled the dedup family's cost.
+    * Deliberate deviation from the cache's plan-only contract: CC's jobs
+    * DO run under the cache lock — serializing concurrent builders of the
+    * same labels is exactly the point (two racing CC runs would each pay
+    * the full iteration cost).
+    */
+  private val labelCache = new graft.util.PersistedTableCache(maxEntries = 4)
+  def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    labelCache.getOrElseUpdate(s, "cc:" + d) {
+      graft.operators.ConnectedComponents.components(
+        ngramJaccardPairs(s, d).where(col("jaccard") >= 0.2), "doc_a", "doc_b")
+    }
+
   /** Shared continuation: jaccard pairs → transitive closure → per-doc
     * component labels (comp.id, comp.component). One definition so
     * dd_cluster and the survivorship query can never drift.
@@ -132,10 +149,7 @@ object DedupQueries {
         "one cluster even when A!~C. Oracle is a recursive-CTE transitive " +
         "closure over the same pair table.",
       (s, d) => {
-        val edges = DedupQueries.ngramJaccardPairs(s, d)
-          .where(col("jaccard") >= 0.2)
-        val comp = graft.operators.ConnectedComponents
-          .components(edges, "doc_a", "doc_b")
+        val comp = DedupQueries.clusterLabels(s, d)
         Tables.documents(s, d).select(col("doc_id"))
           .join(comp, col("doc_id") === col("id"), "left")
           .select(col("doc_id"),
@@ -157,10 +171,7 @@ object DedupQueries {
         "the 'keep the longest copy' policy a training corpus actually " +
         "wants, vs dd_cluster's min-id canonical label.",
       (s, d) => {
-        val edges = DedupQueries.ngramJaccardPairs(s, d)
-          .where(col("jaccard") >= 0.2)
-        val comp = graft.operators.ConnectedComponents
-          .components(edges, "doc_a", "doc_b")
+        val comp = DedupQueries.clusterLabels(s, d)
         val nTok = size(split(col("text"), " ")).cast(LongType)
         val labeled = Tables.documents(s, d)
           .select(col("doc_id"), nTok.as("n_tokens"))

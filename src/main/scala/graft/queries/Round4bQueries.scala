@@ -499,6 +499,35 @@ object Round4bQueries {
              |FROM q ORDER BY vec_id""".stripMargin)
     ),
     Q(
+      "w9_interval_frame",
+      "RANGE frame with an INTERVAL boundary: per-customer rolling 30-day " +
+        "order count and DECIMAL-exact spend directly on the timestamp " +
+        "ordering — the SQL-standard sibling of w5's epoch-seconds " +
+        "rangeBetween (no manual epoch conversion; the frame is " +
+        "value-based, so equal dates share one frame regardless of row " +
+        "order — what makes it deterministic without a tiebreak column).",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_w9")
+        s.sql(
+          """SELECT o_orderkey, o_custkey,
+            |  count(*) OVER w AS n_30d,
+            |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+            |        * 10000 + 0.5) / 10000 AS spend_30d
+            |FROM orders_w9
+            |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+            |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  count(*) OVER w AS n_30d,
+             |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             |        * 10000 + 0.5) / 10000 AS spend_30d
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "x18_incremental_dedup",
       "Incremental dedup: an incoming batch (doc_id ≡ 9 mod 10) checked " +
         "against the existing corpus by fingerprint equi-join PLUS " +
