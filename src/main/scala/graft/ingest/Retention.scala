@@ -31,15 +31,36 @@ object Retention {
     require(keepDays >= 0, "keepDays must be >= 0")
     val cutoff = Date.valueOf(asOf.toLocalDate.minusDays(keepDays.toLong))
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    // Case-insensitive column match (Hive metastores lowercase partition
+    // column names), and a LOUD failure when the table isn't partitioned
+    // on the audit column at all — a silent no-op here means data past
+    // the horizon is retained forever with nobody noticing.
+    val partCols = spark.sessionState.catalog.getTableMetadata(ident)
+      .partitionColumnNames
+    val dateCol = partCols.find(_.equalsIgnoreCase("Ingestion_date"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"retention: $table is not partitioned by Ingestion_date " +
+          s"(partition columns: ${partCols.mkString(", ")})"))
     val expired = spark.sessionState.catalog.listPartitions(ident)
-      .flatMap(_.spec.get("Ingestion_date"))
-      .map(Date.valueOf)
+      .flatMap(_.spec.find { case (k, _) => k.equalsIgnoreCase(dateCol) }
+        .map(_._2))
+      .flatMap { v =>
+        // the null/default partition and malformed values are skipped
+        // (loudly), never allowed to abort expiry of valid partitions
+        try Some(Date.valueOf(v))
+        catch {
+          case _: IllegalArgumentException =>
+            System.err.println(
+              s"[retention] skipping unparseable $dateCol partition '$v' of $table")
+            None
+        }
+      }
       .filter(_.before(cutoff))
       .sortBy(_.toLocalDate.toEpochDay)
     expired.foreach { d =>
       // PURGE skips any trash/recycle layer — expiry means gone
       spark.sql(
-        s"ALTER TABLE $table DROP IF EXISTS PARTITION (Ingestion_date = '$d') PURGE")
+        s"ALTER TABLE $table DROP IF EXISTS PARTITION ($dateCol = '$d') PURGE")
     }
     expired
   }

@@ -293,16 +293,18 @@ object EventStreams {
 
   /** Stream-static enrichment join: each micro-batch of events joined to a
     * static dimension (the customer table standing in for a user dim).
-    * The static side is planned per micro-batch — under the broadcast
-    * threshold it broadcasts, so the stream never shuffles; a dim too big
-    * to broadcast upgrades this to a shuffle per batch, at which point you
-    * pre-bucket the dim on the key. No watermark needed: the static side
-    * never changes mid-query, so there is no join state to bound.
+    * No hint on purpose: the static side is planned per micro-batch, so
+    * under spark.sql.autoBroadcastJoinThreshold it broadcasts (the stream
+    * never shuffles), and a dim too big to broadcast degrades to a
+    * shuffle per batch instead of a forced-broadcast driver OOM — at that
+    * point you pre-bucket the dim on the key. No watermark needed: the
+    * static side never changes mid-query, so there is no join state to
+    * bound.
     */
   def enrichWithDim(events: DataFrame, dim: DataFrame,
                     eventKey: String = "user_id",
                     dimKey: String = "c_custkey"): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+    events.join(dim, col(eventKey) === col(dimKey), "left")
 
   /** Streaming CDC apply: foreachBatch upsert of each micro-batch into a
     * key-bucketed table with latest-wins semantics (MERGE INTO on plain
