@@ -329,6 +329,57 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("property: any batch split and application order converges to latest-wins") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // random (key, ts-offset, seq, value) rows with deliberate key and
+    // timestamp collisions (small domains), random 3-way batch split,
+    // random application order — the merge must always equal latest-wins
+    val rowGen = for {
+      key <- Gen.choose(0L, 5L)
+      tsOff <- Gen.choose(0L, 3L) // collides often → tiebreak exercised
+      value <- Gen.choose(-1000, 1000).map(_ / 100.0)
+    } yield (key, tsOff, 0L, value)
+    val caseGen = for {
+      rows <- Gen.listOfN(40, rowGen)
+      assignment <- Gen.listOfN(40, Gen.choose(0, 2))
+      order <- Gen.oneOf(Seq(0, 1, 2), Seq(2, 1, 0), Seq(1, 2, 0), Seq(2, 0, 1))
+    } yield (rows, assignment, order)
+    (0 until 4).foreach { i =>
+      val (rows0, assignment, order) =
+        caseGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      // seq = row index: unique per row, so (ts, seq) is a total order and
+      // latest-wins has exactly one right answer per key
+      val rows = rows0.zipWithIndex.map { case ((k, t, _, v), idx) =>
+        (k, t, idx.toLong, v)
+      }
+      val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      val df = rows.map { case (k, t, q, v) =>
+        (k, new java.sql.Timestamp(base + t * 60000L), q, v)
+      }.toDF("user_id", "ts", "event_id", "value")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val table = s"t_merge_prop_${i}_" + System.nanoTime()
+      val batches = assignment.zip(rows).groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      order.foreach { b =>
+        val rs = batches.getOrElse(b, Nil)
+        if (rs.nonEmpty) {
+          val bdf = rs.map { case (k, t, q, v) =>
+            (k, new java.sql.Timestamp(base + t * 60000L), q, v)
+          }.toDF("user_id", "ts", "event_id", "value")
+            .withColumn("ts", col("ts").cast("timestamp_ntz"))
+          EventStreams.mergeBatchUpsert(bdf, table, "user_id", "ts", "event_id", 4)
+        }
+      }
+      val got = spark.table(table).drop("_bucket")
+      val want = latestPerUser(df)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"case $i: merge diverged from latest-wins (order=$order)")
+      spark.sql(s"DROP TABLE $table")
+    }
+  }
+
   test("mergeToTable: streamed micro-batches converge to global latest-wins") {
     val table = "t_merge_stream_" + System.nanoTime()
     val ckpt = Files.createTempDirectory("graft-merge-ckpt").toString
