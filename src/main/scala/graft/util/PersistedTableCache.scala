@@ -21,8 +21,13 @@ import org.apache.spark.storage.StorageLevel
   *    (and skipped for unpersist) inside the same lock that serves lookups —
   *    no check-then-act window where a stopped entry is returned.
   *
-  * All operations take one coarse lock: only *plan construction* happens
-  * under it (persist() is lazy), never job execution.
+  * All operations take one coarse lock. The default contract is that only
+  * *plan construction* happens under it (persist() is lazy), never job
+  * execution — with one sanctioned exception: a builder whose value IS an
+  * eagerly-computed result (DedupQueries.clusterLabels runs the iterative
+  * connected-components jobs) may hold the lock through those jobs, because
+  * serializing concurrent builders of the same entry is precisely what
+  * stops two sessions racing to pay the full computation twice.
   */
 final class PersistedTableCache(maxEntries: Int,
                                 level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
