@@ -50,6 +50,7 @@ object GraftSession {
     val spark = builder(appName, defaultCpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftFunctions.register(spark)
+    graft.plans.LevenshteinBandRule.install(spark)
     spark
   }
 }
