@@ -499,6 +499,50 @@ object Round4bQueries {
              |FROM q ORDER BY vec_id""".stripMargin)
     ),
     Q(
+      "x19_event_funnel",
+      "Ordered-event funnel: users who viewed, then clicked AFTER their " +
+        "first view, then purchased AFTER that first qualifying click — " +
+        "per-stage user counts plus stage-to-stage conversion. Each stage " +
+        "is one groupBy-min over the co-partitioned (user) events joined " +
+        "to the previous stage's timestamps — O(stages) hash joins on the " +
+        "user key, never a per-user sequence scan; the product-analytics " +
+        "shape (funnel/retention) beside st4's sessionization.",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def stage(t: String) = ev.where(col("event_type") === t)
+        val v = stage("view").groupBy(col("user_id"))
+          .agg(min(col("ts")).as("vt"))
+        val c = stage("click").join(v, "user_id")
+          .where(col("ts") > col("vt"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("ct"))
+        val p = stage("purchase").join(c, "user_id")
+          .where(col("ts") > col("ct"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+        val nv = v.count(); val nc = c.count(); val np = p.count()
+        s.range(1).select(
+          lit(nv).as("n_view"),
+          lit(nc).as("n_click_after_view"),
+          lit(np).as("n_purchase_after_click"),
+          round(lit(nc.toDouble) / nv, 4).as("view_to_click"),
+          round(lit(np.toDouble) / nc, 4).as("click_to_purchase"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+             |          WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.ts) AS ct
+             |      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.vt
+             |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts) AS pt
+             |      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.ct
+             |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+             |SELECT (SELECT count(*) FROM v) AS n_view,
+             |  (SELECT count(*) FROM c) AS n_click_after_view,
+             |  (SELECT count(*) FROM p) AS n_purchase_after_click,
+             |  floor(CAST((SELECT count(*) FROM c) AS DOUBLE)
+             |        / (SELECT count(*) FROM v) * 10000 + 0.5) / 10000 AS view_to_click,
+             |  floor(CAST((SELECT count(*) FROM p) AS DOUBLE)
+             |        / (SELECT count(*) FROM c) * 10000 + 0.5) / 10000 AS click_to_purchase""".stripMargin)
+    ),
+    Q(
       "w9_interval_frame",
       "RANGE frame with an INTERVAL boundary: per-customer rolling 30-day " +
         "order count and DECIMAL-exact spend directly on the timestamp " +
