@@ -26,7 +26,17 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Convergence: optimizer batches run to fixpoint, so the rule must not
   * re-guard its own output — it skips any comparison already conjoined
-  * with a structurally-equal guard.
+  * with a structurally-equal guard (checked condition-wide: a guard in a
+  * different OR branch suppresses a second injection — conservative, never
+  * wrong, occasionally misses a branch).
+  *
+  * Scope, deliberately narrow: FILTER conditions with the two-argument
+  * levenshtein on either side of an integer literal. The THRESHOLD form
+  * `levenshtein(a, b, t)` is explicitly excluded — it returns -1 past the
+  * threshold, so `-1 <= k` can be TRUE for rows the length band excludes
+  * and the guard would wrongly drop them. Join conditions and cast-wrapped
+  * literals are future work (missed optimization only, never wrong
+  * results).
   */
 object LevenshteinBandRule extends Rule[LogicalPlan] {
 
@@ -41,12 +51,22 @@ object LevenshteinBandRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, _) =>
+      // threshold-form levenshtein(a, b, t) returns -1 past t — the band
+      // implication does NOT hold for it (see scaladoc); two-arg form only
+      def eligible(lev: Levenshtein, k: Expression): Boolean =
+        lev.threshold.isEmpty && lev.deterministic && !alreadyGuarded(cond, lev, k)
       val newCond = cond transformUp {
         case orig @ LessThanOrEqual(lev: Levenshtein, k @ Literal(_, IntegerType))
-            if lev.deterministic && !alreadyGuarded(cond, lev, k) =>
+            if eligible(lev, k) =>
           And(guardFor(lev, k), orig)
         case orig @ LessThan(lev: Levenshtein, k @ Literal(_, IntegerType))
-            if lev.deterministic && !alreadyGuarded(cond, lev, k) =>
+            if eligible(lev, k) =>
+          And(guardFor(lev, k), orig)
+        case orig @ GreaterThanOrEqual(k @ Literal(_, IntegerType), lev: Levenshtein)
+            if eligible(lev, k) =>
+          And(guardFor(lev, k), orig)
+        case orig @ GreaterThan(k @ Literal(_, IntegerType), lev: Levenshtein)
+            if eligible(lev, k) =>
           And(guardFor(lev, k), orig)
       }
       if (newCond fastEquals cond) f else f.copy(condition = newCond)

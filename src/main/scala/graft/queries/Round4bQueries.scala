@@ -518,13 +518,24 @@ object Round4bQueries {
         val p = stage("purchase").join(c, "user_id")
           .where(col("ts") > col("ct"))
           .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
-        val nv = v.count(); val nc = c.count(); val np = p.count()
+        // stage counts: cache the shared prefixes (p's plan embeds c's,
+        // which embeds v's — uncached, events would be re-scanned ~6×)
+        v.cache(); c.cache()
+        val (nv, nc, np) =
+          try (v.count(), c.count(), p.count())
+          finally { c.unpersist(false); v.unpersist(false) }
+        // empty-stage divisions computed driver-side as NULL to match the
+        // oracle's NULLIF guard (Spark ansi=false x/0→NULL vs DuckDB
+        // IEEE inf/nan would otherwise diverge)
+        def rate(num: Long, den: Long) =
+          if (den == 0) lit(null).cast(DoubleType)
+          else round(lit(num.toDouble / den), 4)
         s.range(1).select(
           lit(nv).as("n_view"),
           lit(nc).as("n_click_after_view"),
           lit(np).as("n_purchase_after_click"),
-          round(lit(nc.toDouble) / nv, 4).as("view_to_click"),
-          round(lit(np.toDouble) / nc, 4).as("click_to_purchase"))
+          rate(nc, nv).as("view_to_click"),
+          rate(np, nc).as("click_to_purchase"))
       },
       Some("""WITH v AS (SELECT user_id, min(ts) AS vt FROM events
              |          WHERE event_type = 'view' GROUP BY user_id),
@@ -538,9 +549,9 @@ object Round4bQueries {
              |  (SELECT count(*) FROM c) AS n_click_after_view,
              |  (SELECT count(*) FROM p) AS n_purchase_after_click,
              |  floor(CAST((SELECT count(*) FROM c) AS DOUBLE)
-             |        / (SELECT count(*) FROM v) * 10000 + 0.5) / 10000 AS view_to_click,
+             |        / NULLIF((SELECT count(*) FROM v), 0) * 10000 + 0.5) / 10000 AS view_to_click,
              |  floor(CAST((SELECT count(*) FROM p) AS DOUBLE)
-             |        / (SELECT count(*) FROM c) * 10000 + 0.5) / 10000 AS click_to_purchase""".stripMargin)
+             |        / NULLIF((SELECT count(*) FROM c), 0) * 10000 + 0.5) / 10000 AS click_to_purchase""".stripMargin)
     ),
     Q(
       "w9_interval_frame",

@@ -25,9 +25,12 @@ import org.apache.spark.storage.StorageLevel
   * *plan construction* happens under it (persist() is lazy), never job
   * execution — with one sanctioned exception: a builder whose value IS an
   * eagerly-computed result (DedupQueries.clusterLabels runs the iterative
-  * connected-components jobs) may hold the lock through those jobs, because
-  * serializing concurrent builders of the same entry is precisely what
-  * stops two sessions racing to pay the full computation twice.
+  * connected-components jobs) may hold the lock through those jobs. Note
+  * the cost honestly: the lock is GLOBAL, so an eager build also blocks
+  * lookups of unrelated entries for its duration — acceptable in this
+  * engine's effectively single-tenant sessions; per-key striping
+  * (computeIfAbsent on a future per entry) is the upgrade path if cache
+  * users ever run concurrently.
   */
 final class PersistedTableCache(maxEntries: Int,
                                 level: StorageLevel = StorageLevel.MEMORY_AND_DISK) {

@@ -16,7 +16,10 @@ class LevenshteinBandSpec extends AnyFunSuite {
     .select("p_partkey")
 
   test("rule injects the band guard into the optimized plan") {
-    LevenshteinBandRule.install(spark) // idempotent; TestSpark already has it
+    // install here (idempotent) — TestSpark's session registers functions
+    // but not the rule; after this the rule stays active for suites sharing
+    // the session, which mirrors every GraftSession-built production session
+    LevenshteinBandRule.install(spark)
     val plan = filtered.queryExecution.optimizedPlan.toString
     assert(plan.contains("levenshtein"), s"original predicate must survive:\n$plan")
     assert(plan.contains("abs((length(") || plan.contains("abs(length("),
