@@ -62,35 +62,47 @@ object Ann {
     math.sqrt(s)
   }
 
-  /** Exact all-pairs most-similar pairs (id_a < id_b), top-N.
+  /** Exact all-pairs most-similar pairs (id_a < id_b), top-N — blocked
+    * distributed form, the standard block-matrix decomposition of an
+    * all-pairs scan.
     *
-    * Typed implementation: the corpus (with precomputed norms) is broadcast
-    * and each partition scans its rows against the tail of the corpus —
-    * O(n²·d) JIT-compiled flops instead of interpreted per-pair HOF
-    * evaluation (measured 43.7s → ~2s at n=2000, d=64). Broadcasting the
-    * full corpus is O(n·d) memory, which is exactly the regime where an
-    * all-pairs baseline is sane at all; the scale path is `lshTopK`, whose
-    * candidates come from an equality join.
+    * Rows are hashed into `B = ceil(n / rowsPerBlock)` blocks; each row is
+    * replicated to the block-pair keys it participates in (a row in block b
+    * is the LEFT of pairs (b, j≥b) and the RIGHT of pairs (i≤b, b)), and an
+    * equality shuffle on the (pi, pj) key brings exactly two blocks together
+    * per task. Cross-block pairs (pi < pj) appear exactly once; same-block
+    * pairs are deduped by id order. Per-task memory is O(rowsPerBlock·d) —
+    * NOTHING is ever collected to the driver, so corpus size is bounded by
+    * cluster memory, not driver memory. The O(n²·d) flops are inherent to
+    * the exact baseline (that's what "all pairs" means); `lshTopK` is the
+    * sub-quadratic scale path. Norms are computed once per row before
+    * replication; the cosine is the codegen'd native-expression form, whose
+    * sequential IEEE fold is bit-identical to the DuckDB oracle regardless
+    * of pair orientation (float multiply is commutative bit-exact).
+    *
+    * The one eager action is a count() to size the block grid (metadata-cheap
+    * on parquet) — the same kind of pre-planning statistics read AQE does.
     */
-  def allPairsTopN(emb: DataFrame, topN: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val vecs = emb.select(col("vec_id").cast(LongType), col("embedding"))
-      .as[(Long, Array[Float])]
-    val corpus = vecs.collect().sortBy(_._1)
-      .map { case (id, v) => (id, v, l2normLocal(v)) }
-    val bc = spark.sparkContext.broadcast(corpus)
-    val pairs = vecs.repartition(32).mapPartitions { it =>
-      val all = bc.value
-      it.flatMap { case (ida, ea) =>
-        val na = l2normLocal(ea)
-        all.iterator.filter(_._1 > ida).map { case (idb, eb, nb) =>
-          (ida, idb, cosineLocal(ea, eb, na, nb))
-        }
-      }
-    }.toDF("id_a", "id_b", "cos")
-    pairs
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
+  def allPairsTopN(emb: DataFrame, topN: Int, rowsPerBlock: Int = 1024): DataFrame = {
+    import graft.expressions.VectorExpressions.{dotF, normF}
+    val base = emb.select(col("vec_id").cast(LongType).as("vec_id"), col("embedding"))
+    val n = base.count()
+    val numBlocks = math.max(1L, (n + rowsPerBlock - 1) / rowsPerBlock).toInt
+    val blocked = base.select(col("vec_id"), col("embedding"),
+      normF(col("embedding")).as("nrm"),
+      pmod(hash(col("vec_id")), lit(numBlocks)).as("blk"))
+    val left = blocked.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("blk").as("pi"),
+      explode(sequence(col("blk"), lit(numBlocks - 1))).as("pj"))
+    val right = blocked.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("blk").as("pj"),
+      explode(sequence(lit(0), col("blk"))).as("pi"))
+    val cos = dotF(col("ea"), col("eb")) / (col("na") * col("nb"))
+    left.join(right, Seq("pi", "pj"))
+      .where((col("pi") < col("pj")) || (col("ida") < col("idb")))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"),
+        round(cos, 4).as("cosine"))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(topN)
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))

@@ -57,6 +57,40 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.1)
   }
 
+  test("allPairsTopN: blocked grid covers every pair exactly once (multi-block == single-block == local reference)") {
+    // Force a multi-block grid (500 rows / 64-per-block = 8 blocks, 36 block
+    // pairs) and compare against the degenerate single-block run and a local
+    // reference computation. Any missed/duplicated block-pair key would move
+    // the top-10 or its cosines.
+    val multi = Ann.allPairsTopN(emb, topN = 10, rowsPerBlock = 64).collect()
+    val single = Ann.allPairsTopN(emb, topN = 10, rowsPerBlock = Int.MaxValue).collect()
+    assert(multi.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      single.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val local = (for {
+      (ida, ea) <- rows; (idb, eb) <- rows if ida < idb
+    } yield {
+      val c = Ann.cosineLocal(ea, eb, Ann.l2normLocal(ea), Ann.l2normLocal(eb))
+      (ida, idb, math.floor(c * 10000 + 0.5) / 10000)
+    }).sortBy { case (a, b, c) => (-c, a, b) }.take(10)
+    assert(multi.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == local.toSeq)
+  }
+
+  test("allPairsTopN: fully distributed plan — no driver collect, no typed path, no UDF") {
+    // The pre-r5 implementation collected the whole corpus to the driver and
+    // re-emitted it via mapPartitions; that shape shows up in the physical
+    // plan as DeserializeToObject/SerializeFromObject (typed boundary). The
+    // blocked form must be pure relational ops end to end.
+    val plan = Ann.allPairsTopN(emb, topN = 10, rowsPerBlock = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), "typed boundary found:\n" + plan)
+    assert(!plan.contains("SerializeFromObject"), "typed boundary found:\n" + plan)
+    assert(!plan.contains("ScalaUDF"), "UDF found:\n" + plan)
+    assert(plan.contains("Join"), "expected a block-pair join:\n" + plan)
+  }
+
   test("lsh bucket is deterministic") {
     val b1 = emb.select(Ann.lshBucket(col("embedding"), 0).as("b")).collect().map(_.getLong(0))
     val b2 = emb.select(Ann.lshBucket(col("embedding"), 0).as("b")).collect().map(_.getLong(0))
