@@ -1,7 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, udf}
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{BinaryType, LongType}
 
 /** Semi-join reduction with a Bloom filter — the explicit form of the
   * runtime-filter pattern.
@@ -20,9 +24,10 @@ import org.apache.spark.sql.functions.{col, udf}
   * injects the same shape automatically when size thresholds and a
   * selective build-side filter line up; this operator is the explicit
   * version with control over expectedN/fpp, usable regardless of
-  * optimizer thresholds. The per-row probe is a broadcast-closure UDF —
-  * acceptable here because it replaces a full shuffle of the probe side,
-  * not a codegen'd projection.
+  * optimizer thresholds. The per-row probe is Spark's own codegen'd
+  * `BloomFilterMightContain` expression (the one behind the runtime
+  * filter), fed the serialized filter as a binary literal — the probe
+  * stays inside WholeStageCodegen, no UDF boundary on the hot path.
   */
 object BloomPrefilter {
 
@@ -48,8 +53,13 @@ object BloomPrefilter {
                     build: DataFrame, buildKey: String,
                     expectedN: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val bf = build.stat.bloomFilter(buildKey, expectedN, fpp)
-    val bc = probe.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    probe.where(col(probeKey).isNotNull && mightContain(col(probeKey)))
+    // Same wire format both ways: stat.bloomFilter and BloomFilterMightContain
+    // share org.apache.spark.util.sketch.BloomFilter (putLong/mightContainLong
+    // on the Murmur3 long hash), so the serialized bytes round-trip exactly.
+    val bytes = { val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray }
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      Literal.create(bytes, BinaryType),
+      GraftBridge.expression(col(probeKey).cast(LongType))))
+    probe.where(col(probeKey).isNotNull && mightContain)
   }
 }

@@ -452,14 +452,12 @@ object Round4Queries {
         val bytes = toks
           .select(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("cms"))
           .head().getAs[Array[Byte]](0)
-        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
-        val bc = s.sparkContext.broadcast(cms)
-        val estimate = udf((t: String) => bc.value.estimateCount(t))
         toks.groupBy("tok").agg(count(lit(1)).as("exact"))
           .orderBy(col("exact").desc, col("tok").asc)
           .limit(20)
-          // UDF probe runs over exactly 20 rows — not a hot path
-          .withColumn("est", estimate(col("tok")))
+          // codegen'd native probe — no UDF boundary even off the hot path
+          .withColumn("est",
+            graft.expressions.SketchExpressions.cmsEstimate(bytes, col("tok")))
           .select(col("tok"), col("exact"), col("est"))
           .orderBy(col("exact").desc, col("tok").asc)
       },

@@ -107,6 +107,12 @@ class Round4QueriesSpec extends AnyFunSuite {
       assert(est >= exact, s"CMS must never undercount: $r")
       assert(est <= exact + slack, s"CMS overshoot beyond eps*N: $r (N=$totalTokens)")
     }
+    // probe is the native cms_estimate_count expression, not a UDF boundary
+    // (assert on the optimized logical plan — the physical string folds the
+    // projection into TakeOrderedAndProject without printing its expressions)
+    val plan = df("x11_cms_heavy_hitters").queryExecution.optimizedPlan.toString
+    assert(!plan.contains("UDF"), "UDF probe found:\n" + plan)
+    assert(plan.contains("cms_estimate_count"), "native CMS probe missing:\n" + plan)
   }
 
   test("BloomPrefilter.semiJoin is exact; prefilter passes all matches and few extras") {
@@ -120,11 +126,16 @@ class Round4QueriesSpec extends AnyFunSuite {
     assert(got.count() == want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     // prefilter alone: no false negatives, false positives ≈ fpp
-    val pre = BloomPrefilter.prefilterOnly(li, "l_orderkey", big, "o_orderkey",
-      expectedN = 10000L, fpp = 0.01).count()
+    val preDf = BloomPrefilter.prefilterOnly(li, "l_orderkey", big, "o_orderkey",
+      expectedN = 10000L, fpp = 0.01)
+    val pre = preDf.count()
     assert(pre >= want.count(), "bloom filter dropped a true match")
     assert(pre <= want.count() + math.ceil(li.count() * 0.05).toLong,
       s"false-positive rate far above fpp: pre=$pre want=${want.count()}")
+    // probe is Spark's codegen'd might_contain, not a UDF boundary
+    val prePlan = preDf.queryExecution.executedPlan.toString
+    assert(!prePlan.contains("ScalaUDF"), "UDF probe found:\n" + prePlan)
+    assert(prePlan.contains("might_contain"), "native bloom probe missing:\n" + prePlan)
   }
 
   test("x12_global_index: dense 0-based, order-consistent, multi-partition") {
