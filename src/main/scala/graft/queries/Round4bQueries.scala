@@ -518,24 +518,25 @@ object Round4bQueries {
         val p = stage("purchase").join(c, "user_id")
           .where(col("ts") > col("ct"))
           .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
-        // stage counts: cache the shared prefixes (p's plan embeds c's,
-        // which embeds v's — uncached, events would be re-scanned ~6×)
-        v.cache(); c.cache()
-        val (nv, nc, np) =
-          try (v.count(), c.count(), p.count())
-          finally { c.unpersist(false); v.unpersist(false) }
-        // empty-stage divisions computed driver-side as NULL to match the
-        // oracle's NULLIF guard (Spark ansi=false x/0→NULL vs DuckDB
-        // IEEE inf/nan would otherwise diverge)
-        def rate(num: Long, den: Long) =
-          if (den == 0) lit(null).cast(DoubleType)
-          else round(lit(num.toDouble / den), 4)
-        s.range(1).select(
-          lit(nv).as("n_view"),
-          lit(nc).as("n_click_after_view"),
-          lit(np).as("n_purchase_after_click"),
-          rate(nc, nv).as("view_to_click"),
-          rate(np, nc).as("click_to_purchase"))
+        // ONE agg-of-aggs plan, lazy until the caller acts: stage counts
+        // are 1-row global aggregates cross-joined (broadcast of single
+        // rows), rates derived in-plan. NULLIF guards empty stages the
+        // same way the oracle does (ansi=false x/NULL → NULL either way).
+        // The shared v/c prefixes dedup at execution via ReusedExchange —
+        // identical aggregate exchanges are built once per plan, which is
+        // what the pre-r5 cache()+count() dance bought, without the three
+        // eager jobs at build time.
+        val nv = v.agg(count(lit(1)).as("n_view"))
+        val nc = c.agg(count(lit(1)).as("n_click_after_view"))
+        val np = p.agg(count(lit(1)).as("n_purchase_after_click"))
+        nv.crossJoin(nc).crossJoin(np).select(
+          col("n_view"), col("n_click_after_view"), col("n_purchase_after_click"),
+          round(col("n_click_after_view").cast(DoubleType) /
+            nullif(col("n_view").cast(DoubleType), lit(0.0)), 4)
+            .as("view_to_click"),
+          round(col("n_purchase_after_click").cast(DoubleType) /
+            nullif(col("n_click_after_view").cast(DoubleType), lit(0.0)), 4)
+            .as("click_to_purchase"))
       },
       Some("""WITH v AS (SELECT user_id, min(ts) AS vt FROM events
              |          WHERE event_type = 'view' GROUP BY user_id),

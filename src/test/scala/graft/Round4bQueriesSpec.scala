@@ -14,6 +14,28 @@ class Round4bQueriesSpec extends AnyFunSuite {
   private def df(name: String) =
     QueryCatalog.byName(name).build(spark, TestSpark.sf0001)
 
+  test("x19_event_funnel: lazy single plan (no jobs at build), stages monotone, rates consistent") {
+    // Control: a bare table load costs one parquet schema-inference job.
+    // The funnel build (which loads events exactly once) must cost no more —
+    // the pre-r5 form added three eager count() jobs on top.
+    def jobs() = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val b0 = jobs(); Tables.events(spark, TestSpark.sf0001); val controlCost = jobs() - b0
+    val b1 = jobs()
+    val funnel = df("x19_event_funnel")
+    val buildCost = jobs() - b1
+    assert(buildCost <= controlCost,
+      s"x19 build launched $buildCost job(s); read-setup control is $controlCost")
+    val r = funnel.collect()(0)
+    val (nv, nc, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nv >= nc && nc >= np, s"funnel stages must shrink: $r")
+    assert(math.abs(r.getDouble(3) - math.floor(nc.toDouble / nv * 10000 + 0.5) / 10000) < 1e-12)
+    assert(math.abs(r.getDouble(4) - math.floor(np.toDouble / nc * 10000 + 0.5) / 10000) < 1e-12)
+    // the shared v/c aggregate prefixes dedup at execution, not by re-scan
+    funnel.collect()
+    assert(funnel.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "expected exchange reuse across the repeated stage prefixes")
+  }
+
   test("st5_interval_join: every pair same-user with click in (purchase-1h, purchase]") {
     val ev = Tables.events(spark, TestSpark.sf0001)
       .select(col("event_id"), col("ts"), col("user_id"))
