@@ -367,36 +367,57 @@ object EventStreams {
         latestWins(batch).write.partitionBy("_bucket").saveAsTable(table)
         return
       }
-      // INSERT below binds by POSITION — select in the TABLE's column
+      // insertInto below binds by POSITION — select in the TABLE's column
       // order, never the batch's (a reordered batch would silently swap
-      // same-typed columns and NULL-cast the rest under ansi=false)
-      val tableCols = spark.table(table).columns.filterNot(_ == "_bucket")
+      // same-typed columns), and require matching TYPES too: matching names
+      // over different types would silently NULL-cast under ansi=false.
+      val tableFields = spark.table(table).schema.fields.filterNot(_.name == "_bucket")
+      val tableCols = tableFields.map(_.name)
       require(batch0.columns.map(_.toLowerCase).toSet ==
         tableCols.map(_.toLowerCase).toSet,
         s"mergeBatchUpsert: batch columns ${batch0.columns.mkString(",")} " +
           s"must match table columns ${tableCols.mkString(",")}")
+      val batchTypes = batch0.schema.fields
+        .map(f => f.name.toLowerCase -> f.dataType).toMap
+      tableFields.foreach { f =>
+        val bt = batchTypes(f.name.toLowerCase)
+        require(bt == f.dataType,
+          s"mergeBatchUpsert: column ${f.name} is ${bt.catalogString} in the " +
+            s"batch but ${f.dataType.catalogString} in $table — positional " +
+            "INSERT would silently cast; align the batch schema explicitly")
+      }
       val affected = batch.select("_bucket").distinct()
         .collect().map(_.getInt(0)).sorted // ≤ nBuckets rows — driver-safe
       val target = spark.table(table)
         .where(col("_bucket").isin(affected.map(Integer.valueOf): _*))
       val merged = latestWins(target.unionByName(batch))
         .localCheckpoint(true) // sever the self-read before overwriting
-      val view = s"graft_merge_${System.nanoTime()}"
-      merged.createOrReplaceTempView(view)
-      val colList = tableCols.map(c => s"`$c`").mkString(", ")
-      // One static-partition INSERT per affected bucket: each job filters
-      // the in-memory checkpoint, so the loop costs |affected| cheap scans
-      // of already-materialized rows. The one-pass alternative (dynamic
-      // partitionOverwriteMode) needs a session-conf toggle that leaks to
-      // concurrent writers (see writeBatchIdempotent) — correctness first.
-      try affected.foreach { b =>
-        spark.sql(
-          s"INSERT OVERWRITE TABLE $table PARTITION (_bucket = $b) " +
-            s"SELECT $colList FROM $view WHERE _bucket = $b")
-      } finally {
-        spark.catalog.dropTempView(view)
-        unpersistCk(merged)
-      }
+      // ONE dynamic-overwrite INSERT for all affected buckets, executed on
+      // a CLONED session (newSession: shared context + catalog, private
+      // conf) so the dynamic partitionOverwriteMode toggle cannot leak to
+      // concurrent writers on the main session — the hazard
+      // writeBatchIdempotent documents. (The per-write DataFrameWriter
+      // option is NOT honored by insertInto — verified empirically: static
+      // overwrite wipes untouched partitions — hence the session clone.)
+      // Dynamic mode replaces exactly the partitions present in `merged`,
+      // which are exactly the affected buckets, in one write job instead of
+      // O(|affected|) sequential INSERTs: at many-bucket scale the
+      // scheduler sees a single write stage, not a serial loop. The
+      // checkpointed plan is a LogicalRDD, so re-binding it to the clone is
+      // a plan wrapper, not a data copy.
+      val clone = spark.newSession()
+      clone.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        org.apache.spark.sql.GraftBridge
+          .dataset(clone, merged.queryExecution.analyzed)
+          .select(tableCols.map(col).toSeq :+ col("_bucket"): _*)
+          .write.mode("overwrite")
+          .insertInto(table)
+        // the INSERT refreshed the CLONE's relation/file-index caches;
+        // refresh the caller's session too or its next read lists the
+        // replaced files and fails
+        spark.catalog.refreshTable(table)
+      } finally unpersistCk(merged)
     } finally unpersistCk(batch)
   }
 }

@@ -289,6 +289,29 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("mergeBatchUpsert: one write pass regardless of bucket fan-out; type drift rejected") {
+    val table = "t_merge_jobs_" + System.nanoTime()
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    def merge(b: DataFrame) =
+      EventStreams.mergeBatchUpsert(b, table, "user_id", "ts", "event_id", 8)
+    merge(ev) // seed the table (warms schema/listing jobs too)
+    def jobs() = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // a batch touching ONE bucket vs a batch touching ALL 8: the merge must
+    // cost the same number of jobs — the pre-r5 per-bucket INSERT loop added
+    // one sequential write job per affected bucket
+    val oneBucket = ev.where(pmod(hash(col("user_id")), lit(8)) === 0)
+    val b0 = jobs(); merge(oneBucket); val costOne = jobs() - b0
+    val b1 = jobs(); merge(ev); val costAll = jobs() - b1
+    assert(costAll == costOne,
+      s"merge cost must not scale with affected buckets: 1-bucket=$costOne, 8-bucket=$costAll")
+    // matching names with drifted types must be rejected, not NULL-cast
+    val drifted = ev.withColumn("value", col("value").cast("float"))
+    val e = intercept[IllegalArgumentException] { merge(drifted) }
+    assert(e.getMessage.contains("value"))
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("streaming materialized view: update-mode agg + merge sink == batch totals") {
     // the serving-table pattern: per-user running (count, cent-total)
     // aggregates in update mode, each micro-batch upserted by version —
