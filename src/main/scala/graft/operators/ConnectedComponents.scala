@@ -91,6 +91,30 @@ object ConnectedComponents {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** Size-dispatched front door: min-label propagation for modest edge
+    * sets, the large-star/small-star rewrite above `starEdgeThreshold`
+    * edges. Both produce identical labels (property-tested against a
+    * union-find reference in ConnectedComponentsSpec); the threshold only
+    * picks the cheaper iteration shape. Propagation does two key shuffles
+    * per round and its pointer-jumping needs ~log(diameter) rounds — the
+    * right cost profile while the edge table is comfortably shuffle-sized.
+    * The star rewrite's rounds are O(log n) regardless of diameter and its
+    * joins re-balance degree skew every round (hubs are broken up by
+    * large-star), which is what survives adversarial graphs at corpus
+    * scale. The edge list is checkpointed once here so the sizing count
+    * and the chosen algorithm's first round share one materialization.
+    */
+  def componentsAuto(edges0: DataFrame, srcCol: String, dstCol: String,
+                     starEdgeThreshold: Long = 10000000L): DataFrame = {
+    val edges = edges0.select(col(srcCol), col(dstCol)).localCheckpoint(true)
+    // both variants re-checkpoint internally (eagerly, inside the call), so
+    // the input blocks are dead by return time
+    try {
+      if (edges.count() > starEdgeThreshold) componentsStar(edges, srcCol, dstCol)
+      else components(edges, srcCol, dstCol)
+    } finally unpersistCheckpoint(edges)
+  }
+
   /** The 100 TB variant: alternating large-star/small-star (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond") — O(log n) rounds
     * independent of component diameter, and each round is a plain

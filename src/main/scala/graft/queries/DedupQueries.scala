@@ -91,7 +91,10 @@ object DedupQueries {
   def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
     labelCache.getOrElseUpdate(s, "cc:" + d) {
-      graft.operators.ConnectedComponents.components(
+      // size-dispatched: propagation at corpus-test scale, the large-star/
+      // small-star rewrite past the edge threshold (adversarial diameters
+      // and hub skew at 100 TB) — label-equivalent by property test
+      graft.operators.ConnectedComponents.componentsAuto(
         ngramJaccardPairs(s, d).where(col("jaccard") >= 0.2), "doc_a", "doc_b")
     }
 

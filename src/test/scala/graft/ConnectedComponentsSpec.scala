@@ -91,4 +91,19 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val chain = (1L until 20L).map(i => (i, i + 1))
     assert(ccStar(chain).values.toSet == Set(1L))
   }
+
+  test("componentsAuto: both dispatch branches label the real corpus graph identically") {
+    import org.apache.spark.sql.functions.col
+    // the actual dedup edge set clusterLabels feeds it, both paths forced
+    val edges = graft.queries.DedupQueries.ngramJaccardPairs(spark, TestSpark.sf0001)
+      .where(col("jaccard") >= 0.2).select("doc_a", "doc_b")
+    def labels(threshold: Long) = ConnectedComponents
+      .componentsAuto(edges, "doc_a", "doc_b", starEdgeThreshold = threshold)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = labels(0L)           // count > 0 → componentsStar
+    val viaProp = labels(Long.MaxValue) // count <= max → components
+    assert(viaStar.nonEmpty)
+    assert(viaStar == viaProp,
+      "dispatch branches must be label-equivalent on the corpus graph")
+  }
 }
