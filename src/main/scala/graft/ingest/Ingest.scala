@@ -81,15 +81,33 @@ object Ingest {
     * our scale improvement: daily ingests append whole partitions, and any
     * query filtering on ingestion date gets partition pruning for free.
     */
+  /** Table + the run-report facts the write itself observed: row count and
+    * per-column safe-cast loss counters (`bad_<col>` → count of rows whose
+    * source value was present but cast to NULL). The counters ride the
+    * ingest job via `observe` — no second scan (SchemaAlign
+    * .alignToSchemaObserved); the create path has no target schema to cast
+    * to, so it reports rows only.
+    */
+  final case class IngestResult(table: String, rowsIn: Long,
+                                badCasts: Map[String, Long])
+
   def ingestFile(spark: SparkSession, filePath: String, runDate: Date,
-                 evolveSchema: Boolean = false): String = {
+                 evolveSchema: Boolean = false): String =
+    ingestFileObserved(spark, filePath, runDate, evolveSchema).table
+
+  def ingestFileObserved(spark: SparkSession, filePath: String, runDate: Date,
+                         evolveSchema: Boolean = false): IngestResult = {
     val table = tableNameFor(Paths.get(filePath).getFileName.toString)
     val raw   = readAuto(spark, filePath)
     if (!spark.catalog.tableExists(table)) {
-      SchemaAlign.stampIngestionDate(raw, runDate)
+      val obs = org.apache.spark.sql.Observation()
+      SchemaAlign.stampIngestionDate(
+          raw.observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows_in")), runDate)
         .write.mode(SaveMode.Overwrite)
         .partitionBy("Ingestion_date")
         .saveAsTable(table)
+      IngestResult(table, obs.get("rows_in").asInstanceOf[Long], Map.empty)
     } else {
       // Opt-in schema evolution: the reference's rule is "existing tables
       // never gain columns" (extra CSV columns silently dropped,
@@ -105,24 +123,44 @@ object Ingest {
         val newCols = raw.schema.fields.filterNot(f =>
           existing.contains(f.name.toLowerCase))
         if (newCols.nonEmpty) {
+          // escape backticks by doubling: a column name from an UNTRUSTED
+          // drop-dir header must never break out of the quoted identifier
+          // and inject DDL (the injection class r12_parameterized exists
+          // to close on the query side)
           val ddl = newCols
-            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+            .map(f => s"`${f.name.replace("`", "``")}` ${f.dataType.sql}")
+            .mkString(", ")
           spark.sql(s"ALTER TABLE $table ADD COLUMNS ($ddl)")
         }
       }
       val target  = spark.table(table).schema
-      val aligned = SchemaAlign.alignToSchema(raw, target)
+      val (aligned, obs) = SchemaAlign.alignToSchemaObserved(raw, target)
       SchemaAlign.stampIngestionDate(aligned, runDate)
         .write.mode(SaveMode.Append)
         .partitionBy("Ingestion_date") // must match the create-path layout
         .saveAsTable(table)
+      val m = obs.get
+      IngestResult(table, m("rows_in").asInstanceOf[Long],
+        m.collect { case (k, v) if k.startsWith("bad_") =>
+          k.stripPrefix("bad_") -> v.asInstanceOf[Long]
+        })
     }
-    table
   }
 
   sealed trait FileOutcome { def file: String }
   final case class Loaded(file: String, table: String) extends FileOutcome
   final case class Failed(file: String, error: String) extends FileOutcome
+
+  /** One run-report row per file — the engine-native form of the
+    * reference's logging sinks (`log_handler.py:24-40`) + Sentry capture
+    * (`exception_logger.py:3-10`): what loaded, where, how many rows, how
+    * many values each safe-cast silently NULLed, and what failed with what
+    * error — persisted (see runDropDirReport), not printed.
+    */
+  final case class FileReport(file: String, tableName: Option[String],
+                              outcome: String, rowsIn: Option[Long],
+                              badCasts: Map[String, Long],
+                              error: Option[String])
 
   /** S2 + R6 + S9: scan the drop directory, ingest every `*.csv`, isolate
     * per-file failures (one bad file never stops the batch, reference
@@ -134,7 +172,54 @@ object Ingest {
   def runDropDir(spark: SparkSession, dropDir: String, runDate: Date,
                  deleteOnSuccess: Boolean = true,
                  failedDir: Option[String] = None,
-                 extensions: Set[String] = Set(".csv")): Seq[FileOutcome] = {
+                 extensions: Set[String] = Set(".csv")): Seq[FileOutcome] =
+    ingestBatch(spark, dropDir, runDate, deleteOnSuccess, failedDir, extensions)
+      .map(_._1)
+
+  /** runDropDir + a persisted run report: every file's outcome (rows
+    * ingested, per-column safe-cast loss, error on failure) is appended to
+    * `reportTable`, partitioned by run_date so report retention/pruning is
+    * metadata-only like every other ingested table. The report write is a
+    * driver-side handful of rows — its cost is one tiny append regardless
+    * of data scale, and the counters it carries were accumulated ON the
+    * ingest jobs themselves (observe), never by a second scan.
+    */
+  def runDropDirReport(spark: SparkSession, dropDir: String, runDate: Date,
+                       runId: String,
+                       reportTable: String = "ingest_run_report",
+                       deleteOnSuccess: Boolean = true,
+                       failedDir: Option[String] = None,
+                       extensions: Set[String] = Set(".csv")): Seq[FileReport] = {
+    val reports =
+      ingestBatch(spark, dropDir, runDate, deleteOnSuccess, failedDir, extensions)
+        .map(_._2)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("run_id", StringType),
+      StructField("file", StringType),
+      StructField("table_name", StringType),
+      StructField("outcome", StringType),
+      StructField("rows_in", LongType),
+      StructField("bad_casts", MapType(StringType, LongType)),
+      StructField("error", StringType),
+      StructField("run_date", DateType)))
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    reports.foreach { r =>
+      rows.add(Row(runId, r.file, r.tableName.orNull, r.outcome,
+        r.rowsIn.map(Long.box).orNull, r.badCasts, r.error.orNull, runDate))
+    }
+    spark.createDataFrame(rows, schema)
+      .write.mode(SaveMode.Append)
+      .partitionBy("run_date")
+      .saveAsTable(reportTable)
+    reports
+  }
+
+  private def ingestBatch(spark: SparkSession, dropDir: String, runDate: Date,
+                          deleteOnSuccess: Boolean, failedDir: Option[String],
+                          extensions: Set[String])
+      : Seq[(FileOutcome, FileReport)] = {
     import scala.jdk.CollectionConverters._
     // Files.list holds a directory handle until closed (try-with-resources
     // contract) — materialize the listing inside Using so it never leaks.
@@ -148,7 +233,7 @@ object Ingest {
     }.sortBy(_.getFileName.toString)
     files.map { p =>
       try {
-        val table = ingestFile(spark, p.toString, runDate)
+        val res = ingestFileObserved(spark, p.toString, runDate)
         // Post-success cleanup failure must NOT demote the outcome to
         // Failed (the rows are already in the table) — but the file must
         // also not stay in the drop dir, or the next runDropDir pass would
@@ -156,7 +241,9 @@ object Ingest {
         // Escalation: delete → retry delete → move out to `.ingested/`
         // (out of the listing, so out of future runs either way).
         if (deleteOnSuccess) removeIngested(p)
-        Loaded(p.toString, table)
+        (Loaded(p.toString, res.table),
+          FileReport(p.toString, Some(res.table), "loaded",
+            Some(res.rowsIn), res.badCasts, None))
       } catch {
         case NonFatal(e) =>
           // Archiving is best-effort: a failed move must not escape and
@@ -171,7 +258,9 @@ object Ingest {
                 s"[ingest] could not archive failed file $p: ${e2.getMessage}")
             }
           }
-          Failed(p.toString, Option(e.getMessage).getOrElse(e.getClass.getName))
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          (Failed(p.toString, msg),
+            FileReport(p.toString, None, "failed", None, Map.empty, Some(msg)))
       }
     }
   }

@@ -94,6 +94,57 @@ object RefQueries {
               |  DATE '$RunDate' AS end_date,
               |  strftime(DATE '$RunDate' - 1, '%m%d') AS start_fmt,
               |  strftime(DATE '$RunDate', '%d') AS end_fmt""".stripMargin)
+    ),
+    Q(
+      "r13_ingest_report",
+      "Per-run ingest observability (engine-native form of the reference's " +
+        "log_handler.py:24-40 + exception_logger.py:3-10): a real drop-dir " +
+        "run — one good file landing in a pre-created table with a drifted " +
+        "column type, one unreadable file — persisted to the " +
+        "ingest_run_report table with rows-in and per-column safe-cast loss " +
+        "counters observed ON the ingest job itself. The oracle recomputes " +
+        "the loaded row's facts from the raw corpus (rows = count(part), " +
+        "bad_p_name = values a BIGINT cast would NULL).",
+      (s, d) => {
+        import java.nio.file.Files
+        val runId = "r13_" + java.util.UUID.randomUUID().toString
+        val drop = Files.createTempDirectory("graft-r13-drop")
+        val stage = Files.createTempDirectory("graft-r13-stage")
+        // land part's columns as one CSV named for the target table
+        Tables.part(s, d).select("p_partkey", "p_name", "p_size")
+          .coalesce(1).write.option("header", "true")
+          .mode("overwrite").csv(stage.toString)
+        import scala.jdk.CollectionConverters._
+        val csv = scala.util.Using.resource(Files.list(stage)) { st =>
+          st.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".csv")).get
+        }
+        Files.move(csv, drop.resolve("rpt_demo.csv"))
+        Files.writeString(drop.resolve("rpt_zz_empty.csv"), "") // read fails: no schema
+        // pre-created target with p_name : BIGINT → every name safe-casts
+        // to NULL and the observe counter records exactly how many
+        s.sql("DROP TABLE IF EXISTS rpt_demo")
+        s.sql("""CREATE TABLE rpt_demo
+                |  (p_partkey BIGINT, p_name BIGINT, p_size BIGINT,
+                |   Ingestion_date DATE)
+                |USING parquet PARTITIONED BY (Ingestion_date)""".stripMargin)
+        Ingest.runDropDirReport(s, drop.toString, Date.valueOf(RunDate), runId)
+        s.table("ingest_run_report")
+          .where(col("run_id") === runId)
+          .select(
+            element_at(split(col("file"), "/"), -1).as("file_name"),
+            col("table_name"), col("outcome"), col("rows_in"),
+            col("bad_casts").getItem("p_name").as("bad_p_name"))
+          .orderBy("file_name")
+      },
+      Some("""SELECT 'rpt_demo.csv' AS file_name, 'rpt_demo' AS table_name,
+             |  'loaded' AS outcome, count(*) AS rows_in,
+             |  count(*) FILTER (WHERE p_name IS NOT NULL
+             |    AND TRY_CAST(p_name AS BIGINT) IS NULL) AS bad_p_name
+             |FROM part
+             |UNION ALL
+             |SELECT 'rpt_zz_empty.csv', NULL, 'failed', NULL, NULL
+             |ORDER BY file_name""".stripMargin)
     )
   )
 }

@@ -31,11 +31,20 @@ object SchemaAlign {
     case _          => c.try_cast(t)
   }
 
+  /** Reference a column by its LITERAL name. Bare `col(name)` parses the
+    * string as a multi-part attribute path, so an untrusted header
+    * containing a backtick throws (or, with a dot, silently resolves as
+    * struct-field access). Quote and double inner backticks — the exact
+    * name, whatever the file put in it.
+    */
+  private def colExact(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   def alignToSchema(df: DataFrame, target: StructType): DataFrame = {
     val present = df.columns.map(n => n.toLowerCase -> n).toMap
     val cols: Seq[Column] = target.fields.toSeq.map { f =>
       present.get(f.name.toLowerCase) match {
-        case Some(src) => safeCast(col(src), f.dataType).as(f.name)
+        case Some(src) => safeCast(colExact(src), f.dataType).as(f.name)
         case None      => lit(null).cast(f.dataType).as(f.name)
       }
     }
@@ -56,8 +65,8 @@ object SchemaAlign {
     val present = df.columns.map(n => n.toLowerCase -> n).toMap
     val casted = target.fields.toSeq.flatMap { f =>
       present.get(f.name.toLowerCase).map { src =>
-        (f.name, count(when(col(src).isNotNull &&
-          safeCast(col(src), f.dataType).isNull, 1)).as(s"bad_${f.name}"))
+        (f.name, count(when(colExact(src).isNotNull &&
+          safeCast(colExact(src), f.dataType).isNull, 1)).as(s"bad_${f.name}"))
       }
     }
     val obs = org.apache.spark.sql.Observation()

@@ -213,6 +213,54 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.schema("asking_price").dataType.typeName == "double")
   }
 
+  test("run report: loaded/failed/drift rows persisted with observed counters") {
+    val dir = tmp()
+    // success (create path), drift (append path with a bad value), failure
+    write(dir, "rep_a.csv", batch1)
+    Files.createDirectory(dir.resolve("rep_broken.csv")) // read fails
+    val runId = "test_" + System.nanoTime()
+    val r1 = Ingest.runDropDirReport(spark, dir.toString, run, runId)
+    assert(r1.map(_.outcome).sorted == Seq("failed", "loaded"))
+    val loaded = r1.find(_.outcome == "loaded").get
+    assert(loaded.tableName.contains("rep_a") && loaded.rowsIn.contains(2L))
+    assert(loaded.badCasts.isEmpty, "create path has no cast targets")
+    val failed = r1.find(_.outcome == "failed").get
+    assert(failed.error.nonEmpty && failed.rowsIn.isEmpty)
+    // drift append: asking_price 'call me' → NULL, counted by the observer
+    write(dir, "rep_a.csv",
+      "lead_id,full_name,asking_price,motivated\n1007,Drifty,call me,true\n")
+    val r2 = Ingest.runDropDirReport(spark, dir.toString, run, runId)
+    val drift = r2.find(_.outcome == "loaded").get
+    assert(drift.rowsIn.contains(1L))
+    assert(drift.badCasts.get("asking_price").contains(1L),
+      s"expected one observed cast loss: ${drift.badCasts}")
+    assert(drift.badCasts.get("lead_id").contains(0L))
+    // both runs persisted under the same run_id, queryable like any table
+    // (rep_broken.csv is still in the dir, so it fails in BOTH runs: 4 rows)
+    val persisted = spark.table("ingest_run_report")
+      .where(s"run_id = '$runId'")
+    assert(persisted.count() == 4)
+    assert(persisted.where("outcome = 'failed'").count() == 2)
+    assert(persisted
+      .where("outcome = 'loaded' AND bad_casts['asking_price'] = 1").count() == 1)
+  }
+
+  test("schema evolution escapes backticks in untrusted headers (no DDL injection)") {
+    val dir = tmp()
+    write(dir, "leads_bt.csv", batch1)
+    Ingest.ingestFile(spark, dir.resolve("leads_bt.csv").toString, run)
+    // a header that would break out of the quoted identifier unescaped
+    write(dir, "leads_bt.csv",
+      "lead_id,full_name,asking_price,motivated,evil`price\n1008,BT,1.0,true,boom\n")
+    Ingest.ingestFile(spark, dir.resolve("leads_bt.csv").toString, run,
+      evolveSchema = true)
+    val t = spark.table("leads_bt")
+    assert(t.columns.contains("evil`price"), // the LITERAL column name, added safely
+      s"evolved column should be the literal header text: ${t.columns.mkString(",")}")
+    assert(t.columns.length == 6) // 4 original + Ingestion_date + 1 evolved
+    assert(t.where("lead_id = 1008").select("`evil``price`").head.getString(0) == "boom")
+  }
+
   test("compaction: many small files rewritten to few, rows and values intact") {
     import graft.ingest.Compaction
     val dir = Files.createTempDirectory("graft-compact").toString
