@@ -167,12 +167,15 @@ object DedupQueries {
     Q(
       "x17_dedup_survivorship",
       "Dedup survivorship: per near-dup cluster keep the BEST document, " +
-        "not an arbitrary one — survivor = arg-max over (token count, " +
-        "-doc_id) packed into one BIGINT ordering (quality first, " +
-        "deterministic low-id tie-break). Composes the clustering operator " +
-        "with a20's argmax pattern in ONE hash agg over the labeled docs — " +
-        "the 'keep the longest copy' policy a training corpus actually " +
-        "wants, vs dd_cluster's min-id canonical label.",
+        "not an arbitrary one — survivor = arg-max over the STRUCT ordering " +
+        "(n_tokens, -doc_id): quality first, deterministic low-id " +
+        "tie-break, lexicographic over native types so no packed-integer " +
+        "overflow at any token count or id range. Composes the clustering " +
+        "operator with a20's argmax pattern in ONE hash agg over the " +
+        "labeled docs — the 'keep the longest copy' policy a training " +
+        "corpus actually wants, vs dd_cluster's min-id canonical label. " +
+        "(DuckDB's arg_max can't take a struct key, so the oracle computes " +
+        "the same survivor by window rank — same results, different plan.)",
       (s, d) => {
         val comp = DedupQueries.clusterLabels(s, d)
         val nTok = size(split(col("text"), " ")).cast(LongType)
@@ -181,7 +184,7 @@ object DedupQueries {
           .join(comp, col("doc_id") === col("id"), "left")
           .select(col("doc_id"), col("n_tokens"),
             coalesce(col("component"), col("doc_id")).as("component"))
-        val ord = col("n_tokens") * 10000000000L - col("doc_id")
+        val ord = struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))
         labeled.groupBy("component")
           .agg(
             max_by(col("doc_id"), ord).as("survivor"),
@@ -194,13 +197,20 @@ object DedupQueries {
               |lab AS (SELECT d.doc_id,
               |          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
               |          coalesce(comp.component, d.doc_id) AS component
-              |        FROM documents d LEFT JOIN comp ON d.doc_id = comp.id)
-              |SELECT component,
-              |  arg_max(doc_id, n_tokens * 10000000000 - doc_id) AS survivor,
-              |  max(n_tokens) AS survivor_tokens,
-              |  count(*) AS n_docs,
-              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-              |FROM lab GROUP BY component ORDER BY component""".stripMargin)
+              |        FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+              |best AS (SELECT component, doc_id AS survivor FROM (
+              |           SELECT component, doc_id, row_number() OVER (
+              |             PARTITION BY component
+              |             ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM lab)
+              |         WHERE rn = 1)
+              |SELECT a.component, b.survivor,
+              |  a.survivor_tokens, a.n_docs, a.total_tokens
+              |FROM (SELECT component, max(n_tokens) AS survivor_tokens,
+              |        count(*) AS n_docs,
+              |        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+              |      FROM lab GROUP BY component) a
+              |JOIN best b ON a.component = b.component
+              |ORDER BY a.component""".stripMargin)
     ),
     Q(
       "x2_minhash_lsh",

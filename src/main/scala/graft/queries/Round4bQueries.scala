@@ -409,12 +409,16 @@ object Round4bQueries {
       "Argmin/argmax aggregates: each customer's priciest and cheapest " +
         "order via max_by/min_by (one hash agg — no window, no self-join; " +
         "the agg buffer is a single (value, ordering) pair, map-side " +
-        "combinable). Price ties are broken deterministically by packing " +
-        "(cents, orderkey) into one BIGINT ordering key — max_by/arg_max " +
-        "tie-breaking is otherwise engine- and partition-order-defined.",
+        "combinable). Price ties are broken deterministically by a STRUCT " +
+        "ordering key (cents, orderkey) — lexicographic over native types, " +
+        "so no packed-integer overflow at any price or key range, where " +
+        "max_by/arg_max tie-breaking is otherwise engine- and " +
+        "partition-order-defined. (DuckDB's arg_max can't take a struct " +
+        "key, so the oracle computes the same rows by window rank.)",
       (s, d) => {
-        val ord = floor(col("o_totalprice") * 100 + 0.5).cast(LongType) *
-          10000000000L + col("o_orderkey")
+        val ord = struct(
+          floor(col("o_totalprice") * 100 + 0.5).cast(LongType).as("cents"),
+          col("o_orderkey").as("okey"))
         Tables.orders(s, d)
           .groupBy("o_custkey")
           .agg(
@@ -424,16 +428,22 @@ object Round4bQueries {
             round(min_by(col("o_totalprice"), ord), 4).as("worst_price"))
           .orderBy("o_custkey")
       },
-      Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
-             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000000
-             |      + o_orderkey AS ord
+      Some("""WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY floor(o_totalprice * 100 + 0.5) DESC,
+             |               o_orderkey DESC) AS rmax,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY floor(o_totalprice * 100 + 0.5) ASC,
+             |               o_orderkey ASC) AS rmin
              |  FROM orders)
-             |SELECT o_custkey,
-             |  arg_max(o_orderkey, ord) AS best_order,
-             |  floor(arg_max(o_totalprice, ord) * 10000 + 0.5) / 10000 AS best_price,
-             |  arg_min(o_orderkey, ord) AS worst_order,
-             |  floor(arg_min(o_totalprice, ord) * 10000 + 0.5) / 10000 AS worst_price
-             |FROM o GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+             |SELECT b.o_custkey,
+             |  b.o_orderkey AS best_order,
+             |  floor(b.o_totalprice * 10000 + 0.5) / 10000 AS best_price,
+             |  w.o_orderkey AS worst_order,
+             |  floor(w.o_totalprice * 10000 + 0.5) / 10000 AS worst_price
+             |FROM (SELECT * FROM r WHERE rmax = 1) b
+             |JOIN (SELECT * FROM r WHERE rmin = 1) w ON b.o_custkey = w.o_custkey
+             |ORDER BY b.o_custkey""".stripMargin)
     ),
     Q(
       "a18_approx_percentile",
