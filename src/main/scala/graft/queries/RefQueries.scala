@@ -121,9 +121,21 @@ object RefQueries {
         }
         Files.move(csv, drop.resolve("rpt_demo.csv"))
         Files.writeString(drop.resolve("rpt_zz_empty.csv"), "") // read fails: no schema
+        // Re-runnable across JVMs: DROP TABLE IF EXISTS alone is a no-op in
+        // a fresh in-memory catalog while the managed LOCATION persists in
+        // the warehouse dir — the next CREATE dies with
+        // LOCATION_ALREADY_EXISTS. Clear both the entry and the location.
+        def dropWithLocation(t: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+          val path = new org.apache.hadoop.fs.Path(wh, t)
+          val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(path)) fs.delete(path, true)
+        }
+        dropWithLocation("rpt_demo")
+        dropWithLocation("ingest_run_report")
         // pre-created target with p_name : BIGINT → every name safe-casts
         // to NULL and the observe counter records exactly how many
-        s.sql("DROP TABLE IF EXISTS rpt_demo")
         s.sql("""CREATE TABLE rpt_demo
                 |  (p_partkey BIGINT, p_name BIGINT, p_size BIGINT,
                 |   Ingestion_date DATE)
