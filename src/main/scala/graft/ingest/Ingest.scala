@@ -123,12 +123,12 @@ object Ingest {
         val newCols = raw.schema.fields.filterNot(f =>
           existing.contains(f.name.toLowerCase))
         if (newCols.nonEmpty) {
-          // escape backticks by doubling: a column name from an UNTRUSTED
-          // drop-dir header must never break out of the quoted identifier
-          // and inject DDL (the injection class r12_parameterized exists
-          // to close on the query side)
+          // quoteIdent: a column name from an UNTRUSTED drop-dir header
+          // must never break out of the quoted identifier and inject DDL
+          // (the injection class r12_parameterized exists to close on the
+          // query side)
           val ddl = newCols
-            .map(f => s"`${f.name.replace("`", "``")}` ${f.dataType.sql}")
+            .map(f => s"${SchemaAlign.quoteIdent(f.name)} ${f.dataType.sql}")
             .mkString(", ")
           spark.sql(s"ALTER TABLE $table ADD COLUMNS ($ddl)")
         }

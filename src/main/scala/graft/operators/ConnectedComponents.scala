@@ -106,7 +106,14 @@ object ConnectedComponents {
     */
   def componentsAuto(edges0: DataFrame, srcCol: String, dstCol: String,
                      starEdgeThreshold: Long = 10000000L): DataFrame = {
-    val edges = edges0.select(col(srcCol), col(dstCol)).localCheckpoint(true)
+    // normalize ids to long BEFORE dispatch: componentsStar casts
+    // internally but components preserves the input type — without this,
+    // the result schema would flip from (int,int) to (bigint,bigint) the
+    // day the edge count crosses the threshold
+    val edges = edges0
+      .select(col(srcCol).cast("long").as(srcCol),
+        col(dstCol).cast("long").as(dstCol))
+      .localCheckpoint(true)
     // both variants re-checkpoint internally (eagerly, inside the call), so
     // the input blocks are dead by return time
     try {

@@ -124,24 +124,41 @@ object RefQueries {
         // Re-runnable across JVMs: DROP TABLE IF EXISTS alone is a no-op in
         // a fresh in-memory catalog while the managed LOCATION persists in
         // the warehouse dir — the next CREATE dies with
-        // LOCATION_ALREADY_EXISTS. Clear both the entry and the location.
+        // LOCATION_ALREADY_EXISTS. Clear both the entry and the location,
+        // resolving the location through the CURRENT database's locationUri
+        // (never a bare <warehouse>/<table> concat, which points at the
+        // default db's namespace under USE <other_db>).
         def dropWithLocation(t: String): Unit = {
-          s.sql(s"DROP TABLE IF EXISTS $t")
-          val wh = s.conf.get("spark.sql.warehouse.dir")
-          val path = new org.apache.hadoop.fs.Path(wh, t)
+          s.sql(s"DROP TABLE IF EXISTS $t") // catalog-known: deletes data too
+          val dbLoc = s.catalog.getDatabase(s.catalog.currentDatabase).locationUri
+          val path = new org.apache.hadoop.fs.Path(dbLoc, t)
           val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(path)) fs.delete(path, true)
+          if (fs.exists(path)) fs.delete(path, true) // catalog-forgotten leftover
         }
+        // demo-scoped tables ONLY — this query must never touch the
+        // production-default ingest_run_report a real deployment accumulates
         dropWithLocation("rpt_demo")
-        dropWithLocation("ingest_run_report")
+        dropWithLocation("rpt_ingest_report")
         // pre-created target with p_name : BIGINT → every name safe-casts
         // to NULL and the observe counter records exactly how many
         s.sql("""CREATE TABLE rpt_demo
                 |  (p_partkey BIGINT, p_name BIGINT, p_size BIGINT,
                 |   Ingestion_date DATE)
                 |USING parquet PARTITIONED BY (Ingestion_date)""".stripMargin)
-        Ingest.runDropDirReport(s, drop.toString, Date.valueOf(RunDate), runId)
-        s.table("ingest_run_report")
+        Ingest.runDropDirReport(s, drop.toString, Date.valueOf(RunDate), runId,
+          reportTable = "rpt_ingest_report")
+        // the drop dir is drained on success and the failed fixture plus the
+        // staging leftovers are ours to clean — don't leak tens of MB of
+        // temp CSV per verification run
+        def rmTree(p: java.nio.file.Path): Unit =
+          if (Files.exists(p)) {
+            scala.util.Using.resource(Files.walk(p)) { w =>
+              w.sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => Files.deleteIfExists(f))
+            }
+          }
+        rmTree(stage); rmTree(drop)
+        s.table("rpt_ingest_report")
           .where(col("run_id") === runId)
           .select(
             element_at(split(col("file"), "/"), -1).as("file_name"),

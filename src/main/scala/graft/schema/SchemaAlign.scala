@@ -31,14 +31,20 @@ object SchemaAlign {
     case _          => c.try_cast(t)
   }
 
+  /** Quote an UNTRUSTED identifier for SQL/attribute contexts: wrap in
+    * backticks with inner backticks doubled. The single home of this
+    * invariant — used by the align kernel's column references AND the
+    * ingest DDL builder, so a future quoting fix can't miss one path.
+    */
+  def quoteIdent(name: String): String = "`" + name.replace("`", "``") + "`"
+
   /** Reference a column by its LITERAL name. Bare `col(name)` parses the
     * string as a multi-part attribute path, so an untrusted header
     * containing a backtick throws (or, with a dot, silently resolves as
     * struct-field access). Quote and double inner backticks — the exact
     * name, whatever the file put in it.
     */
-  private def colExact(name: String): Column =
-    col("`" + name.replace("`", "``") + "`")
+  private def colExact(name: String): Column = col(quoteIdent(name))
 
   def alignToSchema(df: DataFrame, target: StructType): DataFrame = {
     val present = df.columns.map(n => n.toLowerCase -> n).toMap

@@ -381,7 +381,11 @@ object EventStreams {
         .map(f => f.name.toLowerCase -> f.dataType).toMap
       tableFields.foreach { f =>
         val bt = batchTypes(f.name.toLowerCase)
-        require(bt == f.dataType,
+        // catalogString ignores nested nullability flags (containsNull /
+        // valueContainsNull / field nullable) — strict DataType equality
+        // would spuriously reject a batch whose array<string> merely has a
+        // narrower containsNull than the parquet-read table schema
+        require(bt.catalogString == f.dataType.catalogString,
           s"mergeBatchUpsert: column ${f.name} is ${bt.catalogString} in the " +
             s"batch but ${f.dataType.catalogString} in $table — positional " +
             "INSERT would silently cast; align the batch schema explicitly")
