@@ -76,6 +76,14 @@ class AnnSpec extends AnyFunSuite {
       (ida, idb, math.floor(c * 10000 + 0.5) / 10000)
     }).sortBy { case (a, b, c) => (-c, a, b) }.take(10)
     assert(multi.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == local.toSeq)
+
+    // fuzz the grid geometry: any block size must produce the same top-10
+    // (catches off-by-one in the block-pair replication ranges)
+    Seq(1, 3, 17, 100, 499, 500, 501).foreach { rpb =>
+      val got = Ann.allPairsTopN(emb, topN = 10, rowsPerBlock = rpb).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == local.toSeq, s"rowsPerBlock=$rpb diverged")
+    }
   }
 
   test("allPairsTopN: fully distributed plan — no driver collect, no typed path, no UDF") {

@@ -261,6 +261,20 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.where("lead_id = 1008").select("`evil``price`").head.getString(0) == "boom")
   }
 
+  test("dotted header ingests as a literal column, not struct-field access") {
+    // col("price.usd") parses as struct access; the align kernel must
+    // reference the LITERAL name (regression for the colExact fix)
+    val dir = tmp()
+    write(dir, "leads_dot.csv", "lead_id,price.usd\n1,9.5\n")
+    Ingest.ingestFile(spark, dir.resolve("leads_dot.csv").toString, run)
+    write(dir, "leads_dot.csv", "lead_id,price.usd\n2,8.5\n")
+    Ingest.ingestFile(spark, dir.resolve("leads_dot.csv").toString, run)
+    val t = spark.table("leads_dot")
+    assert(t.columns.contains("price.usd"))
+    assert(t.count() == 2)
+    assert(t.where("lead_id = 2").select("`price.usd`").head.getDouble(0) == 8.5)
+  }
+
   test("compaction: many small files rewritten to few, rows and values intact") {
     import graft.ingest.Compaction
     val dir = Files.createTempDirectory("graft-compact").toString

@@ -17,12 +17,19 @@ class Round4bQueriesSpec extends AnyFunSuite {
   test("x19_event_funnel: lazy single plan (no jobs at build), stages monotone, rates consistent") {
     // Control: a bare table load costs one parquet schema-inference job.
     // The funnel build (which loads events exactly once) must cost no more —
-    // the pre-r5 form added three eager count() jobs on top.
-    def jobs() = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    val b0 = jobs(); Tables.events(spark, TestSpark.sf0001); val controlCost = jobs() - b0
-    val b1 = jobs()
-    val funnel = df("x19_event_funnel")
-    val buildCost = jobs() - b1
+    // the pre-r5 form added three eager count() jobs on top. Counted via
+    // job groups (thread-local) so parallel suites on the shared session
+    // can't inflate the measurement.
+    def countJobs(tag: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(tag, tag)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+    }
+    val controlCost = countJobs("x19-control") {
+      Tables.events(spark, TestSpark.sf0001)
+    }
+    var funnel: org.apache.spark.sql.DataFrame = null
+    val buildCost = countJobs("x19-build") { funnel = df("x19_event_funnel") }
     assert(buildCost <= controlCost,
       s"x19 build launched $buildCost job(s); read-setup control is $controlCost")
     val r = funnel.collect()(0)
