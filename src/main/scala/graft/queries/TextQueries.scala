@@ -102,6 +102,75 @@ object TextQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "tq_top_word_ratio",
+      "Gopher-style repetition filter: the share of a document taken by its " +
+        "single most frequent token (docs dominated by one token are " +
+        "boilerplate/spam — the classic 'fraction of most common word' " +
+        "quality gate). Two hash aggregations with map-side partials — " +
+        "shuffle is O(doc × distinct-token), never a window or sort.",
+      (s, d) => {
+        val cnt = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("tok"))
+          .where(col("tok") =!= "")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        cnt.groupBy("doc_id")
+          .agg(max(col("c")).as("top_count"), sum(col("c")).as("n_tokens"))
+          .select(col("doc_id"), col("top_count"), col("n_tokens"),
+            round(col("top_count").cast(DoubleType)
+              / col("n_tokens").cast(DoubleType), 4).as("top_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH cnt AS (
+             |  SELECT doc_id, tok, count(*) AS c FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |    FROM documents) t
+             |  WHERE tok <> '' GROUP BY doc_id, tok)
+             |SELECT doc_id, max(c) AS top_count,
+             |  CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  floor((CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE))
+             |    * 10000 + 0.5) / 10000 AS top_ratio
+             |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "tq_redact_pii",
+      "PII redaction pass (C4-style scrub): email and phone patterns masked " +
+        "with typed placeholders plus per-doc match counts — a pure " +
+        "projection, so the scrub is codegen'd and shuffle-free at any " +
+        "corpus size. The synthetic corpus has no natural PII, so " +
+        "deterministic contact strings are appended in-query; the gated " +
+        "semantics are the regex classes and GLOBAL replacement (DuckDB " +
+        "needs the 'g' flag — its default replaces only the first match, " +
+        "a classic silent-divergence trap).",
+      (s, d) => {
+        val withPii = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"))
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+1-555-[0-9]{4}"
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(regexp_extract_all(withPii, lit(emailRe), lit(0)))
+            .cast(LongType).as("n_emails"),
+          size(regexp_extract_all(withPii, lit(phoneRe), lit(0)))
+            .cast(LongType).as("n_phones"),
+          regexp_replace(regexp_replace(withPii, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    text || ' contact user' || doc_id || '@example.com or +1-555-'
+             |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+             |  regexp_replace(regexp_replace(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+             |FROM p ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "tq_fingerprint",
       "Order-sensitive document fingerprint: a rolling polynomial hash over " +
         "the token stream, folded sequentially with `aggregate` (DuckDB " +
