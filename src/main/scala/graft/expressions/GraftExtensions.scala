@@ -49,6 +49,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[FloatVectorNorm].getName, "float_vector_norm"),
       (args: Seq[Expression]) => {
         val a = arity("float_vector_norm", 1)(args); FloatVectorNorm(a.head)
+      }),
+    (FunctionIdentifier("cms_estimate_count"),
+      new ExpressionInfo(classOf[CmsEstimateCount].getName, "cms_estimate_count"),
+      (args: Seq[Expression]) => {
+        val a = arity("cms_estimate_count", 2)(args); CmsEstimateCount(a(0), a(1))
       })
   )
 

@@ -37,11 +37,14 @@ class AnnSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Ann.lshTopK(queries, emb, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // LSH with 12 planes on random vectors: expect some overlap, structure valid
+    // Corpus, hyperplanes, and tie-breaks are all deterministic, so recall
+    // is a stable number (measured 0.38 on this corpus) — gate it with
+    // margin rather than merely asserting structure.
     assert(approx.nonEmpty)
     val recall = exact.intersect(approx).size.toDouble / exact.size
     info(s"recall@5 = $recall")
-    assert(recall > 0.0) // structural sanity; tighter bound tracked in bench
+    assert(recall >= 0.2,
+      s"LSH recall regressed below the gated floor: $recall")
   }
 
   test("IVF top-k: valid structure and recall competitive with probing rate") {
@@ -54,7 +57,9 @@ class AnnSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     info(s"ivf recall@5 = $recall (2/8 cells probed)")
-    assert(recall > 0.1)
+    // deterministic k-means seed + corpus → stable recall (measured 0.48)
+    assert(recall >= 0.25,
+      s"IVF recall regressed below the gated floor: $recall")
   }
 
   test("allPairsTopN: blocked grid covers every pair exactly once (multi-block == single-block == local reference)") {

@@ -80,6 +80,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"expected partial and final HashAggregate in:\n$p")
   }
 
+  test("tq_redact_pii is a shuffle-free projection (scrub scales as a map)") {
+    val df = QueryCatalog.byName("tq_redact_pii").build(spark, d)
+    // drop the final presentation ORDER BY: the operator under test is the
+    // scrub projection, which must introduce no exchange of its own
+    val scrub = df.queryExecution.analyzed match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort =>
+        org.apache.spark.sql.GraftBridge.dataset(spark, s.child)
+      case _ => df
+    }
+    val p = plan(scrub)
+    assert(!p.contains("Exchange"), s"PII scrub must not shuffle:\n$p")
+  }
+
+  test("tq_top_word_ratio aggregates partial+final at both levels, no window") {
+    val p = plan(QueryCatalog.byName("tq_top_word_ratio").build(spark, d))
+    assert(p.split("HashAggregate").length >= 5,
+      s"expected partial+final HashAggregate at (doc,tok) and (doc) levels:\n$p")
+    assert(!p.contains("Window"), s"repetition gate must not use a window:\n$p")
+  }
+
   test("o2 top-k per group gets the rank-limit pushdown (WindowGroupLimit)") {
     val p = plan(QueryCatalog.byName("o2_topk_per_group").build(spark, d))
     // Spark 3.5+ InferWindowGroupLimit turns rank<=k filters into a

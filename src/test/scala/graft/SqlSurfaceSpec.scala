@@ -89,4 +89,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("array<float>"))
   }
+
+  test("cms_estimate_count is callable from SQL against a built sketch") {
+    registerViews()
+    // build a sketch over document tokens, probe it from pure SQL
+    val bytes = spark.sql(
+      """SELECT count_min_sketch(tok, CAST(0.001 AS DOUBLE),
+        |  CAST(0.99 AS DOUBLE), 42) FROM (
+        |  SELECT explode(split(text, ' ')) AS tok FROM documents)""".stripMargin)
+      .head().getAs[Array[Byte]](0)
+    spark.range(1).createOrReplaceTempView("one")
+    val hex = bytes.map(b => f"$b%02x").mkString
+    val est = spark.sql(
+      s"SELECT cms_estimate_count(unhex('$hex'), 'the') FROM one")
+      .head().getLong(0)
+    val exact = spark.sql(
+      """SELECT count(*) FROM (
+        |  SELECT explode(split(text, ' ')) AS tok FROM documents)
+        |WHERE tok = 'the'""".stripMargin).head().getLong(0)
+    assert(est >= exact, "CMS must never undercount")
+    // sketch is foldable-literal-gated: a non-constant first arg is rejected
+    val e = intercept[Exception] {
+      spark.sql("SELECT cms_estimate_count(CAST(text AS BINARY), 'x') FROM documents")
+        .collect()
+    }
+    assert(e.getMessage.contains("constant"))
+  }
 }
