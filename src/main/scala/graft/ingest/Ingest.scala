@@ -265,6 +265,53 @@ object Ingest {
     }
   }
 
+  /** The streaming-idiomatic drop dir (SURVEY §2.1 S2's second form): a
+    * file-source stream over the directory, aligned and stamped per
+    * micro-batch into the same managed table the batch path writes.
+    *
+    * What streaming buys over `runDropDir`: EXACTLY-ONCE file pickup from
+    * the checkpoint's file log — a crash between ingest and cleanup cannot
+    * double-ingest (the batch path needs delete-on-success for that, and
+    * its failure mode is the documented double-ingest hazard), restarts
+    * resume automatically, and `Trigger.AvailableNow` gives the same
+    * drain-and-stop semantics as a batch run. File-source streams require
+    * an explicit schema (no inference) — align semantics downstream are
+    * unchanged: the batch is aligned to the TABLE's schema when the table
+    * exists, so drifted files still SAFE_CAST, never error.
+    */
+  def streamDropDir(spark: SparkSession, dropDir: String,
+                    fileSchema: org.apache.spark.sql.types.StructType,
+                    table: String, runDate: Date, checkpointDir: String,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(fileSchema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(dropDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // foreachBatch runs on a CLONED session (the micro-batch branch) —
+        // do all catalog work through it, then refresh the CALLER's session,
+        // whose relation cache otherwise serves stale file listings after
+        // the clone's append (same hazard mergeBatchUpsert documents)
+        val s = batch.sparkSession
+        val b = batch.toDF()
+        val aligned =
+          if (s.catalog.tableExists(table))
+            SchemaAlign.alignToSchema(b, s.table(table).schema)
+          else b
+        SchemaAlign.stampIngestionDate(aligned, runDate)
+          .write.mode(SaveMode.Append)
+          .partitionBy("Ingestion_date")
+          .saveAsTable(table)
+        spark.catalog.refreshTable(table)
+      }
+      .start()
+
   /** Remove a successfully-ingested file from the drop dir so it can never
     * be picked up again: delete, retry the delete once (transient holders —
     * AV scanners, still-closing readers — usually release between attempts),

@@ -261,6 +261,36 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.where("lead_id = 1008").select("`evil``price`").head.getString(0) == "boom")
   }
 
+  test("streaming drop dir: exactly-once pickup via checkpoint, align on drift") {
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("lead_id", LongType), StructField("full_name", StringType),
+      StructField("asking_price", DoubleType), StructField("motivated", BooleanType)))
+    val table = "leads_stream_" + System.nanoTime()
+    write(dir, "s1.csv", batch1)
+    def drain(): Unit = {
+      val q = Ingest.streamDropDir(spark, dir.toString, schema, table, run, ckpt)
+      assert(q.awaitTermination(120000), "stream drain timed out")
+      info("progress: " + q.recentProgress.map(p =>
+        s"batch=${p.batchId} rows=${p.numInputRows}").mkString("; "))
+    }
+    drain()
+    assert(spark.table(table).count() == 2)
+    assert(spark.table(table).where(s"Ingestion_date = date'$run'").count() == 2)
+    // restart with the SAME checkpoint: s1.csv must NOT re-ingest (the file
+    // is still in the dir — no delete-on-success needed for exactly-once);
+    // a new file is picked up and aligned to the table schema
+    write(dir, "s2.csv",
+      "lead_id,full_name,asking_price,motivated\n1009,Stream Two,5.0,false\n")
+    drain()
+    val t = spark.table(table)
+    assert(t.count() == 3, "checkpoint must dedup already-ingested files")
+    assert(t.where("lead_id = 1009").count() == 1)
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("dotted header ingests as a literal column, not struct-field access") {
     // col("price.usd") parses as struct access; the align kernel must
     // reference the LITERAL name (regression for the colExact fix)
