@@ -125,6 +125,35 @@ class SchemaAlignSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random schema pairs — align never throws, output IS the target schema") {
+    // Random source/target pairs with overlapping, missing, and extra
+    // columns, adversarial names (dots, backticks, spaces — the untrusted-
+    // header space colExact exists for), and hostile values. The kernel's
+    // whole contract: NEVER throw, and the output schema is EXACTLY the
+    // target's names and types regardless of what the file looked like.
+    val names = Seq("a", "B", "c.d", "e`f", "g h", "ok_col")
+    val types: Seq[DataType] =
+      Seq(LongType, IntegerType, DoubleType, StringType, BooleanType, DateType)
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { i =>
+      val srcNames = rnd.shuffle(names).take(1 + rnd.nextInt(names.size))
+      val tgtNames = rnd.shuffle(names).take(1 + rnd.nextInt(names.size))
+      val src = StructType(srcNames.map(n => StructField(n, StringType)).toArray)
+      val tgt = StructType(
+        tgtNames.map(n => StructField(n, types(rnd.nextInt(types.size)))).toArray)
+      val vals = Seq("123", "abc", "2026-01-01", "true", "1.5e3", null)
+      val rows = new java.util.ArrayList[Row]()
+      (0 until 5).foreach { _ =>
+        rows.add(Row(srcNames.map(_ => vals(rnd.nextInt(vals.size))): _*))
+      }
+      val out = SchemaAlign.alignToSchema(spark.createDataFrame(rows, src), tgt)
+      assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        tgt.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"case $i: output schema must equal the target")
+      assert(out.collect().length == 5, s"case $i: alignment must never throw")
+    }
+  }
+
   test("stampIngestionDate adds missing column and backfills NULLs (R5)") {
     val run = Date.valueOf("2026-08-12")
     val noCol = Seq(Tuple1(1L)).toDF("id")
