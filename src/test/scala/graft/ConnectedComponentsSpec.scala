@@ -92,6 +92,19 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(ccStar(chain).values.toSet == Set(1L))
   }
 
+  test("long chain (diameter 600): both variants converge within their round budgets") {
+    // The adversarial shape for label propagation is a path graph — diameter
+    // equals vertex count. Pointer jumping must collapse it in ~log2(600)≈10
+    // rounds (default maxIter 25 would THROW on non-convergence if rounds
+    // scaled with diameter), and the star rewrite's O(log n) bound is
+    // likewise exercised far beyond the toy sizes.
+    val chain = (1L until 600L).map(i => (i, i + 1))
+    val viaProp = cc(chain)
+    assert(viaProp.values.toSet == Set(1L) && viaProp.size == 600)
+    val viaStar = ccStar(chain)
+    assert(viaStar == viaProp)
+  }
+
   test("componentsAuto: both dispatch branches label the real corpus graph identically") {
     import org.apache.spark.sql.functions.col
     // the actual dedup edge set clusterLabels feeds it, both paths forced
