@@ -68,6 +68,20 @@ object SimilarityQueries {
       None
     ),
     Q(
+      "sim_semantic_dedup",
+      "SemDeDup-style semantic deduplication: k-means cells (the IVF coarse " +
+        "quantizer) + within-cell min-id survivorship at a cosine " +
+        "threshold — the published middle path between exact all-pairs " +
+        "(quadratic in n) and hash-based LSH dedup. Pairing cost is " +
+        "bounded by cell size; the only shuffle is the cell-id equality " +
+        "join. Rows-only check (k-means assignment isn't " +
+        "DuckDB-reproducible); verdicts verified against a per-cell local " +
+        "recomputation in AnnSpec.",
+      (s, d) => graft.similarity.Ivf.semanticDedup(
+        Tables.embeddings(s, d), nCells = 16, threshold = 0.45),
+      None
+    ),
+    Q(
       "sim_ann_lsh",
       "LSH-bucketed approximate top-5 (random-hyperplane sign buckets): the " +
         "100 TB path — candidates come from an equality join on the bucket " +

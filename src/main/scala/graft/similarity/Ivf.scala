@@ -109,6 +109,42 @@ object Ivf {
     slice(transform(array_sort(scored), s => s.getField("cell")), 1, nProbe)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * k-means-cluster the embeddings, then dedup WITHIN each cell only —
+    * semantically near-identical items land in the same cell, so the
+    * quadratic pairing term is bounded by cell size (n/nCells), and the
+    * only shuffle is an equality join on the cell id. This is the
+    * published middle path between the exact all-pairs baseline
+    * (`Ann.allPairsTopN`, quadratic in n) and hash-based LSH dedup
+    * (`MinHash`/`dd_simhash`, which need token/bit structure rather than
+    * dense embeddings).
+    *
+    * Verdict per vector, deterministic: DROPPED iff a LOWER-id vector in
+    * the same cell has cosine ≥ threshold; `dup_of` = the smallest such
+    * id (min-id survivorship, same convention as the exact dedup family).
+    * Cosines use the codegen'd native expression.
+    */
+  def semanticDedup(corpus: DataFrame, nCells: Int = 16,
+                    threshold: Double = 0.45,
+                    sampleSize: Int = 10000): DataFrame = {
+    val assigned = build(corpus, nCells, sampleSize).assigned
+    val a = assigned.select(col("cell"), col("vec_id").as("ida"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("idb"),
+      col("embedding").as("eb"))
+    val cos = VectorExpressions.cosineF(col("ea"), col("eb"))
+    val dupOf = a.join(b, Seq("cell"))
+      .where(col("ida") < col("idb") && cos >= threshold)
+      .groupBy(col("idb").as("vec_id"))
+      .agg(min(col("ida")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+      .orderBy("vec_id")
+  }
+
   /** Approximate top-k: probe nProbe cells per query, exact cosine rank on
     * the candidates.
     */

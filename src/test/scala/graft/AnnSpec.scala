@@ -104,6 +104,33 @@ class AnnSpec extends AnyFunSuite {
     assert(plan.contains("Join"), "expected a block-pair join:\n" + plan)
   }
 
+  test("semanticDedup: verdicts equal the per-cell local recomputation; min-id survivorship") {
+    val t = 0.2 // low threshold on random vectors so drops actually occur
+    val out = graft.similarity.Ivf.semanticDedup(emb, nCells = 8, threshold = t)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    // recompute from the same deterministic assignment, driver-side
+    val assigned = graft.similarity.Ivf.build(emb, nCells = 8).assigned
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val byCell = assigned.groupBy(_._3)
+    val want = assigned.map { case (id, e, cell) =>
+      val lowerDups = byCell(cell).filter { case (id2, e2, _) =>
+        id2 < id && Ann.cosineLocal(e, e2,
+          Ann.l2normLocal(e), Ann.l2normLocal(e2)) >= t
+      }.map(_._1)
+      id -> (if (lowerDups.isEmpty) None else Some(lowerDups.min))
+    }.toMap
+    assert(out.keySet == want.keySet)
+    want.foreach { case (id, dupOf) =>
+      val (_, keep, gotDup) = out(id)
+      assert(keep == dupOf.isEmpty, s"vec $id: keep verdict diverged")
+      assert(gotDup == dupOf, s"vec $id: dup_of attribution diverged")
+    }
+    assert(want.values.exists(_.nonEmpty), "threshold too high: no drops exercised")
+    assert(want.values.exists(_.isEmpty), "threshold too low: nothing kept")
+  }
+
   test("lsh bucket is deterministic") {
     val b1 = emb.select(Ann.lshBucket(col("embedding"), 0).as("b")).collect().map(_.getLong(0))
     val b2 = emb.select(Ann.lshBucket(col("embedding"), 0).as("b")).collect().map(_.getLong(0))
