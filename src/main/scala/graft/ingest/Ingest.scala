@@ -267,47 +267,69 @@ object Ingest {
 
   /** The streaming-idiomatic drop dir (SURVEY §2.1 S2's second form): a
     * file-source stream over the directory, aligned and stamped per
-    * micro-batch into the same managed table the batch path writes.
+    * micro-batch into a managed table.
     *
-    * What streaming buys over `runDropDir`: EXACTLY-ONCE file pickup from
-    * the checkpoint's file log — a crash between ingest and cleanup cannot
-    * double-ingest (the batch path needs delete-on-success for that, and
-    * its failure mode is the documented double-ingest hazard), restarts
-    * resume automatically, and `Trigger.AvailableNow` gives the same
-    * drain-and-stop semantics as a batch run. File-source streams require
-    * an explicit schema (no inference) — align semantics downstream are
-    * unchanged: the batch is aligned to the TABLE's schema when the table
-    * exists, so drifted files still SAFE_CAST, never error.
+    * Delivery semantics, honestly: the checkpoint's file log gives
+    * exactly-once file PICKUP (a file is never read into two different
+    * batches), and foreachBatch is at-least-once (the last batch can
+    * replay after a crash between the write and the checkpoint commit) —
+    * so the write goes through `EventStreams.writeBatchIdempotent`: each
+    * batch OVERWRITES exactly its own `_batch_id=<id>` partition, and a
+    * replay rewrites the same partition with the same rows. End to end
+    * that is effectively-once into the table, with no delete-on-success —
+    * the batch path's crash-between-ingest-and-cleanup double-ingest
+    * window does not exist here. The cost: the stream table is laid out
+    * by `_batch_id` (the idempotence key), not `Ingestion_date`; the
+    * stamp column is still present for predicates, it's just not the
+    * partition key.
+    *
+    * Schema discipline, honestly: file-source streams bind a user schema
+    * to CSV POSITIONALLY (the header row is skipped, not matched by
+    * name), so a drifted file could silently land values in the wrong
+    * columns. `enforceSchema=false` makes Spark validate each file's
+    * header against the schema instead — drift FAILS THE STREAM loudly
+    * rather than mis-binding silently. Drift-tolerant ingestion (align by
+    * name, SAFE_CAST, never error) is the BATCH path's contract
+    * (`runDropDir`); the streaming path trades that tolerance for
+    * continuous exactly-once pickup.
+    *
+    * `runDate = Some(d)` pins the stamp (drain-style runs, backfills,
+    * tests); `None` stamps each micro-batch with its own processing date,
+    * which is what a long-running `ProcessingTime` trigger needs — a
+    * week-old stream must not stamp today's rows with its start date.
     */
   def streamDropDir(spark: SparkSession, dropDir: String,
                     fileSchema: org.apache.spark.sql.types.StructType,
-                    table: String, runDate: Date, checkpointDir: String,
+                    table: String, runDate: Option[Date], checkpointDir: String,
                     trigger: org.apache.spark.sql.streaming.Trigger =
                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema(fileSchema)
       .option("header", "true")
+      .option("enforceSchema", "false") // header drift fails loudly, see doc
       .option("mode", "PERMISSIVE")
       .csv(dropDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // foreachBatch runs on a CLONED session (the micro-batch branch) —
         // do all catalog work through it, then refresh the CALLER's session,
         // whose relation cache otherwise serves stale file listings after
-        // the clone's append (same hazard mergeBatchUpsert documents)
+        // the clone's write (same hazard mergeBatchUpsert documents)
         val s = batch.sparkSession
         val b = batch.toDF()
         val aligned =
-          if (s.catalog.tableExists(table))
-            SchemaAlign.alignToSchema(b, s.table(table).schema)
-          else b
-        SchemaAlign.stampIngestionDate(aligned, runDate)
-          .write.mode(SaveMode.Append)
-          .partitionBy("Ingestion_date")
-          .saveAsTable(table)
+          if (s.catalog.tableExists(table)) {
+            val target = org.apache.spark.sql.types.StructType(
+              s.table(table).schema.filterNot(_.name == "_batch_id"))
+            SchemaAlign.alignToSchema(b, target)
+          } else b
+        val stamp = runDate.getOrElse(
+          new Date(System.currentTimeMillis())) // per-batch processing date
+        graft.streaming.EventStreams.writeBatchIdempotent(
+          SchemaAlign.stampIngestionDate(aligned, stamp), table, batchId)
         spark.catalog.refreshTable(table)
       }
       .start()

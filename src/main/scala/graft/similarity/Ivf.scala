@@ -128,7 +128,12 @@ object Ivf {
   def semanticDedup(corpus: DataFrame, nCells: Int = 16,
                     threshold: Double = 0.45,
                     sampleSize: Int = 10000): DataFrame = {
+    // the assignment feeds THREE plan positions (both self-join sides and
+    // the verdict join) with different projections, so exchange reuse can't
+    // dedup them — materialize it once instead of scanning the corpus and
+    // re-evaluating nCells distance expressions per reference
     val assigned = build(corpus, nCells, sampleSize).assigned
+      .localCheckpoint(true)
     val a = assigned.select(col("cell"), col("vec_id").as("ida"),
       col("embedding").as("ea"))
     val b = assigned.select(col("cell"), col("vec_id").as("idb"),

@@ -271,7 +271,7 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val table = "leads_stream_" + System.nanoTime()
     write(dir, "s1.csv", batch1)
     def drain(): Unit = {
-      val q = Ingest.streamDropDir(spark, dir.toString, schema, table, run, ckpt)
+      val q = Ingest.streamDropDir(spark, dir.toString, schema, table, Some(run), ckpt)
       assert(q.awaitTermination(120000), "stream drain timed out")
       info("progress: " + q.recentProgress.map(p =>
         s"batch=${p.batchId} rows=${p.numInputRows}").mkString("; "))
@@ -288,6 +288,22 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = spark.table(table)
     assert(t.count() == 3, "checkpoint must dedup already-ingested files")
     assert(t.where("lead_id = 1009").count() == 1)
+    // batches land in their own _batch_id partitions (the replay-idempotence
+    // layout writeBatchIdempotent provides)
+    assert(t.select("_batch_id").distinct().count() == 2)
+    // a file with a DRIFTED header must fail the stream loudly, not bind
+    // values positionally into the wrong columns (enforceSchema=false)
+    write(dir, "s3.csv", "lead_id,motivated\n1010,true\n")
+    val bad = Ingest.streamDropDir(spark, dir.toString, schema, table, Some(run), ckpt)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      bad.awaitTermination(120000)
+    }
+    // the header check surfaces a few causes deep (FAILED_READ_FILE wraps it)
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ").toLowerCase
+    assert(chain.contains("header") || chain.contains("s3.csv"),
+      s"expected a header-validation failure on s3.csv, got: $chain")
+    assert(spark.table(table).count() == 3, "failed batch must not write rows")
     spark.sql(s"DROP TABLE $table")
   }
 

@@ -18,18 +18,13 @@ class Round4bQueriesSpec extends AnyFunSuite {
     // Control: a bare table load costs one parquet schema-inference job.
     // The funnel build (which loads events exactly once) must cost no more —
     // the pre-r5 form added three eager count() jobs on top. Counted via
-    // job groups (thread-local) so parallel suites on the shared session
-    // can't inflate the measurement.
-    def countJobs(tag: String)(body: => Unit): Int = {
-      spark.sparkContext.setJobGroup(tag, tag)
-      try body finally spark.sparkContext.clearJobGroup()
-      spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
-    }
-    val controlCost = countJobs("x19-control") {
+    // TestSpark.countJobs (thread-local job group) so parallel suites on
+    // the shared session can't inflate the measurement.
+    val controlCost = TestSpark.countJobs("x19-control") {
       Tables.events(spark, TestSpark.sf0001)
     }
     var funnel: org.apache.spark.sql.DataFrame = null
-    val buildCost = countJobs("x19-build") { funnel = df("x19_event_funnel") }
+    val buildCost = TestSpark.countJobs("x19-build") { funnel = df("x19_event_funnel") }
     assert(buildCost <= controlCost,
       s"x19 build launched $buildCost job(s); read-setup control is $controlCost")
     val r = funnel.collect()(0)

@@ -296,19 +296,12 @@ class StreamingSpec extends AnyFunSuite {
     def merge(b: DataFrame) =
       EventStreams.mergeBatchUpsert(b, table, "user_id", "ts", "event_id", 8)
     merge(ev) // seed the table (warms schema/listing jobs too)
-    // count THIS thread's jobs via a job group — the suite shares one
-    // SparkSession across parallel suites, so the global job counter races
-    def countJobs(tag: String)(body: => Unit): Int = {
-      spark.sparkContext.setJobGroup(tag, tag)
-      try body finally spark.sparkContext.clearJobGroup()
-      spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
-    }
     // a batch touching ONE bucket vs a batch touching ALL 8: the merge must
     // cost the same number of jobs — the pre-r5 per-bucket INSERT loop added
     // one sequential write job per affected bucket
     val oneBucket = ev.where(pmod(hash(col("user_id")), lit(8)) === 0)
-    val costOne = countJobs("merge-one") { merge(oneBucket) }
-    val costAll = countJobs("merge-all") { merge(ev) }
+    val costOne = TestSpark.countJobs("merge-one") { merge(oneBucket) }
+    val costAll = TestSpark.countJobs("merge-all") { merge(ev) }
     assert(costAll == costOne,
       s"merge cost must not scale with affected buckets: 1-bucket=$costOne, 8-bucket=$costAll")
     // matching names with drifted types must be rejected, not NULL-cast

@@ -23,4 +23,15 @@ object TestSpark {
   }
 
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** Count the Spark jobs `body` launches, via a thread-local job group —
+    * suites share one session and sbt runs them in parallel, so counting
+    * the global job list races. One home for the helper (it was pasted
+    * into two specs before).
+    */
+  def countJobs(tag: String)(body: => Unit): Int = {
+    spark.sparkContext.setJobGroup(tag, tag)
+    try body finally spark.sparkContext.clearJobGroup()
+    spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+  }
 }
