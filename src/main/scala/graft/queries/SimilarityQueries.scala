@@ -74,11 +74,13 @@ object SimilarityQueries {
         "threshold — the published middle path between exact all-pairs " +
         "(quadratic in n) and hash-based LSH dedup. Pairing cost is " +
         "bounded by cell size; the only shuffle is the cell-id equality " +
-        "join. Rows-only check (k-means assignment isn't " +
+        "join. Cell count is derived from the corpus size (constant target " +
+        "cell size, the published posture — total pair cost stays linear " +
+        "in n). Rows-only check (k-means assignment isn't " +
         "DuckDB-reproducible); verdicts verified against a per-cell local " +
         "recomputation in AnnSpec.",
       (s, d) => graft.similarity.Ivf.semanticDedup(
-        Tables.embeddings(s, d), nCells = 16, threshold = 0.45),
+        Tables.embeddings(s, d), threshold = 0.45),
       None
     ),
     Q(

@@ -22,10 +22,45 @@ import graft.expressions.VectorExpressions
   * literals). Search: each query probes its `nProbe` nearest cells only, so
   * the candidate join is an equality on the cell id — O(n/nCells · nProbe)
   * per query at any corpus size, with exact cosine re-ranking.
+  *
+  * Driver-cost bound for quantizer training, as a function of cell count k
+  * (s = sample size, d = dim, t = Lloyd iterations):
+  *   - flat path (k ≤ [[flatKMax]]):      ~ t·s·k·d     flops on the driver
+  *   - two-level path (k > [[flatKMax]]): ~ t·s·2·√k·d  flops — the top
+  *     level has k₁ = ⌈√k⌉ centroids over the whole sample, and each of the
+  *     k₁ sub-problems runs Lloyd with k₂ = ⌈k/k₁⌉ centroids over only its
+  *     own slice of the sample (the slices partition the sample, so the
+  *     per-level total is s·k₂, not k₁·s·k₂).
+  * At SemDeDup scale (k ≈ 10⁵, s = 10⁴, d = 64, t = 8) the flat path is
+  * ~5·10¹² driver flops — minutes on one core; the two-level path is
+  * ~3·10⁹ — milliseconds. Assignment is distributed in both paths: flat
+  * rides k centroid literals through codegen; two-level computes the top
+  * cell from k₁ literals, then an equality broadcast-join against the
+  * ≤k·d·4-byte sub-centroid table prunes the scan to k₂ candidates per
+  * vector, reduced map-side by a partial min aggregate.
   */
 object Ivf {
 
-  final case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame)
+  /** Above this cell count, [[build]] switches from flat local Lloyd +
+    * centroid-literal assignment to the two-level quantizer (local literal
+    * count and driver training flops both stay bounded).
+    */
+  val flatKMax = 128
+
+  /** Hard cap on auto-derived cell count: bounds the broadcast sub-centroid
+    * table at ~32 MB for d = 64 (k·d·4 bytes). SemDeDup's published
+    * web-scale run used ~10⁵ clusters, inside this cap.
+    */
+  val maxAutoCells: Int = 131072
+
+  /** `centroids(i)` is the centroid of cell i; `assigned` = (vec_id,
+    * embedding, cell). `topCentroids` and `cellTop` (global cell id → its
+    * top-level cell) are defined iff the index was built by the two-level
+    * path.
+    */
+  final case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame,
+                            topCentroids: Option[Array[Array[Float]]] = None,
+                            cellTop: Option[Array[Int]] = None)
 
   private def distSqLocal(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
@@ -67,8 +102,23 @@ object Ivf {
     centroids
   }
 
+  /** Cell count for a corpus of `n` vectors targeting `targetCellSize`
+    * vectors per cell. Constant cell size is what makes within-cell
+    * quadratic work (SemDeDup pairing, candidate re-ranking) LINEAR in n:
+    * total pair cost = k·(n/k)² = n·targetCellSize. This is the published
+    * SemDeDup posture — cluster count grows ∝ n (they used ~10⁵ cells at
+    * web scale), never a fixed k.
+    */
+  def autoCells(n: Long, targetCellSize: Int = 1024): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be positive: $targetCellSize")
+    val k = (n + targetCellSize - 1) / targetCellSize
+    math.max(1L, math.min(maxAutoCells.toLong, k)).toInt
+  }
+
   /** Build the coarse index: sample → local k-means → one distributed
-    * assignment pass. `assigned` = (vec_id, embedding, cell).
+    * assignment pass. Dispatches to the two-level quantizer above
+    * [[flatKMax]] cells (see the object doc for the driver-cost bound).
+    * `assigned` = (vec_id, embedding, cell).
     */
   def build(corpus: DataFrame, nCells: Int = 16, sampleSize: Int = 10000,
             iters: Int = 8): IvfIndex = {
@@ -85,10 +135,77 @@ object Ivf {
       .collect().map(_.getSeq[Float](1).toArray)
     require(sample.nonEmpty,
       "Ivf.build: corpus has no non-null embeddings to train the quantizer on")
-    val centroids = lloyd(sample, nCells, iters)
-    val cell = element_at(probeCells(col("embedding"), centroids, 1), 1)
-    IvfIndex(centroids,
-      corpus.select(col("vec_id"), col("embedding"), cell.as("cell")))
+    if (nCells <= flatKMax) {
+      val centroids = lloyd(sample, nCells, iters)
+      val cell = element_at(probeCells(col("embedding"), centroids, 1), 1)
+      IvfIndex(centroids,
+        corpus.select(col("vec_id"), col("embedding"), cell.as("cell")))
+    } else buildTwoLevel(corpus, sample, nCells, iters)
+  }
+
+  /** Two-level coarse quantizer for large cell counts. Training: k₁ = ⌈√k⌉
+    * top centroids over the whole sample, then per-top-cell Lloyd with
+    * k₂ = ⌈k/k₁⌉ sub-centroids over that cell's sample slice — ~2√k·s·d·t
+    * driver flops total (object doc). A top cell whose sample slice is
+    * empty contributes its own centroid as a single sub-cell, so every
+    * possible top assignment has ≥1 sub-cell and the assignment join can
+    * never drop a vector. Assignment: the top cell comes from k₁ broadcast
+    * literals (codegen'd, narrow); the sub cell from an equality broadcast
+    * join against the (top_cell → sub-centroids) table — k₂ candidates per
+    * vector, reduced to one row map-side by a partial min-of-struct
+    * aggregate before the vec_id shuffle.
+    */
+  private def buildTwoLevel(corpus: DataFrame, sample: Array[Array[Float]],
+                            nCells: Int, iters: Int): IvfIndex = {
+    val spark = corpus.sparkSession
+    val k1 = math.ceil(math.sqrt(nCells.toDouble)).toInt
+    val k2 = math.ceil(nCells.toDouble / k1).toInt
+    val top = lloyd(sample, k1, iters)
+    // slice the sample by nearest top centroid (ties → lowest index, the
+    // same tie-break probeCells' struct sort uses)
+    val slices = Array.fill(top.length)(Vector.newBuilder[Array[Float]])
+    sample.foreach { v =>
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < top.length) {
+        val dd = distSqLocal(v, top(c))
+        if (dd < bestD) { bestD = dd; best = c }
+        c += 1
+      }
+      slices(best) += v
+    }
+    // global cell ids are dense in training order: deterministic, and the
+    // centroids array below is indexed by exactly these ids
+    val centroidsB = Array.newBuilder[Array[Float]]
+    val cellTopB = Array.newBuilder[Int]
+    val subRowsB = Seq.newBuilder[(Int, Int, Seq[Float], Double)]
+    var nextId = 0
+    top.indices.foreach { t =>
+      val slice = slices(t).result()
+      val subs = if (slice.isEmpty) Array(top(t)) else lloyd(slice.toArray, k2, iters)
+      subs.foreach { c =>
+        centroidsB += c
+        cellTopB += t
+        subRowsB += ((t, nextId, c.toSeq, c.map(v => v.toDouble * v.toDouble).sum))
+        nextId += 1
+      }
+    }
+    import spark.implicits._
+    val subTable = subRowsB.result()
+      .toDF("top_cell", "cell", "centroid", "c_norm_sq")
+      .withColumn("centroid", col("centroid").cast(ArrayType(FloatType)))
+    val e = col("embedding")
+    val topCell = element_at(probeCells(e, top, 1), 1)
+    // |x|² − 2·x·c + |c|²: same monotone-equivalent form distSqTo uses, so
+    // flat and two-level paths rank candidates identically
+    val dSq = VectorExpressions.normF(e) * VectorExpressions.normF(e) -
+      lit(2.0) * VectorExpressions.dotF(e, col("centroid")) + col("c_norm_sq")
+    val assigned = corpus.select(col("vec_id"), e, topCell.as("top_cell"))
+      .join(broadcast(subTable), Seq("top_cell"))
+      .groupBy(col("vec_id"))
+      .agg(first(e).as("embedding"),
+        min(struct(dSq.as("d"), col("cell").as("cell"))).getField("cell").as("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    IvfIndex(centroidsB.result(), assigned, Some(top), Some(cellTopB.result()))
   }
 
   /** Squared L2 distance to a literal centroid, via native expressions:
@@ -113,26 +230,61 @@ object Ivf {
     * Data-efficient learning at web-scale through semantic deduplication"):
     * k-means-cluster the embeddings, then dedup WITHIN each cell only —
     * semantically near-identical items land in the same cell, so the
-    * quadratic pairing term is bounded by cell size (n/nCells), and the
-    * only shuffle is an equality join on the cell id. This is the
-    * published middle path between the exact all-pairs baseline
-    * (`Ann.allPairsTopN`, quadratic in n) and hash-based LSH dedup
-    * (`MinHash`/`dd_simhash`, which need token/bit structure rather than
-    * dense embeddings).
+    * quadratic pairing term is bounded by cell size, and the only shuffle
+    * is an equality join on the cell id. This is the published middle path
+    * between the exact all-pairs baseline (`Ann.allPairsTopN`, quadratic
+    * in n) and hash-based LSH dedup (`MinHash`/`dd_simhash`, which need
+    * token/bit structure rather than dense embeddings).
+    *
+    * `nCells ≤ 0` (the default) derives the cell count from the corpus
+    * size via [[autoCells]] — one extra count() job at build time — so the
+    * per-cell pair cost stays ~targetCellSize² regardless of corpus size
+    * and total pairing work stays LINEAR in n. A pinned nCells is still
+    * accepted for reproducing a specific clustering.
     *
     * Verdict per vector, deterministic: DROPPED iff a LOWER-id vector in
     * the same cell has cosine ≥ threshold; `dup_of` = the smallest such
     * id (min-id survivorship, same convention as the exact dedup family).
     * Cosines use the codegen'd native expression.
+    *
+    * Storage note: the cell assignment is localCheckpoint(eager)ed because
+    * it feeds three plan positions (both self-join sides and the verdict
+    * join) that exchange reuse cannot dedup. The returned lazy DataFrame
+    * references that checkpoint, so it CANNOT be released here — it is
+    * pinned in executor storage until RDD GC. Callers that consume the
+    * result once should prefer [[semanticDedupWith]], which unpersists
+    * deterministically after the caller's action.
     */
-  def semanticDedup(corpus: DataFrame, nCells: Int = 16,
+  def semanticDedup(corpus: DataFrame, nCells: Int = 0,
                     threshold: Double = 0.45,
-                    sampleSize: Int = 10000): DataFrame = {
+                    sampleSize: Int = 10000,
+                    targetCellSize: Int = 1024): DataFrame =
+    semanticDedupImpl(corpus, nCells, threshold, sampleSize, targetCellSize)._1
+
+  /** [[semanticDedup]] with deterministic checkpoint release: runs `use` on
+    * the verdict DataFrame, then unpersists the cell-assignment checkpoint
+    * in a finally — nothing stays pinned in executor storage afterwards.
+    * `use` must fully consume the DataFrame (collect/write/count); a lazy
+    * plan escaping `use` would reference the released checkpoint.
+    */
+  def semanticDedupWith[T](corpus: DataFrame, nCells: Int = 0,
+                           threshold: Double = 0.45,
+                           sampleSize: Int = 10000,
+                           targetCellSize: Int = 1024)(use: DataFrame => T): T = {
+    val (verdicts, release) =
+      semanticDedupImpl(corpus, nCells, threshold, sampleSize, targetCellSize)
+    try use(verdicts) finally release()
+  }
+
+  private def semanticDedupImpl(corpus: DataFrame, nCells: Int,
+                                threshold: Double, sampleSize: Int,
+                                targetCellSize: Int): (DataFrame, () => Unit) = {
+    val k = if (nCells > 0) nCells else autoCells(corpus.count(), targetCellSize)
     // the assignment feeds THREE plan positions (both self-join sides and
     // the verdict join) with different projections, so exchange reuse can't
     // dedup them — materialize it once instead of scanning the corpus and
-    // re-evaluating nCells distance expressions per reference
-    val assigned = build(corpus, nCells, sampleSize).assigned
+    // re-evaluating k distance expressions per reference
+    val assigned = build(corpus, k, sampleSize).assigned
       .localCheckpoint(true)
     val a = assigned.select(col("cell"), col("vec_id").as("ida"),
       col("embedding").as("ea"))
@@ -143,15 +295,18 @@ object Ivf {
       .where(col("ida") < col("idb") && cos >= threshold)
       .groupBy(col("idb").as("vec_id"))
       .agg(min(col("ida")).as("dup_of"))
-    assigned.select(col("vec_id"), col("cell"))
+    val verdicts = assigned.select(col("vec_id"), col("cell"))
       .join(dupOf, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
         col("dup_of").isNull.as("keep"), col("dup_of"))
       .orderBy("vec_id")
+    (verdicts, () => graft.util.Checkpoints.unpersist(assigned))
   }
 
   /** Approximate top-k: probe nProbe cells per query, exact cosine rank on
-    * the candidates.
+    * the candidates. (Probing rides centroid literals, so it is meant for
+    * flat-path indexes; a two-level index's `centroids` array works here
+    * too but embeds k literals — prune via `topCentroids` first at large k.)
     */
   def ivfTopK(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),

@@ -5,6 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.similarity.Ann
 
+/** Planted-cluster fixture row (file-scope for encoder derivation). */
+case class PlantedEmb(vec_id: Long, embedding: Seq[Float])
+
 class AnnSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -104,31 +107,144 @@ class AnnSpec extends AnyFunSuite {
     assert(plan.contains("Join"), "expected a block-pair join:\n" + plan)
   }
 
-  test("semanticDedup: verdicts equal the per-cell local recomputation; min-id survivorship") {
+  test("semanticDedup: verdicts equal the per-cell local recomputation at nCells in {4, 16, 64}") {
     val t = 0.2 // low threshold on random vectors so drops actually occur
-    val out = graft.similarity.Ivf.semanticDedup(emb, nCells = 8, threshold = t)
-      .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
-      .toMap
-    // recompute from the same deterministic assignment, driver-side
-    val assigned = graft.similarity.Ivf.build(emb, nCells = 8).assigned
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
-    val byCell = assigned.groupBy(_._3)
-    val want = assigned.map { case (id, e, cell) =>
-      val lowerDups = byCell(cell).filter { case (id2, e2, _) =>
-        id2 < id && Ann.cosineLocal(e, e2,
-          Ann.l2normLocal(e), Ann.l2normLocal(e2)) >= t
-      }.map(_._1)
-      id -> (if (lowerDups.isEmpty) None else Some(lowerDups.min))
-    }.toMap
-    assert(out.keySet == want.keySet)
-    want.foreach { case (id, dupOf) =>
-      val (_, keep, gotDup) = out(id)
-      assert(keep == dupOf.isEmpty, s"vec $id: keep verdict diverged")
-      assert(gotDup == dupOf, s"vec $id: dup_of attribution diverged")
+    Seq(4, 16, 64).foreach { k =>
+      val out = graft.similarity.Ivf.semanticDedup(emb, nCells = k, threshold = t)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toMap
+      // recompute from the same deterministic assignment, driver-side
+      val assigned = graft.similarity.Ivf.build(emb, nCells = k).assigned
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      val byCell = assigned.groupBy(_._3)
+      val want = assigned.map { case (id, e, cell) =>
+        val lowerDups = byCell(cell).filter { case (id2, e2, _) =>
+          id2 < id && Ann.cosineLocal(e, e2,
+            Ann.l2normLocal(e), Ann.l2normLocal(e2)) >= t
+        }.map(_._1)
+        id -> (if (lowerDups.isEmpty) None else Some(lowerDups.min))
+      }.toMap
+      assert(out.keySet == want.keySet, s"nCells=$k: id set diverged")
+      want.foreach { case (id, dupOf) =>
+        val (_, keep, gotDup) = out(id)
+        assert(keep == dupOf.isEmpty, s"nCells=$k vec $id: keep verdict diverged")
+        assert(gotDup == dupOf, s"nCells=$k vec $id: dup_of attribution diverged")
+      }
+      assert(want.values.exists(_.nonEmpty), s"nCells=$k: threshold too high, no drops")
+      assert(want.values.exists(_.isEmpty), s"nCells=$k: threshold too low, nothing kept")
     }
-    assert(want.values.exists(_.nonEmpty), "threshold too high: no drops exercised")
-    assert(want.values.exists(_.isEmpty), "threshold too low: nothing kept")
+  }
+
+  test("autoCells: corpus-proportional with floor 1 and the broadcast-bound cap") {
+    import graft.similarity.Ivf
+    assert(Ivf.autoCells(0) == 1)
+    assert(Ivf.autoCells(500) == 1)
+    assert(Ivf.autoCells(1024) == 1)
+    assert(Ivf.autoCells(1025) == 2)
+    // SemDeDup web-scale posture: ~1e9 docs at the default target → 1e6
+    // wanted cells, clamped to the documented broadcast-table cap
+    assert(Ivf.autoCells(1000000000L) == Ivf.maxAutoCells)
+    // constant cell size ⇒ linear total pair cost: k(n) doubles with n
+    assert(Ivf.autoCells(1 << 20) * 2 == Ivf.autoCells(1 << 21))
+  }
+
+  test("two-level quantizer: assignment equals the local two-level recompute, no vector dropped") {
+    import graft.similarity.Ivf
+    val k = 200 // > flatKMax → forces the two-level path
+    assert(k > Ivf.flatKMax)
+    val index = Ivf.build(emb, nCells = k)
+    val top = index.topCentroids.getOrElse(fail("two-level path not taken"))
+    val cellTop = index.cellTop.get
+    assert(cellTop.length == index.centroids.length)
+    val got = index.assigned.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    assert(got.length == emb.count(), "assignment dropped or duplicated vectors")
+
+    // mirrors the engine's monotone-equivalent form |x|²−2·x·c+|c|² with the
+    // same sequential double accumulation as the codegen'd expressions
+    def distSq(e: Array[Float], c: Array[Float]): Double = {
+      var dot = 0.0; var i = 0
+      while (i < e.length) { dot += e(i).toDouble * c(i).toDouble; i += 1 }
+      val nrm = Ann.l2normLocal(e)
+      val cNormSq = c.map(v => v.toDouble * v.toDouble).sum
+      nrm * nrm - 2.0 * dot + cNormSq
+    }
+    got.foreach { case (id, e, cell) =>
+      // top level: argmin over top centroids, ties → lowest index (the
+      // probeCells struct-sort tie-break)
+      var bestT = 0; var bestD = Double.MaxValue
+      top.indices.foreach { t =>
+        val d = distSq(e, top(t))
+        if (d < bestD) { bestD = d; bestT = t }
+      }
+      // sub level: min over (d, cell) among that top cell's sub-centroids
+      val want = index.centroids.indices
+        .filter(cellTop(_) == bestT)
+        .map(c => (distSq(e, index.centroids(c)), c)).min._2
+      assert(cell == want, s"vec $id: two-level assignment diverged")
+    }
+    info(s"two-level: k1=${top.length} top cells, ${index.centroids.length} global cells")
+  }
+
+  test("semanticDedupWith releases the assignment checkpoint; result matches semanticDedup") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val viaWith = graft.similarity.Ivf.semanticDedupWith(emb, nCells = 8, threshold = 0.2) {
+      df => df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    }
+    val after = sc.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"checkpoint leaked: persistent RDDs ${after -- before} remain")
+    val direct = graft.similarity.Ivf.semanticDedup(emb, nCells = 8, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(viaWith == direct)
+  }
+
+  // ---- planted-cluster recall: the structured-embedding regression gate ----
+  // The random-vector corpus above is the adversarial case (cosines
+  // concentrate near 0) and its honest floors are 0.2/0.25 — too low to
+  // catch a real recall regression. Real embedding corpora are clustered;
+  // this fixture plants 20 tight clusters (base + small noise) where any
+  // correct LSH/IVF configuration must reach recall ≥ 0.9.
+  lazy val planted = {
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val rows = for {
+      c <- 0 until 20
+      base = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+      i <- 0 until 25
+    } yield PlantedEmb(c * 25L + i,
+      base.map(v => v + (rnd.nextFloat() * 2f - 1f) * 0.02f).toSeq)
+    val s = spark
+    import s.implicits._
+    s.createDataset(rows).toDF()
+      .select(col("vec_id"), col("embedding").cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("embedding"))
+  }
+
+  test("planted clusters: LSH recall@5 >= 0.9 (6 bits x 8 tables)") {
+    val queries = planted.where(col("vec_id") % 25 === 0) // one per cluster
+    val exact = Ann.bruteForceTopK(queries, planted, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(queries, planted, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"planted LSH recall@5 = $recall")
+    assert(recall >= 0.9, s"LSH recall regressed on clustered fixture: $recall")
+  }
+
+  test("planted clusters: IVF recall@5 >= 0.9 (nCells=16, nProbe=2)") {
+    val queries = planted.where(col("vec_id") % 25 === 0)
+    val exact = Ann.bruteForceTopK(queries, planted, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = graft.similarity.Ivf.build(planted, nCells = 16)
+    val approx = graft.similarity.Ivf.ivfTopK(index, queries, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"planted IVF recall@5 = $recall")
+    assert(recall >= 0.9, s"IVF recall regressed on clustered fixture: $recall")
   }
 
   test("lsh bucket is deterministic") {
