@@ -130,7 +130,10 @@ object Ingest {
           val ddl = newCols
             .map(f => s"${SchemaAlign.quoteIdent(f.name)} ${f.dataType.sql}")
             .mkString(", ")
-          spark.sql(s"ALTER TABLE $table ADD COLUMNS ($ddl)")
+          // the table name is filename-derived (tableNameFor) — just as
+          // untrusted as the headers, so it gets the same quoting
+          spark.sql(
+            s"ALTER TABLE ${SchemaAlign.quoteIdent(table)} ADD COLUMNS ($ddl)")
         }
       }
       val target  = spark.table(table).schema
@@ -314,25 +317,54 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // foreachBatch runs on a CLONED session (the micro-batch branch) —
-        // do all catalog work through it, then refresh the CALLER's session,
-        // whose relation cache otherwise serves stale file listings after
-        // the clone's write (same hazard mergeBatchUpsert documents)
-        val s = batch.sparkSession
-        val b = batch.toDF()
-        val aligned =
-          if (s.catalog.tableExists(table)) {
-            val target = org.apache.spark.sql.types.StructType(
-              s.table(table).schema.filterNot(_.name == "_batch_id"))
-            SchemaAlign.alignToSchema(b, target)
-          } else b
-        val stamp = runDate.getOrElse(
-          new Date(System.currentTimeMillis())) // per-batch processing date
-        graft.streaming.EventStreams.writeBatchIdempotent(
-          SchemaAlign.stampIngestionDate(aligned, stamp), table, batchId)
+        ingestStreamBatch(batch.toDF(), table, runDate, batchId)
         spark.catalog.refreshTable(table)
       }
       .start()
+
+  /** The foreachBatch body of [[streamDropDir]], extracted so the
+    * crash-replay contract is directly drivable in tests: applying the same
+    * (batch, batchId) twice must leave the table in an identical state.
+    *
+    * The processing-date stamp (runDate = None) is REPLAY-STABLE: before
+    * stamping, the batch's own `_batch_id` partition is probed (a
+    * partition-pruned, metadata-cheap read) and a prior stamp is reused —
+    * so a crash-between-write-and-checkpoint-commit replay that straddles
+    * midnight rewrites the partition with the ORIGINAL date, not a new one.
+    * A fresh batch stamps the current UTC date (`LocalDate.now(UTC)`, never
+    * the JVM-default zone — the engine contract is UTC everywhere, and the
+    * session TZ is pinned to UTC while driver wall-clock may not be).
+    */
+  private[graft] def ingestStreamBatch(batch: DataFrame, table: String,
+                                       runDate: Option[Date],
+                                       batchId: Long): Unit = {
+    // foreachBatch runs on a CLONED session (the micro-batch branch) — do
+    // all catalog work through it; the caller refreshes its own session,
+    // whose relation cache otherwise serves stale file listings after the
+    // clone's write (same hazard mergeBatchUpsert documents)
+    val s = batch.sparkSession
+    val tableExists = s.catalog.tableExists(table)
+    val aligned =
+      if (tableExists) {
+        val target = org.apache.spark.sql.types.StructType(
+          s.table(table).schema.filterNot(_.name == "_batch_id"))
+        SchemaAlign.alignToSchema(batch, target)
+      } else batch
+    val stamp = runDate.getOrElse {
+      val prior =
+        if (tableExists) {
+          import org.apache.spark.sql.functions.{col, max}
+          val r = s.table(table)
+            .where(col("_batch_id") === batchId) // partition-pruned probe
+            .agg(max(col("Ingestion_date"))).collect()(0)
+          if (r.isNullAt(0)) null else r.getDate(0)
+        } else null
+      if (prior != null) prior // replay: keep the original batch stamp
+      else Date.valueOf(java.time.LocalDate.now(java.time.ZoneOffset.UTC))
+    }
+    graft.streaming.EventStreams.writeBatchIdempotent(
+      SchemaAlign.stampIngestionDate(aligned, stamp), table, batchId)
+  }
 
   /** Remove a successfully-ingested file from the drop dir so it can never
     * be picked up again: delete, retry the delete once (transient holders —

@@ -108,6 +108,15 @@ object RefQueries {
       (s, d) => {
         import java.nio.file.Files
         val runId = "r13_" + java.util.UUID.randomUUID().toString
+        // Per-invocation namespace: every catalog object this demo touches
+        // carries the run's own suffix, so concurrent or back-to-back
+        // builds (bench warmup vs measure, parallel harnesses) can never
+        // race on shared table names. The suffix is stripped from the
+        // OUTPUT columns below — the hash-compared contract stays stable
+        // while the operational names stay unique.
+        val sfx = runId.takeRight(12)
+        val demoTable = s"rpt_demo_$sfx"
+        val reportTable = s"rpt_ingest_report_$sfx"
         val drop = Files.createTempDirectory("graft-r13-drop")
         val stage = Files.createTempDirectory("graft-r13-stage")
         // land part's columns as one CSV named for the target table
@@ -119,15 +128,13 @@ object RefQueries {
           st.iterator().asScala
             .find(_.getFileName.toString.endsWith(".csv")).get
         }
-        Files.move(csv, drop.resolve("rpt_demo.csv"))
+        Files.move(csv, drop.resolve(s"$demoTable.csv"))
         Files.writeString(drop.resolve("rpt_zz_empty.csv"), "") // read fails: no schema
-        // Re-runnable across JVMs: DROP TABLE IF EXISTS alone is a no-op in
-        // a fresh in-memory catalog while the managed LOCATION persists in
-        // the warehouse dir — the next CREATE dies with
-        // LOCATION_ALREADY_EXISTS. Clear both the entry and the location,
-        // resolving the location through the CURRENT database's locationUri
-        // (never a bare <warehouse>/<table> concat, which points at the
-        // default db's namespace under USE <other_db>).
+        // Unique names make cross-run collisions impossible, but the managed
+        // LOCATION must still be cleared when the table is dropped below —
+        // resolve it through the CURRENT database's locationUri (never a
+        // bare <warehouse>/<table> concat, which points at the default db's
+        // namespace under USE <other_db>).
         def dropWithLocation(t: String): Unit = {
           s.sql(s"DROP TABLE IF EXISTS $t") // catalog-known: deletes data too
           val dbLoc = s.catalog.getDatabase(s.catalog.currentDatabase).locationUri
@@ -135,18 +142,14 @@ object RefQueries {
           val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
           if (fs.exists(path)) fs.delete(path, true) // catalog-forgotten leftover
         }
-        // demo-scoped tables ONLY — this query must never touch the
-        // production-default ingest_run_report a real deployment accumulates
-        dropWithLocation("rpt_demo")
-        dropWithLocation("rpt_ingest_report")
         // pre-created target with p_name : BIGINT → every name safe-casts
         // to NULL and the observe counter records exactly how many
-        s.sql("""CREATE TABLE rpt_demo
-                |  (p_partkey BIGINT, p_name BIGINT, p_size BIGINT,
-                |   Ingestion_date DATE)
-                |USING parquet PARTITIONED BY (Ingestion_date)""".stripMargin)
+        s.sql(s"""CREATE TABLE $demoTable
+                 |  (p_partkey BIGINT, p_name BIGINT, p_size BIGINT,
+                 |   Ingestion_date DATE)
+                 |USING parquet PARTITIONED BY (Ingestion_date)""".stripMargin)
         Ingest.runDropDirReport(s, drop.toString, Date.valueOf(RunDate), runId,
-          reportTable = "rpt_ingest_report")
+          reportTable = reportTable)
         // the drop dir is drained on success and the failed fixture plus the
         // staging leftovers are ours to clean — don't leak tens of MB of
         // temp CSV per verification run
@@ -158,13 +161,26 @@ object RefQueries {
             }
           }
         rmTree(stage); rmTree(drop)
-        s.table("rpt_ingest_report")
+        // The persisted round-trip is the thing under test: the report rows
+        // are read back THROUGH the catalog table, then pinned into a
+        // table-independent DataFrame so the namespaced tables can be
+        // dropped right here — nothing leaks into the warehouse, and the
+        // lazy result the harness re-executes never references a table
+        // another invocation may have since removed.
+        val reportDf = s.table(reportTable)
           .where(col("run_id") === runId)
           .select(
-            element_at(split(col("file"), "/"), -1).as("file_name"),
-            col("table_name"), col("outcome"), col("rows_in"),
+            replace(element_at(split(col("file"), "/"), -1),
+              lit(s"_$sfx"), lit("")).as("file_name"),
+            replace(col("table_name"), lit(s"_$sfx"), lit("")).as("table_name"),
+            col("outcome"), col("rows_in"),
             col("bad_casts").getItem("p_name").as("bad_p_name"))
           .orderBy("file_name")
+        val pinned = s.createDataFrame(
+          java.util.Arrays.asList(reportDf.collect(): _*), reportDf.schema)
+        dropWithLocation(demoTable)
+        dropWithLocation(reportTable)
+        pinned.orderBy("file_name")
       },
       Some("""SELECT 'rpt_demo.csv' AS file_name, 'rpt_demo' AS table_name,
              |  'loaded' AS outcome, count(*) AS rows_in,

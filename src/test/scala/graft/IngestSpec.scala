@@ -307,6 +307,67 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("crash replay: same _batch_id applied twice → identical table state, original stamp kept") {
+    // The effectively-once claim rests on writeBatchIdempotent's partition
+    // overwrite PLUS a replay-stable stamp. Drive the foreachBatch body
+    // directly with the same (batch, batchId) twice — the at-least-once
+    // window foreachBatch leaves open (crash between the write and the
+    // checkpoint commit).
+    val table = "leads_replay_" + System.nanoTime()
+    val s = spark
+    import s.implicits._
+    val batch = Seq((1001L, "Jane", 1.5), (1002L, "Bob", 2.5))
+      .toDF("lead_id", "full_name", "asking_price")
+    def state(): Seq[String] = spark.table(table).selectExpr(
+      "lead_id", "full_name", "asking_price",
+      "CAST(Ingestion_date AS STRING)", "_batch_id")
+      .collect().map(_.toString).sorted.toSeq
+    // original write stamped on an earlier date (as if the batch first ran
+    // just before midnight)
+    Ingest.ingestStreamBatch(batch, table, Some(Date.valueOf("2026-08-10")), batchId = 7L)
+    val before = state()
+    // replay with runDate=None "after midnight": the stamp must be REUSED
+    // from the batch's own partition, never recomputed from wall clock
+    Ingest.ingestStreamBatch(batch, table, None, batchId = 7L)
+    assert(state() == before,
+      "replay of the same _batch_id must rewrite byte-identical rows (incl. stamp)")
+    assert(spark.table(table).where("_batch_id = 7").count() == 2)
+    // a genuinely new batch id still gets a fresh (UTC) processing date
+    Ingest.ingestStreamBatch(batch, table, None, batchId = 8L)
+    val utcToday = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+    assert(spark.table(table)
+      .where(s"_batch_id = 8 AND Ingestion_date = date'$utcToday'").count() == 2)
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("runDate=None stamp is the UTC date even under a non-UTC JVM default zone") {
+    val table = "leads_utc_" + System.nanoTime()
+    val tzBefore = java.util.TimeZone.getDefault
+    try {
+      // UTC+14: the JVM-local date runs up to a full day AHEAD of UTC, so a
+      // wall-clock-zone stamp would disagree with current_date() (session
+      // TZ pinned to UTC) for most of every day
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("Pacific/Kiritimati"))
+      val s = spark
+      import s.implicits._
+      val batch = Seq((1L, "A")).toDF("lead_id", "full_name")
+      val utcBefore = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+      Ingest.ingestStreamBatch(batch, table, None, batchId = 0L)
+      val utcAfter = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+      // CAST(date AS STRING) is zone-free — reads back the stored day value
+      val stamps = spark.table(table)
+        .selectExpr("CAST(Ingestion_date AS STRING)")
+        .collect().map(_.getString(0)).toSet
+      assert(stamps.subsetOf(Set(utcBefore, utcAfter)),
+        s"stamp $stamps is not the UTC date (JVM zone here is UTC+14; " +
+          s"UTC day was $utcBefore..$utcAfter)")
+    } finally {
+      java.util.TimeZone.setDefault(tzBefore)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("dotted header ingests as a literal column, not struct-field access") {
     // col("price.usd") parses as struct access; the align kernel must
     // reference the LITERAL name (regression for the colExact fix)
