@@ -1,0 +1,313 @@
+package graft.fuzz
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+import graft.Tables
+
+/** Seeded random relational query generator for differential testing.
+  *
+  * Every generated query is rendered TWICE from one draw: as a DataFrame-API
+  * plan (built with Column operators, never `expr(...)` — the point is two
+  * independent construction paths) and as ANSI SQL that both `spark.sql` and
+  * the driver's DuckDB oracle can run. FuzzSpec hash-compares the two Spark
+  * paths for ≥100 seeds; a fixed sample is declared in SparkEntry as
+  * `fz*` entries so the DRIVER's DuckDB differential covers the generator's
+  * grammar too (randomized plans are the correctness tier above the
+  * hand-declared inventory).
+  *
+  * Grammar, deliberately restricted to the cross-engine-deterministic
+  * fragment:
+  *   - chains of 1-3 corpus tables over the TPC-H FK edges, INNER or LEFT;
+  *   - AND/OR of typed comparisons, modulo tests, LIKE, IS NOT NULL;
+  *   - projection mode (2-4 cols + optional computed int/case expr, total
+  *     ORDER BY over every output column, LIMIT);
+  *   - grouped / global aggregation from {count(*), count(col),
+  *     count(DISTINCT int/string), sum(int), min/max(any)} with optional
+  *     HAVING — never sum/avg over doubles (accumulation order is
+  *     engine-dependent; min/max/comparisons over doubles are exact).
+  *   - every ORDER BY key is ASC NULLS FIRST in both renderings (Spark's
+  *     asc default; DuckDB's default is NULLS LAST, so the SQL is explicit).
+  */
+object FuzzGen {
+
+  /** A literal rendered for both paths. */
+  final case class Lit(sql: String, col: Column)
+
+  /** kind: 'i' integral, 'd' double, 's' string, 't' timestamp.
+    * `groupable` marks low-cardinality columns safe as GROUP BY keys.
+    */
+  final case class FCol(name: String, kind: Char, lits: Seq[Lit],
+                        groupable: Boolean = false)
+
+  private def iLit(vs: Int*): Seq[Lit] = vs.map(v => Lit(v.toString, lit(v)))
+  private def dLit(vs: Double*): Seq[Lit] = vs.map(v => Lit(v.toString, lit(v)))
+  private def sLit(vs: String*): Seq[Lit] = vs.map(v => Lit(s"'$v'", lit(v)))
+  private def tLit(vs: String*): Seq[Lit] = vs.map { v =>
+    Lit(s"TIMESTAMP '$v'", to_timestamp(lit(v)))
+  }
+
+  private val catalog: Map[String, Seq[FCol]] = Map(
+    "region" -> Seq(
+      FCol("r_regionkey", 'i', iLit(1, 2, 3), groupable = true),
+      FCol("r_name", 's', sLit("AMERICA", "ASIA", "EUROPE"), groupable = true)),
+    "nation" -> Seq(
+      FCol("n_nationkey", 'i', iLit(5, 10, 15, 20), groupable = true),
+      FCol("n_name", 's', sLit("CHINA", "FRANCE", "KENYA", "PERU"), groupable = true),
+      FCol("n_regionkey", 'i', iLit(1, 2, 3), groupable = true)),
+    "customer" -> Seq(
+      FCol("c_custkey", 'i', iLit(100, 400, 700, 1200)),
+      FCol("c_name", 's', sLit("Customer#000000400", "M")),
+      FCol("c_nationkey", 'i', iLit(5, 10, 15, 20), groupable = true),
+      FCol("c_acctbal", 'd', dLit(-500.0, 0.0, 1000.0, 5000.0, 9000.0)),
+      FCol("c_mktsegment", 's',
+        sLit("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+        groupable = true)),
+    "supplier" -> Seq(
+      FCol("s_suppkey", 'i', iLit(10, 40, 70, 95)),
+      FCol("s_name", 's', sLit("Supplier#000000040", "S")),
+      FCol("s_nationkey", 'i', iLit(5, 10, 15, 20), groupable = true),
+      FCol("s_acctbal", 'd', dLit(-500.0, 0.0, 1000.0, 5000.0, 9000.0))),
+    "part" -> Seq(
+      FCol("p_partkey", 'i', iLit(200, 800, 1400, 1900)),
+      FCol("p_name", 's', sLit("a", "m", "s")),
+      FCol("p_brand", 's', sLit("Brand#11", "Brand#23", "Brand#35", "Brand#44"),
+        groupable = true),
+      FCol("p_type", 's', sLit("ECONOMY", "LARGE", "SMALL", "STANDARD")),
+      FCol("p_size", 'i', iLit(5, 15, 25, 35, 45), groupable = true),
+      FCol("p_retailprice", 'd', dLit(910.0, 940.0, 970.0, 995.0))),
+    "orders" -> Seq(
+      FCol("o_orderkey", 'i', iLit(500, 5000, 20000, 50000)),
+      FCol("o_custkey", 'i', iLit(100, 400, 700, 1200)),
+      FCol("o_orderstatus", 's', sLit("F", "O", "P"), groupable = true),
+      FCol("o_totalprice", 'd', dLit(5000.0, 50000.0, 150000.0, 300000.0)),
+      FCol("o_orderdate", 't',
+        tLit("1996-01-01 00:00:00", "1997-06-15 00:00:00", "1999-01-01 00:00:00",
+          "2000-06-01 00:00:00")),
+      FCol("o_orderpriority", 's',
+        sLit("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        groupable = true)),
+    "lineitem" -> Seq(
+      FCol("l_orderkey", 'i', iLit(500, 5000, 20000, 50000)),
+      FCol("l_partkey", 'i', iLit(200, 800, 1400, 1900)),
+      FCol("l_suppkey", 'i', iLit(10, 40, 70, 95)),
+      FCol("l_linenumber", 'i', iLit(1, 2, 3, 4), groupable = true),
+      FCol("l_quantity", 'd', dLit(5.0, 10.0, 25.0, 40.0, 49.0)),
+      FCol("l_extendedprice", 'd', dLit(1000.0, 10000.0, 50000.0, 90000.0)),
+      FCol("l_discount", 'd', dLit(0.02, 0.04, 0.05, 0.07, 0.09)),
+      FCol("l_tax", 'd', dLit(0.01, 0.03, 0.05, 0.07)),
+      FCol("l_returnflag", 's', sLit("A", "N", "R"), groupable = true),
+      FCol("l_linestatus", 's', sLit("F", "O"), groupable = true),
+      FCol("l_shipdate", 't',
+        tLit("1996-01-01 00:00:00", "1997-06-15 00:00:00", "1999-01-01 00:00:00",
+          "2000-06-01 00:00:00"))))
+
+  /** tables(0) ⋈ tables(1) ON joins(0), ⋈ tables(2) ON joins(1), … */
+  final case class Chain(tables: Seq[String], joins: Seq[(String, String)])
+
+  private val chains: Seq[Chain] = Seq(
+    Chain(Seq("lineitem"), Nil),
+    Chain(Seq("orders"), Nil),
+    Chain(Seq("customer"), Nil),
+    Chain(Seq("part"), Nil),
+    Chain(Seq("supplier"), Nil),
+    Chain(Seq("nation"), Nil),
+    Chain(Seq("lineitem", "orders"), Seq("l_orderkey" -> "o_orderkey")),
+    Chain(Seq("lineitem", "part"), Seq("l_partkey" -> "p_partkey")),
+    Chain(Seq("lineitem", "supplier"), Seq("l_suppkey" -> "s_suppkey")),
+    Chain(Seq("orders", "customer"), Seq("o_custkey" -> "c_custkey")),
+    Chain(Seq("customer", "nation"), Seq("c_nationkey" -> "n_nationkey")),
+    Chain(Seq("supplier", "nation"), Seq("s_nationkey" -> "n_nationkey")),
+    Chain(Seq("nation", "region"), Seq("n_regionkey" -> "r_regionkey")),
+    Chain(Seq("lineitem", "orders", "customer"),
+      Seq("l_orderkey" -> "o_orderkey", "o_custkey" -> "c_custkey")),
+    Chain(Seq("orders", "customer", "nation"),
+      Seq("o_custkey" -> "c_custkey", "c_nationkey" -> "n_nationkey")),
+    Chain(Seq("customer", "nation", "region"),
+      Seq("c_nationkey" -> "n_nationkey", "n_regionkey" -> "r_regionkey")),
+    Chain(Seq("supplier", "nation", "region"),
+      Seq("s_nationkey" -> "n_nationkey", "n_regionkey" -> "r_regionkey")))
+
+  /** A predicate / select item rendered for both paths. */
+  final case class P(sql: String, col: Column)
+  final case class Item(alias: String, sql: String, col: Column)
+
+  private def genPred(rnd: Random, cols: Seq[FCol]): P = {
+    val c = cols(rnd.nextInt(cols.length))
+    def cmp(ops: Seq[String]): P = {
+      val op = ops(rnd.nextInt(ops.length))
+      val l = c.lits(rnd.nextInt(c.lits.length))
+      val cc = op match {
+        case "<"  => col(c.name) < l.col
+        case "<=" => col(c.name) <= l.col
+        case ">"  => col(c.name) > l.col
+        case ">=" => col(c.name) >= l.col
+        case "="  => col(c.name) === l.col
+        case "<>" => col(c.name) =!= l.col
+      }
+      P(s"${c.name} $op ${l.sql}", cc)
+    }
+    c.kind match {
+      case 'i' =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            val m = 2 + rnd.nextInt(6); val r = rnd.nextInt(m)
+            P(s"(${c.name} % $m) = $r", (col(c.name) % m) === r)
+          case _ => cmp(Seq("<", "<=", ">", ">=", "=", "<>"))
+        }
+      case 'd' => cmp(Seq("<", ">", "<=", ">="))
+      case 't' => cmp(Seq("<", ">"))
+      case 's' =>
+        rnd.nextInt(4) match {
+          case 0 =>
+            val l = c.lits(rnd.nextInt(c.lits.length))
+            // substring of a domain value: first char
+            val ch = l.sql.charAt(1)
+            P(s"${c.name} LIKE '%$ch%'", col(c.name).like(s"%$ch%"))
+          case 1 => P(s"${c.name} IS NOT NULL", col(c.name).isNotNull)
+          case _ => cmp(Seq("=", "<>", ">=", "<"))
+        }
+    }
+  }
+
+  private def genAgg(rnd: Random, cols: Seq[FCol], alias: String): Item = {
+    val intCols = cols.filter(_.kind == 'i')
+    val isCols = cols.filter(c => c.kind == 'i' || c.kind == 's')
+    rnd.nextInt(6) match {
+      case 0 => Item(alias, "count(*)", count(lit(1)))
+      case 1 =>
+        val c = cols(rnd.nextInt(cols.length))
+        Item(alias, s"count(${c.name})", count(col(c.name)))
+      case 2 =>
+        val c = isCols(rnd.nextInt(isCols.length))
+        Item(alias, s"count(DISTINCT ${c.name})", countDistinct(col(c.name)))
+      case 3 if intCols.nonEmpty =>
+        val c = intCols(rnd.nextInt(intCols.length))
+        Item(alias, s"sum(${c.name})", sum(col(c.name)))
+      case 4 =>
+        val c = cols(rnd.nextInt(cols.length))
+        Item(alias, s"min(${c.name})", min(col(c.name)))
+      case _ =>
+        val c = cols(rnd.nextInt(cols.length))
+        Item(alias, s"max(${c.name})", max(col(c.name)))
+    }
+  }
+
+  /** One generated query: the SQL text (oracle/driver side) and the
+    * DataFrame-API build (engine side). Same seed → same query, always.
+    */
+  final case class GenQuery(seed: Int, sql: String,
+                            build: (SparkSession, String) => DataFrame)
+
+  def query(seed: Int): GenQuery = {
+    val rnd = new Random(seed)
+    val chain = chains(rnd.nextInt(chains.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+
+    // predicates: 0-3, with an OR pair sometimes
+    val nPred = rnd.nextInt(4)
+    var preds = Vector.fill(nPred)(genPred(rnd, cols))
+    if (preds.length >= 2 && rnd.nextDouble() < 0.3) {
+      val or = P(s"(${preds(0).sql} OR ${preds(1).sql})", preds(0).col || preds(1).col)
+      preds = or +: preds.drop(2)
+    }
+
+    val groupables = cols.filter(_.groupable)
+    val mode = rnd.nextInt(10) match {
+      case x if x < 4                          => "proj"
+      case x if x < 8 && groupables.nonEmpty   => "group"
+      case _                                   => "global"
+    }
+
+    val (items, groupKeys, having, orderAll, limit) = mode match {
+      case "proj" =>
+        val k = 2 + rnd.nextInt(3)
+        val picked = rnd.shuffle(cols.toVector).take(k)
+        var its = picked.zipWithIndex.map { case (c, i) =>
+          Item(s"c$i", c.name, col(c.name))
+        }
+        val intCols = cols.filter(_.kind == 'i')
+        if (rnd.nextDouble() < 0.5 && intCols.nonEmpty) {
+          if (rnd.nextBoolean()) {
+            val a = intCols(rnd.nextInt(intCols.length))
+            val m = 3 + rnd.nextInt(7)
+            its :+= Item("cx", s"(${a.name} % $m)", col(a.name) % m)
+          } else {
+            val p = genPred(rnd, cols)
+            its :+= Item("cx", s"CASE WHEN ${p.sql} THEN 1 ELSE 0 END",
+              when(p.col, 1).otherwise(0))
+          }
+        }
+        (its, Vector.empty[FCol], None, true, Some(1000))
+      case "group" =>
+        val keys = rnd.shuffle(groupables.toVector).take(1 + rnd.nextInt(2))
+        val keyItems = keys.zipWithIndex.map { case (c, i) =>
+          Item(s"k$i", c.name, col(c.name))
+        }
+        val aggs = (0 until 1 + rnd.nextInt(3)).map(i => genAgg(rnd, cols, s"a$i"))
+        val hav = if (rnd.nextDouble() < 0.3) Some(1 + rnd.nextInt(5)) else None
+        (keyItems ++ aggs, keys, hav, false, None)
+      case _ =>
+        val aggs = (0 until 1 + rnd.nextInt(3)).map(i => genAgg(rnd, cols, s"a$i"))
+        (aggs.toVector, Vector.empty[FCol], None, false, None)
+    }
+
+    // ---- SQL rendering ----
+    val sb = new StringBuilder("SELECT ")
+    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    sb ++= s" FROM ${chain.tables.head}"
+    chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+      val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+      sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+    }
+    if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    if (groupKeys.nonEmpty) sb ++= " GROUP BY " + groupKeys.map(_.name).mkString(", ")
+    having.foreach(h => sb ++= s" HAVING count(*) > $h")
+    // total order: every output column for projections, the (unique) keys
+    // for grouped aggregates; explicit NULLS FIRST (Spark's asc default,
+    // NOT DuckDB's)
+    val orderAliases =
+      if (orderAll) items.map(_.alias)
+      else groupKeys.indices.map(i => s"k$i")
+    if (orderAliases.nonEmpty)
+      sb ++= " ORDER BY " + orderAliases.map(a => s"$a ASC NULLS FIRST").mkString(", ")
+    limit.foreach(n => sb ++= s" LIMIT $n")
+    val sqlText = sb.result()
+
+    // ---- DataFrame-API rendering (same draw, independent construction) ----
+    val build = (s: SparkSession, d: String) => {
+      val dfs = chain.tables.map(t => Tables.load(s, d, t))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      var out = if (groupKeys.nonEmpty || mode == "global") {
+        val aggItems = items.filterNot(i => i.alias.startsWith("k"))
+        val aggCols = aggItems.map(i => i.col.as(i.alias)) ++
+          having.map(_ => count(lit(1)).as("_hv")).toSeq
+        val agged =
+          if (groupKeys.nonEmpty)
+            j.groupBy(groupKeys.map(c => col(c.name)): _*)
+              .agg(aggCols.head, aggCols.tail: _*)
+          else j.agg(aggCols.head, aggCols.tail: _*)
+        val hFiltered = having match {
+          case Some(h) => agged.where(col("_hv") > h).drop("_hv")
+          case None    => agged
+        }
+        // project keys under their aliases, in declared output order
+        hFiltered.select(items.map(i =>
+          (if (i.alias.startsWith("k")) col(i.sql) else col(i.alias)).as(i.alias)): _*)
+      } else j.select(items.map(i => i.col.as(i.alias)): _*)
+      if (orderAliases.nonEmpty)
+        out = out.orderBy(orderAliases.map(a => col(a).asc_nulls_first): _*)
+      limit.foreach(n => out = out.limit(n))
+      out
+    }
+    GenQuery(seed, sqlText, build)
+  }
+}

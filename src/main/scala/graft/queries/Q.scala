@@ -38,7 +38,8 @@ object QueryCatalog {
       ExtendedQueries.defs ++
       Round4Queries.defs ++
       Round4bQueries.defs ++
-      TpchQueries.defs
+      TpchQueries.defs ++
+      FuzzQueries.defs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
