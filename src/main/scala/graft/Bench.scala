@@ -15,10 +15,22 @@ import graft.queries.QueryCatalog
   * operators (~0.1-0.3 s of driver-side one-time cost per query, which at
   * sf0.1 rivals the execution itself); min-of-2 measures the steady-state
   * execution a throughput comparison is about. Noted in BASELINE.md.
+  *
+  * Knobs (all env, all optional):
+  *  - SPARK_GRAFT_BENCH_RUNS: runs per query, timing = min (default 2)
+  *  - SPARK_GRAFT_BENCH_QUERIES: comma-separated name filter (default all)
+  *  - SPARK_GRAFT_BENCH_OUT: path for the COMPLETE per-query JSON artifact
+  *    (default BENCH_FULL.json in the cwd; empty string disables). The
+  *    driver's capture truncates long stdout lines, so the file is the
+  *    durable full record for round-over-round comparison.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val spark = GraftSession.getOrCreate("graft-bench")
 
     def runOnce(name: String): Double = {
@@ -35,15 +47,16 @@ object Bench {
     }
 
     def runBest(name: String): Double = {
-      val a = runOnce(name)
-      if (a < 0) a
-      else {
-        val b = runOnce(name)
-        if (b < 0) a else math.min(a, b)
+      val first = runOnce(name)
+      if (first < 0) first
+      else (1 until runs).foldLeft(first) { (best, _) =>
+        val t = runOnce(name)
+        if (t < 0) best else math.min(best, t)
       }
     }
 
     val names = QueryCatalog.all.map(_.name)
+      .filter(n => filter.forall(_.contains(n)))
     // JVM/codegen warmup on a representative query (parquet scan + shuffle
     // join) so the first measured query doesn't absorb classloading costs.
     runOnce("j1_join_inner")
@@ -55,7 +68,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total_query_sec","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total_query_sec","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_queries":${results.size}}"""
+    println(line)
+    // Durable complete artifact beside the driver's (truncating) stdout
+    // capture — one timing per declared query, every round comparable.
+    if (outPath.nonEmpty) {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

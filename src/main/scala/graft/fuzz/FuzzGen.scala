@@ -1,6 +1,7 @@
 package graft.fuzz
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.util.Random
@@ -30,6 +31,18 @@ import graft.Tables
   *     engine-dependent; min/max/comparisons over doubles are exact).
   *   - every ORDER BY key is ASC NULLS FIRST in both renderings (Spark's
   *     asc default; DuckDB's default is NULLS LAST, so the SQL is explicit).
+  *
+  * Grammar v2 ([[query(seed:Int,version:Int)*]]) is a SUPERSET adding two
+  * modes, reached by an up-front draw so v1 seeds are bit-identical:
+  *   - window functions {row_number, rank, dense_rank, lag, partition sum,
+  *     running sum} over PARTITION BY a groupable column — row_number/lag/
+  *     running-sum order by the head table's UNIQUE key (total within the
+  *     partition, so deterministic); rank/dense_rank order by an arbitrary
+  *     column (ties collapse identically in every engine);
+  *   - set operations {UNION ALL, INTERSECT, EXCEPT} of two differently-
+  *     filtered projections of one table (DISTINCT set semantics for
+  *     INTERSECT/EXCEPT in both engines; UNION ALL duplicates are
+  *     indistinguishable rows, so the total ORDER BY stays deterministic).
   */
 object FuzzGen {
 
@@ -103,6 +116,36 @@ object FuzzGen {
       FCol("l_shipdate", 't',
         tLit("1996-01-01 00:00:00", "1997-06-15 00:00:00", "1999-01-01 00:00:00",
           "2000-06-01 00:00:00"))))
+
+  /** VERIFIED-unique key of each table in the synthetic corpus. FK-chain
+    * joins go FK → unique PK, so a chain's output rows stay uniquely
+    * identified by the HEAD table's key (INNER may drop rows, LEFT keeps
+    * all; neither duplicates) — which is what makes window ORDER BY over
+    * these keys total, hence row_number/lag/running-sum deterministic
+    * across engines.
+    *
+    * lineitem is deliberately ABSENT: the synthetic corpus violates the
+    * TPC-H (l_orderkey, l_linenumber) PK (~20% duplicate pairs at every
+    * sf — found by the cross-engine differential: Spark and DuckDB
+    * tie-break row_number/lag differently on the dups). lineitem-headed
+    * chains therefore only draw the VALUE-deterministic window functions
+    * (rank / dense_rank / whole-partition sum), which assign each row a
+    * result independent of peer order.
+    */
+  private val uniqueKeys: Map[String, Seq[String]] = Map(
+    "region"   -> Seq("r_regionkey"),
+    "nation"   -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part"     -> Seq("p_partkey"),
+    "orders"   -> Seq("o_orderkey"))
+
+  /** Window sort-preference columns per head table: the PK where verified
+    * unique, the (non-unique) PK-shaped pair for lineitem — usable as a
+    * window ORDER BY only under value-deterministic functions.
+    */
+  private val headOrderCols: Map[String, Seq[String]] =
+    uniqueKeys + ("lineitem" -> Seq("l_orderkey", "l_linenumber"))
 
   /** tables(0) ⋈ tables(1) ON joins(0), ⋈ tables(2) ON joins(1), … */
   final case class Chain(tables: Seq[String], joins: Seq[(String, String)])
@@ -201,8 +244,22 @@ object FuzzGen {
   final case class GenQuery(seed: Int, sql: String,
                             build: (SparkSession, String) => DataFrame)
 
-  def query(seed: Int): GenQuery = {
+  def query(seed: Int): GenQuery = query(seed, 1)
+
+  /** Versioned entry point. v1 is the original grammar and its seeds are
+    * FROZEN (fz2xx catalog entries render from it); v2 draws one extra
+    * up-front mode byte and may dispatch to the window / set-op generators,
+    * otherwise falls through to the shared v1 body. A given (seed, version)
+    * is deterministic forever.
+    */
+  def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 2) {
+      val m = rnd.nextInt(10)
+      if (m < 3) return windowQuery(seed, rnd)
+      else if (m < 5) return setopQuery(seed, rnd)
+      // else: fall through to the v1 body with the advanced rnd state
+    }
     val chain = chains(rnd.nextInt(chains.length))
     val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
     val cols = chain.tables.flatMap(catalog)
@@ -309,5 +366,143 @@ object FuzzGen {
       out
     }
     GenQuery(seed, sqlText, build)
+  }
+
+  /** v2 window mode: project the head table's key + the partition column +
+    * one window value; total ORDER BY over ALL output columns makes row
+    * order deterministic even where the head key has duplicates. Six
+    * function shapes; the three ORDER-dependent ones (row_number, lag,
+    * running sum) are drawn only when the head key is verified unique —
+    * on a duplicated key their per-row results depend on engine-internal
+    * tie-breaking (the [[uniqueKeys]] doc has the corpus evidence).
+    */
+  private def windowQuery(seed: Int, rnd: Random): GenQuery = {
+    val chain = chains(rnd.nextInt(chains.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val nPred = rnd.nextInt(3)
+    val preds = Vector.fill(nPred)(genPred(rnd, cols))
+    val uk = headOrderCols(chain.tables.head)
+    val headUnique = uniqueKeys.contains(chain.tables.head)
+    val groupables = cols.filter(_.groupable)
+    val g = groupables(rnd.nextInt(groupables.length))
+    val intCols = cols.filter(_.kind == 'i')
+    val anyCol = cols(rnd.nextInt(cols.length))
+    val sumCol = intCols(rnd.nextInt(intCols.length))
+
+    val ukOrderSql = uk.map(k => s"$k ASC NULLS FIRST").mkString(", ")
+    def ukWindow = Window.partitionBy(col(g.name))
+      .orderBy(uk.map(col(_).asc_nulls_first): _*)
+    // draw, then remap order-dependent choices onto the value-deterministic
+    // three when the head key is not unique
+    val funcDraw0 = rnd.nextInt(6)
+    val funcDraw =
+      if (headUnique) funcDraw0
+      else funcDraw0 match {
+        case 0 => 1 // row_number → rank
+        case 4 => 2 // lag → dense_rank
+        case 5 => 3 // running sum → whole-partition sum
+        case x => x
+      }
+    val (wSql, wCol) = funcDraw match {
+      case 0 =>
+        (s"row_number() OVER (PARTITION BY ${g.name} ORDER BY $ukOrderSql)",
+          row_number().over(ukWindow))
+      case 1 =>
+        (s"rank() OVER (PARTITION BY ${g.name} ORDER BY ${anyCol.name} ASC NULLS FIRST)",
+          rank().over(Window.partitionBy(col(g.name))
+            .orderBy(col(anyCol.name).asc_nulls_first)))
+      case 2 =>
+        (s"dense_rank() OVER (PARTITION BY ${g.name} ORDER BY ${anyCol.name} ASC NULLS FIRST)",
+          dense_rank().over(Window.partitionBy(col(g.name))
+            .orderBy(col(anyCol.name).asc_nulls_first)))
+      case 3 =>
+        (s"sum(${sumCol.name}) OVER (PARTITION BY ${g.name})",
+          sum(col(sumCol.name)).over(Window.partitionBy(col(g.name))))
+      case 4 =>
+        (s"lag(${anyCol.name}, 1) OVER (PARTITION BY ${g.name} ORDER BY $ukOrderSql)",
+          lag(col(anyCol.name), 1).over(ukWindow))
+      case _ =>
+        (s"sum(${sumCol.name}) OVER (PARTITION BY ${g.name} ORDER BY $ukOrderSql" +
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+          sum(col(sumCol.name)).over(ukWindow
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }
+
+    val items =
+      uk.zipWithIndex.map { case (k, i) => Item(s"u$i", k, col(k)) } ++
+        Seq(Item("k0", g.name, col(g.name)), Item("w0", wSql, wCol))
+    // ORDER BY every output column: duplicate head keys (or a partition
+    // column differing across equal keys) must not leave row order to the
+    // engine — rows identical in ALL columns are the only unordered case,
+    // and those are indistinguishable in the compare
+    val orderAliases = items.map(_.alias)
+
+    val sb = new StringBuilder("SELECT ")
+    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    sb ++= s" FROM ${chain.tables.head}"
+    chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+      val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+      sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+    }
+    if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    sb ++= " ORDER BY " + orderAliases.map(a => s"$a ASC NULLS FIRST").mkString(", ")
+    sb ++= " LIMIT 1000"
+
+    val build = (s: SparkSession, d: String) => {
+      val dfs = chain.tables.map(t => Tables.load(s, d, t))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      j.select(items.map(i => i.col.as(i.alias)): _*)
+        .orderBy(orderAliases.map(a => col(a).asc_nulls_first): _*)
+        .limit(1000)
+    }
+    GenQuery(seed, sb.result(), build)
+  }
+
+  /** v2 set-op mode: two differently-filtered projections of one table
+    * under UNION ALL / INTERSECT / EXCEPT, total ORDER BY on the result.
+    */
+  private def setopQuery(seed: Int, rnd: Random): GenQuery = {
+    val tables = Vector("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem")
+    val t = tables(rnd.nextInt(tables.length))
+    val cols = catalog(t)
+    val k = 2 + rnd.nextInt(2)
+    val picked = rnd.shuffle(cols.toVector).take(k)
+    val items = picked.zipWithIndex.map { case (c, i) =>
+      Item(s"c$i", c.name, col(c.name))
+    }
+    val predA = genPred(rnd, cols)
+    val predB = genPred(rnd, cols)
+    val op = rnd.nextInt(3) match {
+      case 0 => "UNION ALL"
+      case 1 => "INTERSECT"
+      case _ => "EXCEPT"
+    }
+    val selList = items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    val sql = s"SELECT $selList FROM $t WHERE ${predA.sql} " +
+      s"$op SELECT $selList FROM $t WHERE ${predB.sql} " +
+      "ORDER BY " + items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ") +
+      " LIMIT 1000"
+
+    val build = (s: SparkSession, d: String) => {
+      val base = Tables.load(s, d, t)
+      val proj = items.map(i => i.col.as(i.alias))
+      val a = base.where(predA.col).select(proj: _*)
+      val b = base.where(predB.col).select(proj: _*)
+      val combined = op match {
+        case "UNION ALL" => a.union(b)
+        case "INTERSECT" => a.intersect(b)
+        case _           => a.except(b)
+      }
+      combined.orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+        .limit(1000)
+    }
+    GenQuery(seed, sql, build)
   }
 }

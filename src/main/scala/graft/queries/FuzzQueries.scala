@@ -16,23 +16,37 @@ import graft.fuzz.FuzzGen
   */
 object FuzzQueries {
 
-  // Chosen from a scanned seed range for shape diversity with non-trivial
-  // row counts: LEFT + 3-table chains (201, 206, 227), grouped aggregates
-  // with sum/count DISTINCT (202, 204, 224), HAVING (212, 224, 227), global
-  // agg (215), CASE projection (205), OR + modulo predicates (208), LEFT-
-  // join NULL ordering (219), timestamp projection (228). All 12 verified
-  // against DuckDB at sf0.01 and sf0.001 before freezing.
+  // Chosen from a scanned seed range for shape diversity AND non-empty
+  // results at BOTH sf0.001 and sf0.01 (an empty differential is weak
+  // evidence, and the catalog spec requires rows > 0): LEFT + 3-table
+  // chains (227, 241), grouped aggregates with sum/count DISTINCT (202,
+  // 204, 260), HAVING (212, 227), global agg (215), CASE projection over a
+  // join (254), OR + modulo predicates (208), LEFT-join NULL ordering
+  // (219), timestamp projection (228). All 12 verified against DuckDB at
+  // sf0.01 and sf0.001 before freezing.
   val declaredSeeds: Seq[Int] =
-    Seq(201, 202, 204, 205, 206, 208, 212, 215, 219, 224, 227, 228)
+    Seq(202, 204, 206, 208, 212, 215, 219, 227, 228, 241, 254, 260)
 
-  val defs: Seq[Q] = declaredSeeds.map { seed =>
-    val g = FuzzGen.query(seed)
-    Q(
-      s"fz$seed",
-      s"Generated differential query (FuzzGen seed $seed): " +
-        s"DataFrame-API build vs DuckDB running the identically-drawn SQL. " +
-        s"SQL: ${g.sql.take(160)}",
-      g.build,
-      Some(g.sql))
-  }
+  // Grammar-v2 slice (windows + set ops), same selection rules: rank on a
+  // lineitem-headed chain (302 — exercises the duplicate-PK remap onto
+  // value-deterministic functions), lag over a join (312), dense_rank
+  // ordered by a TIED column (317), running sum under LEFT join (327),
+  // row_number with a modulo filter (339) and over a join (363),
+  // whole-partition sum (343), rank over a 3-table chain (361); UNION ALL
+  // (305), EXCEPT (311), INTERSECT (329), INTERSECT on a timestamp column
+  // (338). Rendered with query(seed, 2); v1 seeds above stay frozen.
+  val declaredSeedsV2: Seq[Int] =
+    Seq(302, 305, 311, 312, 317, 327, 329, 338, 339, 343, 361, 363)
+
+  val defs: Seq[Q] =
+    (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
+      declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2))).map { case (seed, g) =>
+      Q(
+        s"fz$seed",
+        s"Generated differential query (FuzzGen seed $seed): " +
+          s"DataFrame-API build vs DuckDB running the identically-drawn SQL. " +
+          s"SQL: ${g.sql.take(160)}",
+        g.build,
+        Some(g.sql))
+    }
 }

@@ -52,4 +52,34 @@ class FuzzSpec extends AnyFunSuite {
     val texts = (1 to 120).map(FuzzGen.query(_).sql)
     assert(texts.distinct.size > 100, s"only ${texts.distinct.size} distinct queries")
   }
+
+  test("grammar v2 (windows + set ops): 120 seeds, DataFrame-API ≡ spark.sql") {
+    views
+    var windows = 0; var setops = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 2)
+      if (q.sql.contains(" OVER (")) windows += 1
+      if (Seq("UNION ALL", "INTERSECT", "EXCEPT").exists(q.sql.contains)) setops += 1
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v2 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v2 seeds matched; $windows window-mode, $setops set-op-mode")
+    // the new modes must actually be exercised, not just reachable
+    assert(windows >= 20, s"window mode under-drawn: $windows")
+    assert(setops >= 10, s"set-op mode under-drawn: $setops")
+  }
+
+  test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
+    // the fz2xx catalog entries render from v1; a change here would silently
+    // re-point their oracle SQL
+    val pinned = Map(
+      201 -> FuzzGen.query(201).sql, 228 -> FuzzGen.query(228).sql)
+    pinned.foreach { case (seed, sql) =>
+      assert(FuzzGen.query(seed, 1).sql == sql, s"seed $seed drifted")
+    }
+  }
 }
