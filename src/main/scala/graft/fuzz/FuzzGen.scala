@@ -43,6 +43,18 @@ import graft.Tables
   *     filtered projections of one table (DISTINCT set semantics for
   *     INTERSECT/EXCEPT in both engines; UNION ALL duplicates are
   *     indistinguishable rows, so the total ORDER BY stays deterministic).
+  *
+  * Grammar v3 widens the fall-through body (same up-front dispatch as v2):
+  *   - IN-lists and BETWEEN predicates (int/double/timestamp BETWEEN,
+  *     int/string IN — literal pools are value-ordered so BETWEEN bounds
+  *     are drawn lo < hi);
+  *   - SELECT DISTINCT projections;
+  *   - avg over INTEGER columns (exact BIGINT-sum + one IEEE division —
+  *     order-free; avg over doubles stays excluded);
+  *   - per-key ORDER BY direction: ASC NULLS FIRST or DESC NULLS LAST,
+  *     explicit in both renderings.
+  * All v3 draws sit above the v1 ranges or behind version guards, so v1/v2
+  * seeds render bit-identically forever.
   */
 object FuzzGen {
 
@@ -177,7 +189,7 @@ object FuzzGen {
   final case class P(sql: String, col: Column)
   final case class Item(alias: String, sql: String, col: Column)
 
-  private def genPred(rnd: Random, cols: Seq[FCol]): P = {
+  private def genPred(rnd: Random, cols: Seq[FCol], version: Int = 1): P = {
     val c = cols(rnd.nextInt(cols.length))
     def cmp(ops: Seq[String]): P = {
       val op = ops(rnd.nextInt(ops.length))
@@ -192,33 +204,63 @@ object FuzzGen {
       }
       P(s"${c.name} $op ${l.sql}", cc)
     }
+    // v3 adds IN-lists and BETWEEN; drawn from indices ABOVE the v1 range so
+    // v1/v2 seeds keep their draws bit-identical
+    def inList(): P = {
+      val k = 2 + rnd.nextInt(2)
+      val picked = rnd.shuffle(c.lits.toVector).take(k)
+      P(s"${c.name} IN (${picked.map(_.sql).mkString(", ")})",
+        col(c.name).isin(picked.map(_.col): _*))
+    }
+    def between(): P = {
+      val i = rnd.nextInt(c.lits.length - 1)
+      val j = i + 1 + rnd.nextInt(c.lits.length - i - 1)
+      val (lo, hi) = (c.lits(i), c.lits(j)) // lits are declared value-ordered
+      P(s"${c.name} BETWEEN ${lo.sql} AND ${hi.sql}",
+        col(c.name).between(lo.col, hi.col))
+    }
     c.kind match {
       case 'i' =>
-        rnd.nextInt(3) match {
+        rnd.nextInt(if (version >= 3) 5 else 3) match {
           case 0 =>
             val m = 2 + rnd.nextInt(6); val r = rnd.nextInt(m)
             P(s"(${c.name} % $m) = $r", (col(c.name) % m) === r)
+          case 3 => inList()
+          case 4 => between()
           case _ => cmp(Seq("<", "<=", ">", ">=", "=", "<>"))
         }
-      case 'd' => cmp(Seq("<", ">", "<=", ">="))
-      case 't' => cmp(Seq("<", ">"))
+      case 'd' =>
+        if (version >= 3 && rnd.nextInt(4) == 3) between()
+        else cmp(Seq("<", ">", "<=", ">="))
+      case 't' =>
+        if (version >= 3 && rnd.nextInt(4) == 3) between()
+        else cmp(Seq("<", ">"))
       case 's' =>
-        rnd.nextInt(4) match {
+        rnd.nextInt(if (version >= 3) 5 else 4) match {
           case 0 =>
             val l = c.lits(rnd.nextInt(c.lits.length))
             // substring of a domain value: first char
             val ch = l.sql.charAt(1)
             P(s"${c.name} LIKE '%$ch%'", col(c.name).like(s"%$ch%"))
           case 1 => P(s"${c.name} IS NOT NULL", col(c.name).isNotNull)
+          case 4 => inList()
           case _ => cmp(Seq("=", "<>", ">=", "<"))
         }
     }
   }
 
-  private def genAgg(rnd: Random, cols: Seq[FCol], alias: String): Item = {
+  private def genAgg(rnd: Random, cols: Seq[FCol], alias: String,
+                     version: Int = 1): Item = {
     val intCols = cols.filter(_.kind == 'i')
     val isCols = cols.filter(c => c.kind == 'i' || c.kind == 's')
-    rnd.nextInt(6) match {
+    rnd.nextInt(if (version >= 3) 7 else 6) match {
+      case 6 if intCols.nonEmpty =>
+        // v3: avg over ints — the BIGINT sum is exact and the final double
+        // division is one IEEE op, so the result is accumulation-order-free
+        // and engine-identical (avg over DOUBLES would be neither)
+        val c = intCols(rnd.nextInt(intCols.length))
+        Item(alias, s"avg(${c.name})", avg(col(c.name)))
+      case 6 => Item(alias, "count(*)", count(lit(1)))
       case 0 => Item(alias, "count(*)", count(lit(1)))
       case 1 =>
         val c = cols(rnd.nextInt(cols.length))
@@ -266,7 +308,7 @@ object FuzzGen {
 
     // predicates: 0-3, with an OR pair sometimes
     val nPred = rnd.nextInt(4)
-    var preds = Vector.fill(nPred)(genPred(rnd, cols))
+    var preds = Vector.fill(nPred)(genPred(rnd, cols, version))
     if (preds.length >= 2 && rnd.nextDouble() < 0.3) {
       val or = P(s"(${preds(0).sql} OR ${preds(1).sql})", preds(0).col || preds(1).col)
       preds = or +: preds.drop(2)
@@ -279,7 +321,7 @@ object FuzzGen {
       case _                                   => "global"
     }
 
-    val (items, groupKeys, having, orderAll, limit) = mode match {
+    val (items, groupKeys, having, orderAll, limit, distinct) = mode match {
       case "proj" =>
         val k = 2 + rnd.nextInt(3)
         val picked = rnd.shuffle(cols.toVector).take(k)
@@ -293,27 +335,32 @@ object FuzzGen {
             val m = 3 + rnd.nextInt(7)
             its :+= Item("cx", s"(${a.name} % $m)", col(a.name) % m)
           } else {
-            val p = genPred(rnd, cols)
+            val p = genPred(rnd, cols, version)
             its :+= Item("cx", s"CASE WHEN ${p.sql} THEN 1 ELSE 0 END",
               when(p.col, 1).otherwise(0))
           }
         }
-        (its, Vector.empty[FCol], None, true, Some(1000))
+        // v3: sometimes SELECT DISTINCT (extra draw only at v3 — earlier
+        // versions never reach it, so their seeds stay frozen)
+        val dist = version >= 3 && rnd.nextInt(4) == 0
+        (its, Vector.empty[FCol], None, true, Some(1000), dist)
       case "group" =>
         val keys = rnd.shuffle(groupables.toVector).take(1 + rnd.nextInt(2))
         val keyItems = keys.zipWithIndex.map { case (c, i) =>
           Item(s"k$i", c.name, col(c.name))
         }
-        val aggs = (0 until 1 + rnd.nextInt(3)).map(i => genAgg(rnd, cols, s"a$i"))
+        val aggs = (0 until 1 + rnd.nextInt(3))
+          .map(i => genAgg(rnd, cols, s"a$i", version))
         val hav = if (rnd.nextDouble() < 0.3) Some(1 + rnd.nextInt(5)) else None
-        (keyItems ++ aggs, keys, hav, false, None)
+        (keyItems ++ aggs, keys, hav, false, None, false)
       case _ =>
-        val aggs = (0 until 1 + rnd.nextInt(3)).map(i => genAgg(rnd, cols, s"a$i"))
-        (aggs.toVector, Vector.empty[FCol], None, false, None)
+        val aggs = (0 until 1 + rnd.nextInt(3))
+          .map(i => genAgg(rnd, cols, s"a$i", version))
+        (aggs.toVector, Vector.empty[FCol], None, false, None, false)
     }
 
     // ---- SQL rendering ----
-    val sb = new StringBuilder("SELECT ")
+    val sb = new StringBuilder(if (distinct) "SELECT DISTINCT " else "SELECT ")
     sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
     sb ++= s" FROM ${chain.tables.head}"
     chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
@@ -325,12 +372,18 @@ object FuzzGen {
     having.foreach(h => sb ++= s" HAVING count(*) > $h")
     // total order: every output column for projections, the (unique) keys
     // for grouped aggregates; explicit NULLS FIRST (Spark's asc default,
-    // NOT DuckDB's)
+    // NOT DuckDB's). v3 draws a per-key direction — Spark's desc default is
+    // NULLS LAST, matching the explicit DESC NULLS LAST in the SQL.
     val orderAliases =
       if (orderAll) items.map(_.alias)
       else groupKeys.indices.map(i => s"k$i")
+    val orderAsc: Seq[Boolean] =
+      orderAliases.map(_ => version < 3 || rnd.nextBoolean())
     if (orderAliases.nonEmpty)
-      sb ++= " ORDER BY " + orderAliases.map(a => s"$a ASC NULLS FIRST").mkString(", ")
+      sb ++= " ORDER BY " + orderAliases.zip(orderAsc).map {
+        case (a, true)  => s"$a ASC NULLS FIRST"
+        case (a, false) => s"$a DESC NULLS LAST"
+      }.mkString(", ")
     limit.foreach(n => sb ++= s" LIMIT $n")
     val sqlText = sb.result()
 
@@ -360,8 +413,12 @@ object FuzzGen {
         hFiltered.select(items.map(i =>
           (if (i.alias.startsWith("k")) col(i.sql) else col(i.alias)).as(i.alias)): _*)
       } else j.select(items.map(i => i.col.as(i.alias)): _*)
+      if (distinct) out = out.distinct()
       if (orderAliases.nonEmpty)
-        out = out.orderBy(orderAliases.map(a => col(a).asc_nulls_first): _*)
+        out = out.orderBy(orderAliases.zip(orderAsc).map {
+          case (a, true)  => col(a).asc_nulls_first
+          case (a, false) => col(a).desc_nulls_last
+        }: _*)
       limit.foreach(n => out = out.limit(n))
       out
     }

@@ -38,9 +38,20 @@ object FuzzQueries {
   val declaredSeedsV2: Seq[Int] =
     Seq(302, 305, 311, 312, 317, 327, 329, 338, 339, 343, 361, 363)
 
+  // Grammar-v3 slice (IN/BETWEEN/DISTINCT/avg/DESC), same selection rules:
+  // IN + timestamp-BETWEEN projection (401), avg beside IN in a grouped agg
+  // (409), all-DESC ordering (412), mixed DESC/ASC group keys (414),
+  // IN-inside-OR (422), timestamp BETWEEN + CASE-on-IN projection (426),
+  // SELECT DISTINCT + CASE (429), avg over a LEFT 3-table chain (431),
+  // global agg over IN + BETWEEN + modulo (432), double-typed BETWEEN with
+  // count DISTINCT (454). Rendered with query(seed, 3).
+  val declaredSeedsV3: Seq[Int] =
+    Seq(401, 409, 412, 414, 422, 426, 429, 431, 432, 454)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
-      declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2))).map { case (seed, g) =>
+      declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
+      declaredSeedsV3.map(s => s -> FuzzGen.query(s, 3))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -73,6 +73,27 @@ class FuzzSpec extends AnyFunSuite {
     assert(setops >= 10, s"set-op mode under-drawn: $setops")
   }
 
+  test("grammar v3 (IN/BETWEEN/DISTINCT/avg/DESC): 120 seeds, DataFrame-API ≡ spark.sql") {
+    views
+    var inb = 0; var dist = 0; var desc = 0; var avgs = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 3)
+      if (q.sql.contains(" IN (") || q.sql.contains(" BETWEEN ")) inb += 1
+      if (q.sql.contains("SELECT DISTINCT")) dist += 1
+      if (q.sql.contains("DESC NULLS LAST")) desc += 1
+      if (q.sql.contains("avg(")) avgs += 1
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v3 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v3 seeds matched; $inb IN/BETWEEN, $dist DISTINCT, $desc DESC-ordered, $avgs avg")
+    assert(inb >= 10, s"IN/BETWEEN under-drawn: $inb")
+    assert(desc >= 10, s"DESC ordering under-drawn: $desc")
+  }
+
   test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
     // the fz2xx catalog entries render from v1; a change here would silently
     // re-point their oracle SQL

@@ -20,6 +20,15 @@ import graft.tools.{PlanSignature, PlanSnapshot}
 class PlanSignatureSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  /** Suites sharing this JVM may have left corpus-derived frames cached
+    * (e.g. the per-corpus component-label cache); cache substitution swaps
+    * InMemoryRelation into plans and shifts signatures. Signatures are
+    * defined over the UNCACHED plan (what a fresh cluster would run), so
+    * clear once before the first comparison. Suites are sequential in the
+    * forked test JVM, and later suites lazily repopulate what they need.
+    */
+  lazy val uncached: Unit = spark.catalog.clearCache()
+
   lazy val golden: Map[String, String] = {
     val src = Source.fromFile(PlanSnapshot.goldenPath)
     try src.getLines().filter(_.nonEmpty).map { line =>
@@ -40,6 +49,7 @@ class PlanSignatureSpec extends AnyFunSuite {
 
   QueryCatalog.all.filterNot(q => PlanSnapshot.excluded.contains(q.name)).foreach { q =>
     test(s"${q.name}: physical plan signature unchanged") {
+      uncached
       val sig = PlanSignature.of(q.build(spark, TestSpark.sf0001))
       assert(golden.get(q.name).contains(sig),
         s"plan shape drifted\n  golden: ${golden.getOrElse(q.name, "<absent>")}\n" +

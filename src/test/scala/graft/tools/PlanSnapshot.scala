@@ -25,6 +25,7 @@ object PlanSnapshot {
 
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
+    spark.catalog.clearCache() // signatures are defined over uncached plans
     val lines = QueryCatalog.all
       .filterNot(q => excluded.contains(q.name))
       .map(q => s"${q.name}\t${PlanSignature.of(q.build(spark, TestSpark.sf0001))}")
