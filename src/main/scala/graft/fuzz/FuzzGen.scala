@@ -49,8 +49,9 @@ import graft.Tables
   *     int/string IN — literal pools are value-ordered so BETWEEN bounds
   *     are drawn lo < hi);
   *   - SELECT DISTINCT projections;
-  *   - avg over INTEGER columns (exact BIGINT-sum + one IEEE division —
-  *     order-free; avg over doubles stays excluded);
+  *   - avg over INTEGER columns (sums stay below 2^53 so accumulation is
+  *     exact in LONG or DOUBLE; one IEEE division — order-free; avg over
+  *     doubles stays excluded);
   *   - per-key ORDER BY direction: ASC NULLS FIRST or DESC NULLS LAST,
   *     explicit in both renderings.
   * All v3 draws sit above the v1 ranges or behind version guards, so v1/v2
@@ -255,9 +256,11 @@ object FuzzGen {
     val isCols = cols.filter(c => c.kind == 'i' || c.kind == 's')
     rnd.nextInt(if (version >= 3) 7 else 6) match {
       case 6 if intCols.nonEmpty =>
-        // v3: avg over ints — the BIGINT sum is exact and the final double
-        // division is one IEEE op, so the result is accumulation-order-free
-        // and engine-identical (avg over DOUBLES would be neither)
+        // v3: avg over ints — corpus integer sums stay far below 2^53, so
+        // accumulation is exact whether the engine sums in LONG or DOUBLE
+        // (every partial is exactly representable), and the final division
+        // is one IEEE op: order-free and engine-identical. avg over DOUBLES
+        // would be neither — rounding makes partial sums order-dependent.
         val c = intCols(rnd.nextInt(intCols.length))
         Item(alias, s"avg(${c.name})", avg(col(c.name)))
       case 6 => Item(alias, "count(*)", count(lit(1)))

@@ -103,4 +103,32 @@ class FuzzSpec extends AnyFunSuite {
       assert(FuzzGen.query(seed, 1).sql == sql, s"seed $seed drifted")
     }
   }
+
+  test("declared fz slice is frozen: every seed's generated SQL hash-pinned") {
+    // A generator edit that shifts ANY draw silently re-points the oracle
+    // SQL of the frozen catalog slice — rows would still hash-match (both
+    // renderings move together), so only an explicit pin catches it. A
+    // DELIBERATE grammar/slice change regenerates these via
+    // Test/runMain graft.tools.FuzzPinGen.
+    val pins = Map(
+      "fz202" -> "83533da9", "fz204" -> "ddf3bf1c", "fz206" -> "33bb0783",
+      "fz208" -> "25a325d9", "fz212" -> "851e3cfc", "fz215" -> "a7b3e9c1",
+      "fz219" -> "e718339a", "fz227" -> "422756f3", "fz228" -> "9968f020",
+      "fz241" -> "f9a0532f", "fz254" -> "ba1645a3", "fz260" -> "b0140c0b",
+      "fz302" -> "acf5e111", "fz305" -> "69cceb95", "fz311" -> "29f1a64d",
+      "fz312" -> "7f78dc02", "fz317" -> "f9a24f54", "fz327" -> "043b1e58",
+      "fz329" -> "fb92dff9", "fz338" -> "299cb889", "fz339" -> "8bd7b307",
+      "fz343" -> "af1bfa33", "fz361" -> "77128ae3", "fz363" -> "0cc292d3",
+      "fz401" -> "b3ddd494", "fz409" -> "fdbc94b0", "fz412" -> "d386454b",
+      "fz414" -> "8474545d", "fz422" -> "6a52cb32", "fz426" -> "534115c8",
+      "fz429" -> "f923c5c6", "fz431" -> "d4fcb69c", "fz432" -> "c8251065",
+      "fz454" -> "f313e28f")
+    val defs = graft.queries.FuzzQueries.defs
+    assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
+    defs.foreach { q =>
+      assert(graft.tools.FuzzPinGen.sqlHash(q.oracle.get) == pins(q.name),
+        s"${q.name}: generated SQL drifted from its pin — generator draws " +
+          "moved for a frozen seed")
+    }
+  }
 }
