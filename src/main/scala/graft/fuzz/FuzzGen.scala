@@ -54,8 +54,18 @@ import graft.Tables
   *     doubles stays excluded);
   *   - per-key ORDER BY direction: ASC NULLS FIRST or DESC NULLS LAST,
   *     explicit in both renderings.
-  * All v3 draws sit above the v1 ranges or behind version guards, so v1/v2
-  * seeds render bit-identically forever.
+  *
+  * Grammar v4 widens the v2 modes:
+  *   - window functions {lead, first_value, last_value, ntile} — all
+  *     order-dependent, so drawn only on verified-unique head keys (the
+  *     same remap-to-value-deterministic rule as row_number/lag); frames
+  *     are explicit in both renderings (DuckDB's default first_value frame
+  *     is RANGE-based, Spark's aggregate-over-window is ROWS-based);
+  *   - two-column PARTITION BY;
+  *   - UNION (distinct) beside UNION ALL in set-op mode.
+  * Every widened draw sits above the older version's range or behind a
+  * version guard: v1/v2/v3 seeds render bit-identically forever (pinned by
+  * FuzzSpec's SQL-hash test).
   */
 object FuzzGen {
 
@@ -301,8 +311,8 @@ object FuzzGen {
     val rnd = new Random(seed)
     if (version >= 2) {
       val m = rnd.nextInt(10)
-      if (m < 3) return windowQuery(seed, rnd)
-      else if (m < 5) return setopQuery(seed, rnd)
+      if (m < 3) return windowQuery(seed, rnd, version)
+      else if (m < 5) return setopQuery(seed, rnd, version)
       // else: fall through to the v1 body with the advanced rnd state
     }
     val chain = chains(rnd.nextInt(chains.length))
@@ -436,12 +446,12 @@ object FuzzGen {
     * on a duplicated key their per-row results depend on engine-internal
     * tie-breaking (the [[uniqueKeys]] doc has the corpus evidence).
     */
-  private def windowQuery(seed: Int, rnd: Random): GenQuery = {
+  private def windowQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
     val chain = chains(rnd.nextInt(chains.length))
     val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
     val cols = chain.tables.flatMap(catalog)
     val nPred = rnd.nextInt(3)
-    val preds = Vector.fill(nPred)(genPred(rnd, cols))
+    val preds = Vector.fill(nPred)(genPred(rnd, cols, version))
     val uk = headOrderCols(chain.tables.head)
     val headUnique = uniqueKeys.contains(chain.tables.head)
     val groupables = cols.filter(_.groupable)
@@ -450,48 +460,86 @@ object FuzzGen {
     val anyCol = cols(rnd.nextInt(cols.length))
     val sumCol = intCols(rnd.nextInt(intCols.length))
 
-    val ukOrderSql = uk.map(k => s"$k ASC NULLS FIRST").mkString(", ")
-    def ukWindow = Window.partitionBy(col(g.name))
-      .orderBy(uk.map(col(_).asc_nulls_first): _*)
     // draw, then remap order-dependent choices onto the value-deterministic
-    // three when the head key is not unique
-    val funcDraw0 = rnd.nextInt(6)
+    // three when the head key is not unique. v4 widens the range with four
+    // more order-dependent functions (same position in the draw sequence,
+    // so v2/v3 seeds keep their draws).
+    val funcDraw0 = rnd.nextInt(if (version >= 4) 10 else 6)
     val funcDraw =
       if (headUnique) funcDraw0
       else funcDraw0 match {
         case 0 => 1 // row_number → rank
         case 4 => 2 // lag → dense_rank
         case 5 => 3 // running sum → whole-partition sum
+        case 6 => 2 // lead → dense_rank
+        case 7 => 1 // first_value → rank
+        case 8 => 3 // last_value → whole-partition sum
+        case 9 => 1 // ntile → rank
         case x => x
       }
+    // v4: sometimes a second partition column (drawn after funcDraw — older
+    // versions never reach this draw)
+    val g2: Option[FCol] =
+      if (version >= 4 && rnd.nextInt(3) == 0) {
+        val rest = groupables.filterNot(_.name == g.name)
+        if (rest.isEmpty) None else Some(rest(rnd.nextInt(rest.length)))
+      } else None
+    val partNames = g.name +: g2.map(_.name).toSeq
+    val partSql = partNames.mkString(", ")
+    val partCols = partNames.map(col)
+
+    val ukOrderSql = uk.map(k => s"$k ASC NULLS FIRST").mkString(", ")
+    def ukWindow = Window.partitionBy(partCols: _*)
+      .orderBy(uk.map(col(_).asc_nulls_first): _*)
+    def valWindow = Window.partitionBy(partCols: _*)
+      .orderBy(col(anyCol.name).asc_nulls_first)
     val (wSql, wCol) = funcDraw match {
       case 0 =>
-        (s"row_number() OVER (PARTITION BY ${g.name} ORDER BY $ukOrderSql)",
+        (s"row_number() OVER (PARTITION BY $partSql ORDER BY $ukOrderSql)",
           row_number().over(ukWindow))
       case 1 =>
-        (s"rank() OVER (PARTITION BY ${g.name} ORDER BY ${anyCol.name} ASC NULLS FIRST)",
-          rank().over(Window.partitionBy(col(g.name))
-            .orderBy(col(anyCol.name).asc_nulls_first)))
+        (s"rank() OVER (PARTITION BY $partSql ORDER BY ${anyCol.name} ASC NULLS FIRST)",
+          rank().over(valWindow))
       case 2 =>
-        (s"dense_rank() OVER (PARTITION BY ${g.name} ORDER BY ${anyCol.name} ASC NULLS FIRST)",
-          dense_rank().over(Window.partitionBy(col(g.name))
-            .orderBy(col(anyCol.name).asc_nulls_first)))
+        (s"dense_rank() OVER (PARTITION BY $partSql ORDER BY ${anyCol.name} ASC NULLS FIRST)",
+          dense_rank().over(valWindow))
       case 3 =>
-        (s"sum(${sumCol.name}) OVER (PARTITION BY ${g.name})",
-          sum(col(sumCol.name)).over(Window.partitionBy(col(g.name))))
+        (s"sum(${sumCol.name}) OVER (PARTITION BY $partSql)",
+          sum(col(sumCol.name)).over(Window.partitionBy(partCols: _*)))
       case 4 =>
-        (s"lag(${anyCol.name}, 1) OVER (PARTITION BY ${g.name} ORDER BY $ukOrderSql)",
+        (s"lag(${anyCol.name}, 1) OVER (PARTITION BY $partSql ORDER BY $ukOrderSql)",
           lag(col(anyCol.name), 1).over(ukWindow))
-      case _ =>
-        (s"sum(${sumCol.name}) OVER (PARTITION BY ${g.name} ORDER BY $ukOrderSql" +
+      case 5 =>
+        (s"sum(${sumCol.name}) OVER (PARTITION BY $partSql ORDER BY $ukOrderSql" +
           " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
           sum(col(sumCol.name)).over(ukWindow
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      case 6 =>
+        (s"lead(${anyCol.name}, 1) OVER (PARTITION BY $partSql ORDER BY $ukOrderSql)",
+          lead(col(anyCol.name), 1).over(ukWindow))
+      case 7 =>
+        // frame explicit: DuckDB's default with ORDER BY is RANGE-based,
+        // Spark's first-over-window is ROWS-based — spell it out in both
+        (s"first_value(${anyCol.name}) OVER (PARTITION BY $partSql ORDER BY $ukOrderSql" +
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+          first(col(anyCol.name)).over(ukWindow
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      case 8 =>
+        (s"last_value(${anyCol.name}) OVER (PARTITION BY $partSql ORDER BY $ukOrderSql" +
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+          last(col(anyCol.name)).over(ukWindow
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      case _ =>
+        val buckets = 2 + rnd.nextInt(4) // draw inside the branch: v4-only
+        (s"ntile($buckets) OVER (PARTITION BY $partSql ORDER BY $ukOrderSql)",
+          ntile(buckets).over(ukWindow))
     }
 
     val items =
       uk.zipWithIndex.map { case (k, i) => Item(s"u$i", k, col(k)) } ++
-        Seq(Item("k0", g.name, col(g.name)), Item("w0", wSql, wCol))
+        (Seq(Item("k0", g.name, col(g.name))) ++
+          g2.map(c => Item("k1", c.name, col(c.name))).toSeq :+
+          Item("w0", wSql, wCol))
     // ORDER BY every output column: duplicate head keys (or a partition
     // column differing across equal keys) must not leave row order to the
     // engine — rows identical in ALL columns are the only unordered case,
@@ -527,7 +575,7 @@ object FuzzGen {
   /** v2 set-op mode: two differently-filtered projections of one table
     * under UNION ALL / INTERSECT / EXCEPT, total ORDER BY on the result.
     */
-  private def setopQuery(seed: Int, rnd: Random): GenQuery = {
+  private def setopQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
     val tables = Vector("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem")
     val t = tables(rnd.nextInt(tables.length))
@@ -537,12 +585,13 @@ object FuzzGen {
     val items = picked.zipWithIndex.map { case (c, i) =>
       Item(s"c$i", c.name, col(c.name))
     }
-    val predA = genPred(rnd, cols)
-    val predB = genPred(rnd, cols)
-    val op = rnd.nextInt(3) match {
+    val predA = genPred(rnd, cols, version)
+    val predB = genPred(rnd, cols, version)
+    val op = rnd.nextInt(if (version >= 4) 4 else 3) match {
       case 0 => "UNION ALL"
       case 1 => "INTERSECT"
-      case _ => "EXCEPT"
+      case 2 => "EXCEPT"
+      case _ => "UNION" // v4: distinct union
     }
     val selList = items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
     val sql = s"SELECT $selList FROM $t WHERE ${predA.sql} " +
@@ -557,6 +606,7 @@ object FuzzGen {
       val b = base.where(predB.col).select(proj: _*)
       val combined = op match {
         case "UNION ALL" => a.union(b)
+        case "UNION"     => a.union(b).distinct()
         case "INTERSECT" => a.intersect(b)
         case _           => a.except(b)
       }

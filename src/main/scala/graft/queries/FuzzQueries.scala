@@ -48,10 +48,22 @@ object FuzzQueries {
   val declaredSeedsV3: Seq[Int] =
     Seq(401, 409, 412, 414, 422, 426, 429, 431, 432, 454)
 
+  // Grammar-v4 slice (new window functions, multi-key partitions, distinct
+  // UNION): last_value over a two-column partition (507), first_value under
+  // LEFT join (512), ntile over a 3-table chain (514), UNION-distinct with
+  // IN (525) and at projection scale (617), rank on a two-column partition
+  // of a lineitem-headed chain (533), lag of a timestamp over a two-column
+  // partition (548), running sum over a two-column partition (569),
+  // whole-partition sum over a two-column partition (584), lead (620).
+  // Rendered with query(seed, 4).
+  val declaredSeedsV4: Seq[Int] =
+    Seq(507, 512, 514, 525, 533, 548, 569, 584, 617, 620)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
-      declaredSeedsV3.map(s => s -> FuzzGen.query(s, 3))).map { case (seed, g) =>
+      declaredSeedsV3.map(s => s -> FuzzGen.query(s, 3)) ++
+      declaredSeedsV4.map(s => s -> FuzzGen.query(s, 4))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

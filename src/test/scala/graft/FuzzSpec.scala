@@ -94,6 +94,28 @@ class FuzzSpec extends AnyFunSuite {
     assert(desc >= 10, s"DESC ordering under-drawn: $desc")
   }
 
+  test("grammar v4 (lead/first/last/ntile, multi-key partitions, UNION): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var v4fn = 0; var multi = 0; var union = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 4)
+      if (Seq("lead(", "first_value(", "last_value(", "ntile(").exists(q.sql.contains)) v4fn += 1
+      if (q.sql.contains("PARTITION BY") &&
+        q.sql.substring(q.sql.indexOf("PARTITION BY"))
+          .takeWhile(_ != ')').contains(", ")) () // partition list may hold 2 cols
+      if ("PARTITION BY [a-z_]+, [a-z_]+ ".r.findFirstIn(q.sql).isDefined) multi += 1
+      if (q.sql.contains(" UNION SELECT ")) union += 1
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v4 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v4 seeds matched; $v4fn new-window-fn, $multi multi-key-partition, $union UNION-distinct")
+    assert(v4fn >= 5, s"v4 window functions under-drawn: $v4fn")
+  }
+
   test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
     // the fz2xx catalog entries render from v1; a change here would silently
     // re-point their oracle SQL
@@ -122,7 +144,11 @@ class FuzzSpec extends AnyFunSuite {
       "fz401" -> "b3ddd494", "fz409" -> "fdbc94b0", "fz412" -> "d386454b",
       "fz414" -> "8474545d", "fz422" -> "6a52cb32", "fz426" -> "534115c8",
       "fz429" -> "f923c5c6", "fz431" -> "d4fcb69c", "fz432" -> "c8251065",
-      "fz454" -> "f313e28f")
+      "fz454" -> "f313e28f",
+      "fz507" -> "034f5c44", "fz512" -> "8f55a597", "fz514" -> "3cf942fa",
+      "fz525" -> "0abd237c", "fz533" -> "b6f234b8", "fz548" -> "0c037c23",
+      "fz569" -> "b6b024d9", "fz584" -> "4e6bc65e", "fz617" -> "0e082d49",
+      "fz620" -> "74d1c6ae")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>

@@ -23,7 +23,7 @@ object FuzzDump {
     val to = if (args.length > 3) args(3).toInt else 150
     val spark = GraftSession.getOrCreate("fuzz-dump")
     val sqls = Seq.newBuilder[(String, String)]
-    for (version <- Seq(1, 2, 3); seed <- from to to) {
+    for (version <- Seq(1, 2, 3, 4); seed <- from to to) {
       val name = s"fz_v${version}_$seed"
       val q = FuzzGen.query(seed, version)
       q.build(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -36,7 +36,7 @@ object FuzzDump {
       .mkString("{", ",", "}")
     Files.write(Paths.get(outDir, "fuzz_sql.json"),
       json.getBytes(StandardCharsets.UTF_8))
-    println(s"dumped ${3 * (to - from + 1)} generated queries to $outDir")
+    println(s"dumped ${4 * (to - from + 1)} generated queries to $outDir")
     spark.stop()
   }
 }
