@@ -100,9 +100,6 @@ class FuzzSpec extends AnyFunSuite {
     (1 to 120).foreach { seed =>
       val q = FuzzGen.query(seed, 4)
       if (Seq("lead(", "first_value(", "last_value(", "ntile(").exists(q.sql.contains)) v4fn += 1
-      if (q.sql.contains("PARTITION BY") &&
-        q.sql.substring(q.sql.indexOf("PARTITION BY"))
-          .takeWhile(_ != ')').contains(", ")) () // partition list may hold 2 cols
       if ("PARTITION BY [a-z_]+, [a-z_]+ ".r.findFirstIn(q.sql).isDefined) multi += 1
       if (q.sql.contains(" UNION SELECT ")) union += 1
       val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
