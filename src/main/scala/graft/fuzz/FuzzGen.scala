@@ -64,8 +64,13 @@ import graft.Tables
   *   - two-column PARTITION BY;
   *   - UNION (distinct) beside UNION ALL in set-op mode.
   * Every widened draw sits above the older version's range or behind a
-  * version guard: v1/v2/v3 seeds render bit-identically forever (pinned by
-  * FuzzSpec's SQL-hash test).
+  * version guard: v1/v2/v3 seeds keep their DRAWS forever (pinned by
+  * FuzzSpec's SQL-hash test). One deliberate rendering-only change
+  * (round 7): integer sums are emitted as `CAST(sum(x) AS BIGINT)` on the
+  * SQL side — DuckDB's sum(INTEGER) is HUGEINT, which the driver's value
+  * canonicalization renders as float ("3.0" ≠ Spark LONG "3"); this was
+  * the r6 hash-mismatch on all 8 sum-bearing fz seeds. No RNG draw moved,
+  * so only sum-bearing seeds re-pinned.
   */
 object FuzzGen {
 
@@ -282,8 +287,14 @@ object FuzzGen {
         val c = isCols(rnd.nextInt(isCols.length))
         Item(alias, s"count(DISTINCT ${c.name})", countDistinct(col(c.name)))
       case 3 if intCols.nonEmpty =>
+        // SQL side casts to BIGINT: DuckDB's sum(INTEGER) is HUGEINT, which
+        // the driver's value canonicalization renders as float ("3.0" vs
+        // Spark's LONG "3") — the exact hash-mismatch class CORRECTNESS_r06
+        // caught on every sum-bearing fz seed. Spark's sum(int) is already
+        // LongType, so only the oracle text changes (catalog contract in
+        // Q.scala: integer outputs are BIGINT on both sides).
         val c = intCols(rnd.nextInt(intCols.length))
-        Item(alias, s"sum(${c.name})", sum(col(c.name)))
+        Item(alias, s"CAST(sum(${c.name}) AS BIGINT)", sum(col(c.name)))
       case 4 =>
         val c = cols(rnd.nextInt(cols.length))
         Item(alias, s"min(${c.name})", min(col(c.name)))
@@ -504,14 +515,15 @@ object FuzzGen {
         (s"dense_rank() OVER (PARTITION BY $partSql ORDER BY ${anyCol.name} ASC NULLS FIRST)",
           dense_rank().over(valWindow))
       case 3 =>
-        (s"sum(${sumCol.name}) OVER (PARTITION BY $partSql)",
+        // CAST AS BIGINT for the same HUGEINT reason as genAgg's sum
+        (s"CAST(sum(${sumCol.name}) OVER (PARTITION BY $partSql) AS BIGINT)",
           sum(col(sumCol.name)).over(Window.partitionBy(partCols: _*)))
       case 4 =>
         (s"lag(${anyCol.name}, 1) OVER (PARTITION BY $partSql ORDER BY $ukOrderSql)",
           lag(col(anyCol.name), 1).over(ukWindow))
       case 5 =>
-        (s"sum(${sumCol.name}) OVER (PARTITION BY $partSql ORDER BY $ukOrderSql" +
-          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+        (s"CAST(sum(${sumCol.name}) OVER (PARTITION BY $partSql ORDER BY $ukOrderSql" +
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
           sum(col(sumCol.name)).over(ukWindow
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       case 6 =>
