@@ -130,21 +130,21 @@ class FuzzSpec extends AnyFunSuite {
     // DELIBERATE grammar/slice change regenerates these via
     // Test/runMain graft.tools.FuzzPinGen.
     val pins = Map(
-      "fz202" -> "83533da9", "fz204" -> "ddf3bf1c", "fz206" -> "33bb0783",
+      "fz202" -> "224fe376", "fz204" -> "ddf3bf1c", "fz206" -> "33bb0783",
       "fz208" -> "25a325d9", "fz212" -> "851e3cfc", "fz215" -> "a7b3e9c1",
       "fz219" -> "e718339a", "fz227" -> "422756f3", "fz228" -> "9968f020",
       "fz241" -> "f9a0532f", "fz254" -> "ba1645a3", "fz260" -> "b0140c0b",
       "fz302" -> "acf5e111", "fz305" -> "69cceb95", "fz311" -> "29f1a64d",
-      "fz312" -> "7f78dc02", "fz317" -> "f9a24f54", "fz327" -> "043b1e58",
+      "fz312" -> "7f78dc02", "fz317" -> "f9a24f54", "fz327" -> "49977b45",
       "fz329" -> "fb92dff9", "fz338" -> "299cb889", "fz339" -> "8bd7b307",
-      "fz343" -> "af1bfa33", "fz361" -> "77128ae3", "fz363" -> "0cc292d3",
-      "fz401" -> "b3ddd494", "fz409" -> "fdbc94b0", "fz412" -> "d386454b",
+      "fz343" -> "de8408a5", "fz361" -> "77128ae3", "fz363" -> "0cc292d3",
+      "fz401" -> "b3ddd494", "fz409" -> "319feb47", "fz412" -> "d386454b",
       "fz414" -> "8474545d", "fz422" -> "6a52cb32", "fz426" -> "534115c8",
-      "fz429" -> "f923c5c6", "fz431" -> "d4fcb69c", "fz432" -> "c8251065",
-      "fz454" -> "f313e28f",
+      "fz429" -> "f923c5c6", "fz431" -> "5ffae225", "fz432" -> "c8251065",
+      "fz454" -> "e42848a4",
       "fz507" -> "034f5c44", "fz512" -> "8f55a597", "fz514" -> "3cf942fa",
       "fz525" -> "0abd237c", "fz533" -> "b6f234b8", "fz548" -> "0c037c23",
-      "fz569" -> "b6b024d9", "fz584" -> "4e6bc65e", "fz617" -> "0e082d49",
+      "fz569" -> "20e64ea2", "fz584" -> "6c625a1b", "fz617" -> "0e082d49",
       "fz620" -> "74d1c6ae")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
