@@ -63,8 +63,23 @@ import graft.Tables
   *     is RANGE-based, Spark's aggregate-over-window is ROWS-based);
   *   - two-column PARTITION BY;
   *   - UNION (distinct) beside UNION ALL in set-op mode.
+  * Grammar v5 adds two modes dispatched by an extra up-front draw (taken
+  * only at version ≥ 5, so all older (seed, version) pairs keep their
+  * draws):
+  *   - subquery mode: IN (SELECT pk …), correlated EXISTS / NOT EXISTS on
+  *     an FK edge, or a scalar-aggregate comparison
+  *     `col > (SELECT min/max/avg(int) FROM …)`. The SQL rendering makes
+  *     both engines DECORRELATE (subquery → join rewrite); the DataFrame
+  *     rendering is the direct semi/anti/cross-join-aggregate plan — the
+  *     two paths meet only if the rewrite is semantics-preserving. NOT IN
+  *     is deliberately absent (its NULL semantics differ from anti join);
+  *     the anti shape is drawn as NOT EXISTS, which IS the anti join.
+  *   - derived-table mode: aggregate a fact table by its FK in a subquery
+  *     (optional HAVING), then join the aggregate to the dimension — the
+  *     aggregate-below-join shape (TPC-H q15's) that v1's single
+  *     aggregation level can't draw.
   * Every widened draw sits above the older version's range or behind a
-  * version guard: v1/v2/v3 seeds keep their DRAWS forever (pinned by
+  * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
   * (round 7): integer sums are emitted as `CAST(sum(x) AS BIGINT)` on the
   * SQL side — DuckDB's sum(INTEGER) is HUGEINT, which the driver's value
@@ -320,6 +335,16 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 5) {
+      // v5 mode byte, drawn BEFORE the v2 dispatch so v5's new modes get
+      // first pick; versions ≤ 4 never take this draw, so their seeds are
+      // untouched. Fall-through seeds continue into the v2 dispatch with
+      // the advanced rnd state (a v5 seed is a fresh draw sequence — only
+      // sameness across versions ≤ 4 is contractual).
+      val m5 = rnd.nextInt(10)
+      if (m5 < 3) return subqueryQuery(seed, rnd, version)
+      else if (m5 < 5) return derivedJoinQuery(seed, rnd, version)
+    }
     if (version >= 2) {
       val m = rnd.nextInt(10)
       if (m < 3) return windowQuery(seed, rnd, version)
@@ -626,5 +651,190 @@ object FuzzGen {
         .limit(1000)
     }
     GenQuery(seed, sql, build)
+  }
+
+  /** FK → unique-PK edges of the corpus (same edges [[chains]] joins over):
+    * (outer table, FK column, inner table, PK column). Subquery mode filters
+    * the OUTER side through a membership/scalar test against the INNER side;
+    * derived-table mode aggregates the outer (fact) side BY the FK and joins
+    * the aggregate to the inner (dimension) side.
+    */
+  private val fkEdges: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** v5 subquery mode. SQL renders a genuine subquery (IN / EXISTS /
+    * NOT EXISTS / scalar comparison) that both engines must decorrelate;
+    * the DataFrame rendering is the already-rewritten plan (left_semi /
+    * left_anti / cross-join on a 1-row aggregate). Determinism: membership
+    * tests are row-level (no peer-order dependence); the scalar aggregate
+    * draws only min/max (exact) or avg over ints (exact — see genAgg's v3
+    * note); outer aggregation follows genAgg's rules; total ORDER BY.
+    *
+    * IN ≡ left_semi here because the subquery projects the inner PK (never
+    * NULL, and a semi join collapses duplicates exactly as IN's existential
+    * semantics do). The anti shape is drawn as NOT EXISTS — NOT IN would
+    * differ under NULLs and is deliberately never generated.
+    */
+  private def subqueryQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val (outerT, fk, innerT, pk) = fkEdges(rnd.nextInt(fkEdges.length))
+    val oCols = catalog(outerT)
+    val iCols = catalog(innerT)
+    val shape = rnd.nextInt(4) // 0 IN, 1 EXISTS, 2 NOT EXISTS, 3 scalar
+    val innerPreds = Vector.fill(1 + rnd.nextInt(2))(genPred(rnd, iCols, version))
+    val outerPreds = Vector.fill(rnd.nextInt(2))(genPred(rnd, oCols, version))
+    val innerWhere = innerPreds.map(_.sql).mkString(" AND ")
+
+    // scalar-shape draws (taken only when used, so the shapes stay
+    // independently tweakable without moving each other's draws)
+    val (subSql, applySub): (String, (DataFrame, SparkSession, String) => DataFrame) =
+      shape match {
+        case 3 =>
+          val oInts = oCols.filter(_.kind == 'i')
+          val iInts = iCols.filter(_.kind == 'i')
+          val oc = oInts(rnd.nextInt(oInts.length))
+          val ic = iInts(rnd.nextInt(iInts.length))
+          val aggDraw = rnd.nextInt(3)
+          val aggSql = aggDraw match {
+            case 0 => s"min(${ic.name})"
+            case 1 => s"max(${ic.name})"
+            case _ => s"avg(${ic.name})"
+          }
+          val op = if (rnd.nextBoolean()) ">" else "<="
+          (s"${oc.name} $op (SELECT $aggSql FROM $innerT WHERE $innerWhere)",
+            (df: DataFrame, s: SparkSession, d: String) => {
+              var in = Tables.load(s, d, innerT)
+              innerPreds.foreach(p => in = in.where(p.col))
+              val aggCol = aggDraw match {
+                case 0 => min(col(ic.name))
+                case 1 => max(col(ic.name))
+                case _ => avg(col(ic.name))
+              }
+              val sub = in.agg(aggCol.as("_sc"))
+              val cmp =
+                if (op == ">") col(oc.name) > col("_sc")
+                else col(oc.name) <= col("_sc")
+              df.crossJoin(sub).where(cmp).drop("_sc")
+            })
+        case _ =>
+          val sql = shape match {
+            case 0 => s"$fk IN (SELECT $pk FROM $innerT WHERE $innerWhere)"
+            case 1 => s"EXISTS (SELECT 1 FROM $innerT WHERE ($pk = $fk) AND $innerWhere)"
+            case _ => s"NOT EXISTS (SELECT 1 FROM $innerT WHERE ($pk = $fk) AND $innerWhere)"
+          }
+          val joinType = if (shape == 2) "left_anti" else "left_semi"
+          (sql,
+            (df: DataFrame, s: SparkSession, d: String) => {
+              var in = Tables.load(s, d, innerT)
+              innerPreds.foreach(p => in = in.where(p.col))
+              df.join(in.select(col(pk)), col(fk) === col(pk), joinType)
+            })
+      }
+
+    val groupables = oCols.filter(_.groupable)
+    val grouped = rnd.nextInt(10) >= 6 && groupables.nonEmpty
+    val whereSql = (outerPreds.map(_.sql) :+ subSql).mkString(" AND ")
+
+    if (grouped) {
+      val key = groupables(rnd.nextInt(groupables.length))
+      val aggs = (0 until 1 + rnd.nextInt(2)).map(i => genAgg(rnd, oCols, s"a$i", version))
+      val items = Item("k0", key.name, col(key.name)) +: aggs
+      val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+        s" FROM $outerT WHERE $whereSql GROUP BY ${key.name}" +
+        " ORDER BY k0 ASC NULLS FIRST"
+      val build = (s: SparkSession, d: String) => {
+        var o = Tables.load(s, d, outerT)
+        outerPreds.foreach(p => o = o.where(p.col))
+        o = applySub(o, s, d)
+        o.groupBy(col(key.name))
+          .agg(aggs.map(i => i.col.as(i.alias)).head,
+            aggs.map(i => i.col.as(i.alias)).tail: _*)
+          .select(items.map(i =>
+            (if (i.alias == "k0") col(key.name) else col(i.alias)).as(i.alias)): _*)
+          .orderBy(col("k0").asc_nulls_first)
+      }
+      GenQuery(seed, sql, build)
+    } else {
+      val k = 2 + rnd.nextInt(2)
+      val picked = rnd.shuffle(oCols.toVector).take(k)
+      val items = picked.zipWithIndex.map { case (c, i) =>
+        Item(s"c$i", c.name, col(c.name))
+      }
+      val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+        s" FROM $outerT WHERE $whereSql" +
+        " ORDER BY " + items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ") +
+        " LIMIT 1000"
+      val build = (s: SparkSession, d: String) => {
+        var o = Tables.load(s, d, outerT)
+        outerPreds.foreach(p => o = o.where(p.col))
+        o = applySub(o, s, d)
+        o.select(items.map(i => i.col.as(i.alias)): _*)
+          .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+          .limit(1000)
+      }
+      GenQuery(seed, sql, build)
+    }
+  }
+
+  /** v5 derived-table mode: aggregate the fact side of an FK edge by the FK
+    * inside a subquery (optional HAVING count(*)), join the aggregate to the
+    * dimension, project dimension columns beside the aggregate — the
+    * aggregate-below-join plan shape. Total ORDER BY over every output
+    * column; aggregates follow genAgg's cross-engine-exact rules.
+    */
+  private def derivedJoinQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val (factT, fk, dimT, pk) = fkEdges(rnd.nextInt(fkEdges.length))
+    val fCols = catalog(factT)
+    val dCols = catalog(dimT)
+    val factPreds = Vector.fill(rnd.nextInt(3))(genPred(rnd, fCols, version))
+    val aggs = (0 until 1 + rnd.nextInt(2)).map(i => genAgg(rnd, fCols, s"a$i", version))
+    val having = if (rnd.nextDouble() < 0.3) Some(1 + rnd.nextInt(3)) else None
+    val dimPred = if (rnd.nextDouble() < 0.4) Some(genPred(rnd, dCols, version)) else None
+    val dimPicked = rnd.shuffle(dCols.toVector).take(1 + rnd.nextInt(2))
+
+    val dimItems = dimPicked.zipWithIndex.map { case (c, i) =>
+      Item(s"c$i", c.name, col(c.name))
+    }
+    val outItems =
+      (Item("k0", "d.k0", col("k0")) +:
+        aggs.map(a => Item(a.alias, s"d.${a.alias}", col(a.alias)))) ++ dimItems
+
+    val derived = new StringBuilder(s"SELECT $fk AS k0, ")
+    derived ++= aggs.map(a => s"${a.sql} AS ${a.alias}").mkString(", ")
+    derived ++= s" FROM $factT"
+    if (factPreds.nonEmpty)
+      derived ++= " WHERE " + factPreds.map(_.sql).mkString(" AND ")
+    derived ++= s" GROUP BY $fk"
+    having.foreach(h => derived ++= s" HAVING count(*) > $h")
+
+    val sb = new StringBuilder("SELECT ")
+    sb ++= outItems.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    sb ++= s" FROM (${derived.result()}) d JOIN $dimT ON (d.k0 = $pk)"
+    dimPred.foreach(p => sb ++= s" WHERE ${p.sql}")
+    sb ++= " ORDER BY " +
+      outItems.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+    sb ++= " LIMIT 1000"
+
+    val build = (s: SparkSession, d: String) => {
+      var f = Tables.load(s, d, factT)
+      factPreds.foreach(p => f = f.where(p.col))
+      val aggCols = aggs.map(i => i.col.as(i.alias)) ++
+        having.map(_ => count(lit(1)).as("_hv")).toSeq
+      var der = f.groupBy(col(fk)).agg(aggCols.head, aggCols.tail: _*)
+      having.foreach(h => der = der.where(col("_hv") > h))
+      der = der.withColumnRenamed(fk, "k0").drop("_hv")
+      var dim = Tables.load(s, d, dimT)
+      dimPred.foreach(p => dim = dim.where(p.col))
+      der.join(dim, col("k0") === col(pk), "inner")
+        .select(outItems.map(i => i.col.as(i.alias)): _*)
+        .orderBy(outItems.map(i => col(i.alias).asc_nulls_first): _*)
+        .limit(1000)
+    }
+    GenQuery(seed, sb.result(), build)
   }
 }

@@ -59,11 +59,27 @@ object FuzzQueries {
   val declaredSeedsV4: Seq[Int] =
     Seq(507, 512, 514, 525, 533, 548, 569, 584, 617, 620)
 
+  // Grammar-v5 slice (subqueries + derived-table joins), same selection
+  // rules (non-empty at sf0.001 AND sf0.01; whole 701-800 range verified
+  // against DuckDB at both SFs before freezing). IN subquery: grouped with
+  // BETWEEN (716), projection (753), avg beside IN (795); correlated
+  // EXISTS: grouped (705), projection at LIMIT scale (723), modulo outer
+  // filter (793); NOT EXISTS (anti): grouped (712), projection (748),
+  // count-DISTINCT grouped (768); scalar subquery: avg-scalar under a
+  // grouped outer (728), max-scalar projection (747), min-agg grouped
+  // (784); derived-table join: nation→region dim (711), customer→nation
+  // with two aggregates (734), HAVING inside the derived table (772),
+  // sum + count over supplier→nation (797). Rendered with query(seed, 5).
+  val declaredSeedsV5: Seq[Int] =
+    Seq(705, 711, 712, 716, 723, 728, 734, 747, 748, 753, 768, 772, 784,
+      793, 795, 797)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
       declaredSeedsV3.map(s => s -> FuzzGen.query(s, 3)) ++
-      declaredSeedsV4.map(s => s -> FuzzGen.query(s, 4))).map { case (seed, g) =>
+      declaredSeedsV4.map(s => s -> FuzzGen.query(s, 4)) ++
+      declaredSeedsV5.map(s => s -> FuzzGen.query(s, 5))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

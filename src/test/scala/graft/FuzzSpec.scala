@@ -113,6 +113,32 @@ class FuzzSpec extends AnyFunSuite {
     assert(v4fn >= 5, s"v4 window functions under-drawn: $v4fn")
   }
 
+  test("grammar v5 (subqueries + derived-table joins): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var subq = 0; var anti = 0; var scalar = 0; var derived = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 5)
+      if (q.sql.contains(" IN (SELECT ") || q.sql.contains("EXISTS (SELECT ")) subq += 1
+      if (q.sql.contains("NOT EXISTS")) anti += 1
+      if (q.sql.contains("(SELECT min(") || q.sql.contains("(SELECT max(") ||
+        q.sql.contains("(SELECT avg(")) scalar += 1
+      if (q.sql.contains(") d JOIN ")) derived += 1
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v5 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v5 seeds matched; $subq subquery, $anti anti (NOT EXISTS), " +
+      s"$scalar scalar, $derived derived-join")
+    // the new modes must actually be exercised, not just reachable
+    assert(subq >= 15, s"subquery mode under-drawn: $subq")
+    assert(anti >= 3, s"NOT EXISTS shape under-drawn: $anti")
+    assert(scalar >= 3, s"scalar-subquery shape under-drawn: $scalar")
+    assert(derived >= 10, s"derived-join mode under-drawn: $derived")
+  }
+
   test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
     // the fz2xx catalog entries render from v1; a change here would silently
     // re-point their oracle SQL
@@ -145,7 +171,13 @@ class FuzzSpec extends AnyFunSuite {
       "fz507" -> "034f5c44", "fz512" -> "8f55a597", "fz514" -> "3cf942fa",
       "fz525" -> "0abd237c", "fz533" -> "b6f234b8", "fz548" -> "0c037c23",
       "fz569" -> "20e64ea2", "fz584" -> "6c625a1b", "fz617" -> "0e082d49",
-      "fz620" -> "74d1c6ae")
+      "fz620" -> "74d1c6ae",
+      "fz705" -> "06eeb2fd", "fz711" -> "17c18261", "fz712" -> "e8852c36",
+      "fz716" -> "995fb1c8", "fz723" -> "03118c4e", "fz728" -> "03df45c6",
+      "fz734" -> "0878bfa4", "fz747" -> "97b5e20d", "fz748" -> "629d0a76",
+      "fz753" -> "366918f3", "fz768" -> "ee17c9d0", "fz772" -> "e5aa6edb",
+      "fz784" -> "63f14605", "fz793" -> "58493ec5", "fz795" -> "1eac6012",
+      "fz797" -> "e1d152ae")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>

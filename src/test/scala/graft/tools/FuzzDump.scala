@@ -13,7 +13,8 @@ import graft.fuzz.FuzzGen
   * generated plans cross-checked against a second engine, not just the 22
   * declared seeds the driver sees.
   *
-  * Usage: Test/runMain graft.tools.FuzzDump <sfDir> <outDir> <from> <to>
+  * Usage: Test/runMain graft.tools.FuzzDump <sfDir> <outDir> <from> <to> [versions]
+  * where [versions] is comma-separated grammar versions (default all).
   */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
@@ -21,9 +22,12 @@ object FuzzDump {
     val outDir = if (args.length > 1) args(1) else "/tmp/fuzz_dump"
     val from = if (args.length > 2) args(2).toInt else 1
     val to = if (args.length > 3) args(3).toInt else 150
+    val versions =
+      if (args.length > 4) args(4).split(",").toSeq.map(_.trim.toInt)
+      else Seq(1, 2, 3, 4, 5)
     val spark = GraftSession.getOrCreate("fuzz-dump")
     val sqls = Seq.newBuilder[(String, String)]
-    for (version <- Seq(1, 2, 3, 4); seed <- from to to) {
+    for (version <- versions; seed <- from to to) {
       val name = s"fz_v${version}_$seed"
       val q = FuzzGen.query(seed, version)
       q.build(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -36,7 +40,7 @@ object FuzzDump {
       .mkString("{", ",", "}")
     Files.write(Paths.get(outDir, "fuzz_sql.json"),
       json.getBytes(StandardCharsets.UTF_8))
-    println(s"dumped ${4 * (to - from + 1)} generated queries to $outDir")
+    println(s"dumped ${versions.size * (to - from + 1)} generated queries to $outDir")
     spark.stop()
   }
 }

@@ -17,7 +17,13 @@ object FuzzScan {
     (from to to).foreach { seed =>
       val q = FuzzGen.query(seed, version)
       val shape =
-        if (q.sql.contains(" OVER (")) "WIN  "
+        if (q.sql.contains("NOT EXISTS")) "ANTI "
+        else if (q.sql.contains("EXISTS (SELECT ")) "EXIST"
+        else if (q.sql.contains(" IN (SELECT ")) "INSUB"
+        else if (Seq("(SELECT min(", "(SELECT max(", "(SELECT avg(")
+          .exists(q.sql.contains)) "SCALR"
+        else if (q.sql.contains(") d JOIN ")) "DERIV"
+        else if (q.sql.contains(" OVER (")) "WIN  "
         else if (Seq("UNION ALL", "INTERSECT", "EXCEPT").exists(q.sql.contains)) "SETOP"
         else "V1   "
       val n1 = q.build(spark, "/root/testdata/sf0.001").count()
