@@ -26,20 +26,41 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false), which
-    * Spark's reader rejects outright. With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as epoch-nanos
-    * Long; convert to TIMESTAMP_NTZ by *truncating* to micros (integer
-    * `div`, never double division — 2^53 loses ns precision at 2024 epochs).
-    * Truncation matches DuckDB, which truncates ns→µs when reading the same
-    * file. The original nanos ride along as `ts_ns` for exact arithmetic.
+  /** `events.ts` has shipped in two physical parquet encodings across corpus
+    * vintages, so the loader branches on the dtype Spark actually read and
+    * normalizes both to the same logical schema —
+    * `ts: TIMESTAMP_NTZ` (micros) + `ts_ns: BIGINT` (epoch nanoseconds):
+    *
+    *  - TIMESTAMP(NANOS, isAdjustedToUTC=0): Spark's reader rejects NANOS
+    *    outright; with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    *    GraftSession — a no-op on MICROS files) it arrives as epoch-nanos
+    *    Long. Convert to NTZ by *truncating* to micros (integer `div`, never
+    *    double division — 2^53 loses ns precision at 2024 epochs). Truncation
+    *    matches DuckDB, which truncates ns→µs reading the same file.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=0) (corpus regenerated 2026-08-13):
+    *    read natively as TIMESTAMP_NTZ; derive `ts_ns` as epoch-micros×1000
+    *    (exact — downstream tie-breaks/arithmetic keep nanosecond units).
+    *    `unix_micros` needs a TZ timestamp; the NTZ→TZ cast is exact because
+    *    both session factories pin `spark.sql.session.timeZone=UTC`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, d, "events")
-    raw.withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr(
-          "CAST(timestamp_micros(ts_ns div 1000) AS TIMESTAMP_NTZ)"))
+    raw.schema("ts").dataType match {
+      case LongType => // legacy NANOS vintage via nanosAsLong
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts",
+            expr("CAST(timestamp_micros(ts_ns div 1000) AS TIMESTAMP_NTZ)"))
+      case TimestampNTZType => // MICROS vintage, native NTZ read
+        raw.withColumn("ts_ns", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+      case TimestampType => // defensive: isAdjustedToUTC=1 vintage, if ever
+        raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+          .withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unexpected type $other — new corpus vintage?")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
