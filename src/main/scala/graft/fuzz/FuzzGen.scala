@@ -78,6 +78,15 @@ import graft.Tables
   *     (optional HAVING), then join the aggregate to the dimension — the
   *     aggregate-below-join shape (TPC-H q15's) that v1's single
   *     aggregation level can't draw.
+  * Grammar v6 extends the differential to the EVENTS table (an extra
+  * up-front draw taken only at version ≥ 6): the shared proj/group/global
+  * body and the window generator run with the chain forced to
+  * single-table events — timestamps with real microsecond data, a
+  * sf-dependent-cardinality int key (user_id), and JSON-shaped strings
+  * (props, compared only with portable string operators) flow through
+  * every predicate/agg/window shape the older grammars draw. Motivated by
+  * the r9 regression: the corpus silently re-encoded events.ts
+  * (NANOS→MICROS) and no generated query covered the table.
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -158,7 +167,27 @@ object FuzzGen {
       FCol("l_linestatus", 's', sLit("F", "O"), groupable = true),
       FCol("l_shipdate", 't',
         tLit("1996-01-01 00:00:00", "1997-06-15 00:00:00", "1999-01-01 00:00:00",
-          "2000-06-01 00:00:00"))))
+          "2000-06-01 00:00:00"))),
+    // v6: the events table (its r9 silent-re-encode regression is exactly
+    // the class a generated differential over ts would have caught at the
+    // first sweep — VERDICT r9 item 7). Literal pools profiled from the
+    // corpus: ts spans 2024-01-01..01-30 at every sf; user_id 0..14 at
+    // sf0.001 (so literals stay ≤14 to select at both SFs); value
+    // 0.01..490; props is a JSON-shaped STRING compared only with the
+    // portable string operators (=/<>/LIKE) — JSON path functions are NOT
+    // drawn (Spark and DuckDB share no JSON syntax; the hand-declared f9/
+    // x5 entries cover JSON semantics).
+    "events" -> Seq(
+      FCol("event_id", 'i', iLit(100, 300, 600, 900)),
+      FCol("ts", 't',
+        tLit("2024-01-05 00:00:00", "2024-01-12 00:00:00",
+          "2024-01-20 00:00:00", "2024-01-27 00:00:00")),
+      FCol("user_id", 'i', iLit(2, 5, 9, 13), groupable = true),
+      FCol("event_type", 's',
+        sLit("click", "error", "purchase", "signup", "view"),
+        groupable = true),
+      FCol("value", 'd', dLit(5.0, 50.0, 150.0, 300.0)),
+      FCol("props", 's', sLit("{\"k\": 7}", "{\"k\": 42}", "{\"k\": 87}"))))
 
   /** VERIFIED-unique key of each table in the synthetic corpus. FK-chain
     * joins go FK → unique PK, so a chain's output rows stay uniquely
@@ -181,7 +210,9 @@ object FuzzGen {
     "customer" -> Seq("c_custkey"),
     "supplier" -> Seq("s_suppkey"),
     "part"     -> Seq("p_partkey"),
-    "orders"   -> Seq("o_orderkey"))
+    "orders"   -> Seq("o_orderkey"),
+    // count(DISTINCT event_id) = count(*) verified at sf0.001/0.01/0.1
+    "events"   -> Seq("event_id"))
 
   /** Window sort-preference columns per head table: the PK where verified
     * unique, the (non-unique) PK-shaped pair for lineitem — usable as a
@@ -215,6 +246,19 @@ object FuzzGen {
       Seq("c_nationkey" -> "n_nationkey", "n_regionkey" -> "r_regionkey")),
     Chain(Seq("supplier", "nation", "region"),
       Seq("s_nationkey" -> "n_nationkey", "n_regionkey" -> "r_regionkey")))
+
+  /** v6's forced chain: events has no FK edge into the TPC-H dims (user_id
+    * is its own id space), so it is drawn single-table and deliberately
+    * kept OUT of [[chains]] — versions ≤ 5 must never draw it.
+    */
+  private val eventsChain = Chain(Seq("events"), Nil)
+
+  /** Table loader for generated builds: events needs its vintage-adaptive
+    * normalization ([[Tables.events]] — ts arrives as nanos-Long or native
+    * NTZ depending on corpus vintage); every other table is a plain scan.
+    */
+  private def loadFuzzTable(s: SparkSession, d: String, t: String): DataFrame =
+    if (t == "events") Tables.events(s, d) else Tables.load(s, d, t)
 
   /** A predicate / select item rendered for both paths. */
   final case class P(sql: String, col: Column)
@@ -335,6 +379,18 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 6) {
+      // v6 mode byte, drawn before every older dispatch so events-table
+      // modes get first pick; versions ≤ 5 never take this draw, so their
+      // seeds stay frozen. The events body reuses the shared proj/group/
+      // global machinery ([[bodyQuery]]) and the window generator — only
+      // the chain is forced, so every predicate/agg/window shape the older
+      // grammars exercise also runs over timestamps + JSON-shaped strings.
+      val m6 = rnd.nextInt(10)
+      if (m6 < 4) return bodyQuery(seed, rnd, version, eventsChain)
+      else if (m6 < 6) return windowQuery(seed, rnd, version, Some(eventsChain))
+      // else: fall through to the v5 dispatch with the advanced rnd state
+    }
     if (version >= 5) {
       // v5 mode byte, drawn BEFORE the v2 dispatch so v5's new modes get
       // first pick; versions ≤ 4 never take this draw, so their seeds are
@@ -351,7 +407,16 @@ object FuzzGen {
       else if (m < 5) return setopQuery(seed, rnd, version)
       // else: fall through to the v1 body with the advanced rnd state
     }
-    val chain = chains(rnd.nextInt(chains.length))
+    bodyQuery(seed, rnd, version, chains(rnd.nextInt(chains.length)))
+  }
+
+  /** The shared proj/group/global body (the whole v1 grammar): everything
+    * after the chain draw, extracted verbatim so v6 can force [[eventsChain]]
+    * without perturbing any older version's draw sequence (the chain draw
+    * stays at the call site for versions ≤ 5).
+    */
+  private def bodyQuery(seed: Int, rnd: Random, version: Int,
+                        chain: Chain): GenQuery = {
     val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
     val cols = chain.tables.flatMap(catalog)
 
@@ -438,7 +503,7 @@ object FuzzGen {
 
     // ---- DataFrame-API rendering (same draw, independent construction) ----
     val build = (s: SparkSession, d: String) => {
-      val dfs = chain.tables.map(t => Tables.load(s, d, t))
+      val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
       var j = dfs.head
       chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
         j = j.join(dfs(i + 1), col(lk) === col(rk),
@@ -482,8 +547,11 @@ object FuzzGen {
     * on a duplicated key their per-row results depend on engine-internal
     * tie-breaking (the [[uniqueKeys]] doc has the corpus evidence).
     */
-  private def windowQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
-    val chain = chains(rnd.nextInt(chains.length))
+  private def windowQuery(seed: Int, rnd: Random, version: Int,
+                          chainOverride: Option[Chain] = None): GenQuery = {
+    // v6 forces the events chain (no chain draw — v6 seeds are a fresh
+    // sequence); every older caller passes None and draws as before.
+    val chain = chainOverride.getOrElse(chains(rnd.nextInt(chains.length)))
     val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
     val cols = chain.tables.flatMap(catalog)
     val nPred = rnd.nextInt(3)
@@ -595,7 +663,7 @@ object FuzzGen {
     sb ++= " LIMIT 1000"
 
     val build = (s: SparkSession, d: String) => {
-      val dfs = chain.tables.map(t => Tables.load(s, d, t))
+      val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
       var j = dfs.head
       chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
         j = j.join(dfs(i + 1), col(lk) === col(rk),

@@ -60,26 +60,49 @@ object FuzzQueries {
     Seq(507, 512, 514, 525, 533, 548, 569, 584, 617, 620)
 
   // Grammar-v5 slice (subqueries + derived-table joins), same selection
-  // rules (non-empty at sf0.001 AND sf0.01; whole 701-800 range verified
-  // against DuckDB at both SFs before freezing). IN subquery: grouped with
-  // BETWEEN (716), projection (753), avg beside IN (795); correlated
-  // EXISTS: grouped (705), projection at LIMIT scale (723), modulo outer
-  // filter (793); NOT EXISTS (anti): grouped (712), projection (748),
-  // count-DISTINCT grouped (768); scalar subquery: avg-scalar under a
-  // grouped outer (728), max-scalar projection (747), min-agg grouped
-  // (784); derived-table join: nation→region dim (711), customer→nation
-  // with two aggregates (734), HAVING inside the derived table (772),
-  // sum + count over supplier→nation (797). Rendered with query(seed, 5).
+  // rules (non-empty at sf0.001 AND sf0.01; whole 701-800 and 801-1000
+  // ranges verified against DuckDB at both SFs before freezing). IN
+  // subquery: grouped with BETWEEN (716), projection (753), avg beside IN
+  // (795); correlated EXISTS: grouped (705), projection at LIMIT scale
+  // (723), modulo outer filter (793); NOT EXISTS (anti): grouped (712),
+  // projection (748), count-DISTINCT grouped (768); scalar subquery:
+  // avg-scalar under a grouped outer (728), max-scalar projection (747),
+  // min-scalar with a genuinely selective predicate — keeps ~9% of lineitem
+  // at sf0.001 (914; replaced 784, whose max-scalar comparison was
+  // vacuously true — ADVICE r8); derived-table join: nation→region dim
+  // (711), customer→nation with two aggregates (734), HAVING inside the
+  // derived table (772), sum + count over supplier→nation (797). Rendered
+  // with query(seed, 5).
   val declaredSeedsV5: Seq[Int] =
-    Seq(705, 711, 712, 716, 723, 728, 734, 747, 748, 753, 768, 772, 784,
-      793, 795, 797)
+    Seq(705, 711, 712, 716, 723, 728, 734, 747, 748, 753, 768, 772,
+      793, 795, 797, 914)
+
+  // Grammar-v6 slice (events table — the differential cover the r9 ts
+  // re-encode regression showed was missing). Whole 1-200 range verified
+  // against DuckDB at sf0.001 AND sf0.01 (200/200 pass both, r10); frozen
+  // picks are events-bearing and non-empty at both SFs. Windows over
+  // events: lag(ts) through a window fn (147), rank ORDER BY ts (66),
+  // row_number under BETWEEN+IN (19), ntile beside ts+props preds (91),
+  // last_value(props) (73), running sum under a ts pred (165),
+  // whole-partition sum under a selective value pred (39). Grouped: the
+  // canonical count-by-type (35), ts-BETWEEN + DISTINCT + props multi-agg
+  // (40), count(DISTINCT props) + HAVING (46), user_id IN + ts + HAVING
+  // (121), LIKE + min (69), late-ts + value filter (197). Global: ts
+  // BETWEEN + count/min/avg (87), max(ts) (132), DISTINCT props under
+  // double IN (180). Projections: selective props equality (13), DISTINCT
+  // over ts+props (101), OR-of-BETWEEN/IN + ts BETWEEN (141), props cmp +
+  // ts CASE (94). Rendered with query(seed, 6).
+  val declaredSeedsV6: Seq[Int] =
+    Seq(13, 19, 35, 39, 40, 46, 66, 69, 73, 87, 91, 94, 101, 121, 132,
+      141, 147, 165, 180, 197)
 
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
       declaredSeedsV3.map(s => s -> FuzzGen.query(s, 3)) ++
       declaredSeedsV4.map(s => s -> FuzzGen.query(s, 4)) ++
-      declaredSeedsV5.map(s => s -> FuzzGen.query(s, 5))).map { case (seed, g) =>
+      declaredSeedsV5.map(s => s -> FuzzGen.query(s, 5)) ++
+      declaredSeedsV6.map(s => s -> FuzzGen.query(s, 6))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

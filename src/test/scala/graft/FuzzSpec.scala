@@ -21,10 +21,16 @@ import graft.fuzz.FuzzGen
 class FuzzSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private lazy val views: Unit =
+  private lazy val views: Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
       .foreach(t =>
         Tables.load(spark, TestSpark.sf0001, t).createOrReplaceTempView(t))
+    // v6 draws events; the view is the NORMALIZED table (vintage-adaptive
+    // ts — see Tables.events) so spark.sql sees the same relation the
+    // DF-API build reads. DuckDB reads the raw parquet and agrees on
+    // values because micros survive both paths exactly.
+    Tables.events(spark, TestSpark.sf0001).createOrReplaceTempView("events")
+  }
 
   test("120 seeded random queries: DataFrame-API plan ≡ spark.sql of the generated SQL") {
     views
@@ -118,8 +124,11 @@ class FuzzSpec extends AnyFunSuite {
     var subq = 0; var anti = 0; var scalar = 0; var derived = 0
     (1 to 120).foreach { seed =>
       val q = FuzzGen.query(seed, 5)
-      if (q.sql.contains(" IN (SELECT ") || q.sql.contains("EXISTS (SELECT ")) subq += 1
+      // disjoint shape counters: "EXISTS (SELECT" also matches inside
+      // "NOT EXISTS (SELECT", so classify anti first (ADVICE r8)
       if (q.sql.contains("NOT EXISTS")) anti += 1
+      else if (q.sql.contains(" IN (SELECT ") ||
+        q.sql.contains("EXISTS (SELECT ")) subq += 1
       if (q.sql.contains("(SELECT min(") || q.sql.contains("(SELECT max(") ||
         q.sql.contains("(SELECT avg(")) scalar += 1
       if (q.sql.contains(") d JOIN ")) derived += 1
@@ -137,6 +146,30 @@ class FuzzSpec extends AnyFunSuite {
     assert(anti >= 3, s"NOT EXISTS shape under-drawn: $anti")
     assert(scalar >= 3, s"scalar-subquery shape under-drawn: $scalar")
     assert(derived >= 10, s"derived-join mode under-drawn: $derived")
+  }
+
+  test("grammar v6 (events table: timestamps, window + agg + proj): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var ev = 0; var evWin = 0; var tsPred = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 6)
+      val isEvents = q.sql.contains("FROM events")
+      if (isEvents) ev += 1
+      if (isEvents && q.sql.contains(" OVER ")) evWin += 1
+      // a 2024 TIMESTAMP literal is drawn only from events.ts's pool
+      if (isEvents && q.sql.contains("TIMESTAMP '2024")) tsPred += 1
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v6 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v6 seeds matched; $ev over events ($evWin windowed, $tsPred with ts)")
+    // the events table must actually be drawn at the declared 60% rate,
+    // in both the body and the window generator
+    assert(ev >= 50, s"events mode under-drawn: $ev")
+    assert(evWin >= 5, s"events window shape under-drawn: $evWin")
   }
 
   test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
@@ -176,8 +209,15 @@ class FuzzSpec extends AnyFunSuite {
       "fz716" -> "995fb1c8", "fz723" -> "03118c4e", "fz728" -> "03df45c6",
       "fz734" -> "0878bfa4", "fz747" -> "97b5e20d", "fz748" -> "629d0a76",
       "fz753" -> "366918f3", "fz768" -> "ee17c9d0", "fz772" -> "e5aa6edb",
-      "fz784" -> "63f14605", "fz793" -> "58493ec5", "fz795" -> "1eac6012",
-      "fz797" -> "e1d152ae")
+      "fz793" -> "58493ec5", "fz795" -> "1eac6012",
+      "fz797" -> "e1d152ae", "fz914" -> "f892d0ce",
+      "fz13" -> "b70074d3", "fz19" -> "85fb8078", "fz35" -> "794065e9",
+      "fz39" -> "ea552137", "fz40" -> "c47420f1", "fz46" -> "4b42e2fa",
+      "fz66" -> "b92488ae", "fz69" -> "18152750", "fz73" -> "8b58c6d3",
+      "fz87" -> "2f4d018e", "fz91" -> "5db52542", "fz94" -> "81aead4f",
+      "fz101" -> "279b8ca0", "fz121" -> "dbf31537", "fz132" -> "ed97cbf2",
+      "fz141" -> "e076301d", "fz147" -> "44033cd2", "fz165" -> "02e1b2d1",
+      "fz180" -> "b662d239", "fz197" -> "1884f823")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>

@@ -31,6 +31,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
       p.contains("LessThan(o_orderkey,100)"), s"no pushed filter in:\n$p")
   }
 
+  test("events filters push to the parquet scan on the native-NTZ vintage") {
+    // On the legacy NANOS vintage every events column rode below a ts
+    // conversion Project, but predicates on UNTOUCHED columns still pushed;
+    // on the MICROS vintage (live corpus) ts itself is scan-native too.
+    // Lock in both: event_type equality reaches PushedFilters, and the
+    // ts_ns derivation doesn't block pruning of unused columns.
+    val df = Tables.events(spark, d)
+      .where(col("event_type") === "purchase")
+      .select("event_id", "user_id")
+    val p = plan(df)
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      s"event_type filter not pushed to scan:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"events scan reads unprojected columns: $readSchema")
+  }
+
   test("column pruning: scan reads only the projected columns") {
     val df = Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
     val p = plan(df)
