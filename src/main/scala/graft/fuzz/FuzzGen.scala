@@ -87,6 +87,13 @@ import graft.Tables
   * every predicate/agg/window shape the older grammars draw. Motivated by
   * the r9 regression: the corpus silently re-encoded events.ts
   * (NANOS→MICROS) and no generated query covered the table.
+  * Grammar v7 does the same for the DOCUMENTS table (text corpus: long
+  * strings under the portable comparison/LIKE operators, two groupable
+  * dims, an int length column) — with events and documents both drawn,
+  * every corpus table except embeddings (whose ARRAY<FLOAT> column has no
+  * portable scalar grammar; SchemaCanarySpec still pins its schema) is
+  * fuzzed, so a silent regeneration of any of them trips the generated
+  * tier, not just the hand-written queries.
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -187,7 +194,18 @@ object FuzzGen {
         sLit("click", "error", "purchase", "signup", "view"),
         groupable = true),
       FCol("value", 'd', dLit(5.0, 50.0, 150.0, 300.0)),
-      FCol("props", 's', sLit("{\"k\": 7}", "{\"k\": 42}", "{\"k\": 87}"))))
+      FCol("props", 's', sLit("{\"k\": 7}", "{\"k\": 42}", "{\"k\": 87}"))),
+    // v7: the documents table (text corpus — long space-separated strings,
+    // 5/20-way groupable dims, an int length column). doc_id runs 0..499 at
+    // sf0.001/0.01 and 0..4999 at sf0.1, so the literal pool stays < 500 to
+    // select at every sf; text is compared only with the portable string
+    // operators (long-string =/<>/>=/< and LIKE are engine-identical).
+    "documents" -> Seq(
+      FCol("doc_id", 'i', iLit(50, 150, 300, 450)),
+      FCol("text", 's', sLit("join", "spark", "the")),
+      FCol("lang", 's', sLit("de", "en", "es", "fr", "zh"), groupable = true),
+      FCol("source", 's', sLit("src11", "src17", "src3"), groupable = true),
+      FCol("n_chars", 'i', iLit(100, 250, 400, 500))))
 
   /** VERIFIED-unique key of each table in the synthetic corpus. FK-chain
     * joins go FK → unique PK, so a chain's output rows stay uniquely
@@ -212,7 +230,9 @@ object FuzzGen {
     "part"     -> Seq("p_partkey"),
     "orders"   -> Seq("o_orderkey"),
     // count(DISTINCT event_id) = count(*) verified at sf0.001/0.01/0.1
-    "events"   -> Seq("event_id"))
+    "events"   -> Seq("event_id"),
+    // doc_id is 0..N-1 dense, verified distinct at sf0.001/0.01/0.1
+    "documents" -> Seq("doc_id"))
 
   /** Window sort-preference columns per head table: the PK where verified
     * unique, the (non-unique) PK-shaped pair for lineitem — usable as a
@@ -252,6 +272,12 @@ object FuzzGen {
     * kept OUT of [[chains]] — versions ≤ 5 must never draw it.
     */
   private val eventsChain = Chain(Seq("events"), Nil)
+
+  /** v7's forced chain: documents joins nothing in the corpus (its dedup /
+    * similarity edges are computed, not foreign keys), so single-table like
+    * events, and likewise kept OUT of [[chains]].
+    */
+  private val documentsChain = Chain(Seq("documents"), Nil)
 
   /** Table loader for generated builds: events needs its vintage-adaptive
     * normalization ([[Tables.events]] — ts arrives as nanos-Long or native
@@ -379,6 +405,14 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 7) {
+      // v7 mode byte (documents table), drawn before v6's so the newest
+      // table gets first pick; versions ≤ 6 never take this draw.
+      val m7 = rnd.nextInt(10)
+      if (m7 < 4) return bodyQuery(seed, rnd, version, documentsChain)
+      else if (m7 < 6) return windowQuery(seed, rnd, version, Some(documentsChain))
+      // else: fall through to the v6 dispatch with the advanced rnd state
+    }
     if (version >= 6) {
       // v6 mode byte, drawn before every older dispatch so events-table
       // modes get first pick; versions ≤ 5 never take this draw, so their

@@ -96,13 +96,31 @@ object FuzzQueries {
     Seq(13, 19, 35, 39, 40, 46, 66, 69, 73, 87, 91, 94, 101, 121, 132,
       141, 147, 165, 180, 197)
 
+  // Grammar-v7 slice (documents table — completes per-table fuzz cover:
+  // every scalar-typed corpus table is now drawn by some grammar version).
+  // Whole 1-200 range verified against DuckDB at sf0.001 AND sf0.01
+  // (200/200 pass both, r10); picks are documents-bearing, non-empty at
+  // both SFs, and DISJOINT from declaredSeedsV6's seed numbers (fz names
+  // collide otherwise). Windows: text BETWEEN pred under last_value (1,
+  // 14), src+nchars partitions (109), LIKE+BETWEEN multi-pred (127),
+  // selective text+IN (131), 3-row selective partition (100), BETWEEN over
+  // lang+nchars (192). Grouped: LIKE by source (10), text+HAVING (102,
+  // 143), count-DISTINCT text (159), 3-agg DISTINCT (163). Global: 4-col
+  // multi-agg (111), DISTINCT text (150), IN+nchars (174). Projections:
+  // all-features (114), LIKE+IN+BETWEEN+DISTINCT (134), text+IN+nchars
+  // (153), LIKE+DISTINCT (16), text BETWEEN (190). Rendered query(seed, 7).
+  val declaredSeedsV7: Seq[Int] =
+    Seq(1, 10, 14, 16, 100, 102, 109, 111, 114, 127, 131, 134, 143, 150,
+      153, 159, 163, 174, 190, 192)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
       declaredSeedsV3.map(s => s -> FuzzGen.query(s, 3)) ++
       declaredSeedsV4.map(s => s -> FuzzGen.query(s, 4)) ++
       declaredSeedsV5.map(s => s -> FuzzGen.query(s, 5)) ++
-      declaredSeedsV6.map(s => s -> FuzzGen.query(s, 6))).map { case (seed, g) =>
+      declaredSeedsV6.map(s => s -> FuzzGen.query(s, 6)) ++
+      declaredSeedsV7.map(s => s -> FuzzGen.query(s, 7))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

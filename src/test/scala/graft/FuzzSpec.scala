@@ -30,6 +30,9 @@ class FuzzSpec extends AnyFunSuite {
     // DF-API build reads. DuckDB reads the raw parquet and agrees on
     // values because micros survive both paths exactly.
     Tables.events(spark, TestSpark.sf0001).createOrReplaceTempView("events")
+    // v7 draws documents (plain scan, no normalization)
+    Tables.load(spark, TestSpark.sf0001, "documents")
+      .createOrReplaceTempView("documents")
   }
 
   test("120 seeded random queries: DataFrame-API plan ≡ spark.sql of the generated SQL") {
@@ -172,6 +175,27 @@ class FuzzSpec extends AnyFunSuite {
     assert(evWin >= 5, s"events window shape under-drawn: $evWin")
   }
 
+  test("grammar v7 (documents table: text strings, groupable dims): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var doc = 0; var docWin = 0; var txt = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 7)
+      val isDoc = q.sql.contains("FROM documents")
+      if (isDoc) doc += 1
+      if (isDoc && q.sql.contains(" OVER ")) docWin += 1
+      if (isDoc && q.sql.contains("text")) txt += 1
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v7 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v7 seeds matched; $doc over documents ($docWin windowed, $txt touching text)")
+    assert(doc >= 50, s"documents mode under-drawn: $doc")
+    assert(docWin >= 5, s"documents window shape under-drawn: $docWin")
+  }
+
   test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
     // the fz2xx catalog entries render from v1; a change here would silently
     // re-point their oracle SQL
@@ -217,7 +241,14 @@ class FuzzSpec extends AnyFunSuite {
       "fz87" -> "2f4d018e", "fz91" -> "5db52542", "fz94" -> "81aead4f",
       "fz101" -> "279b8ca0", "fz121" -> "dbf31537", "fz132" -> "ed97cbf2",
       "fz141" -> "e076301d", "fz147" -> "44033cd2", "fz165" -> "02e1b2d1",
-      "fz180" -> "b662d239", "fz197" -> "1884f823")
+      "fz180" -> "b662d239", "fz197" -> "1884f823",
+      "fz1" -> "612d5049", "fz10" -> "2a4e1ea9", "fz14" -> "9d9acebf",
+      "fz16" -> "e183cb80", "fz100" -> "00402040", "fz102" -> "5b0625fa",
+      "fz109" -> "5a22ae7b", "fz111" -> "2c8f9121", "fz114" -> "7bda4cd0",
+      "fz127" -> "143fa975", "fz131" -> "431fbc66", "fz134" -> "c5b120c9",
+      "fz143" -> "29e4f733", "fz150" -> "63f6758f", "fz153" -> "909aaac2",
+      "fz159" -> "469a6c9b", "fz163" -> "4113fbce", "fz174" -> "85592648",
+      "fz190" -> "125a183d", "fz192" -> "6b413171")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>

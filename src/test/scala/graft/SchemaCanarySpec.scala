@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-corpus schema canary — the generalization of CorpusVintageSpec's
+  * events lesson (r9: the driver regenerated testdata with a different
+  * physical ts encoding and 19 queries died at analysis, diagnosed a round
+  * late). Pins the NORMALIZED schema of every table the engine reads, so
+  * the next silent regeneration — a re-encoded timestamp, a widened int, a
+  * renamed or added column — fails HERE with the table named, not as a
+  * scatter of downstream analysis errors.
+  *
+  * Regenerate the pins after a DELIBERATE corpus change:
+  * `Test/runMain graft.tools.SchemaDump`, then review the diff — column
+  * type changes usually also demand a look at the literal pools in
+  * `fuzz.FuzzGen.catalog` and the caveats in FIXTURES.md §B.
+  */
+class SchemaCanarySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val expected: Map[String, String] = Map(
+    "region" -> "r_regionkey:INT,r_name:STRING",
+    "nation" -> "n_nationkey:INT,n_name:STRING,n_regionkey:INT",
+    "customer" ->
+      "c_custkey:BIGINT,c_name:STRING,c_nationkey:INT,c_acctbal:DOUBLE,c_mktsegment:STRING",
+    "supplier" -> "s_suppkey:BIGINT,s_name:STRING,s_nationkey:INT,s_acctbal:DOUBLE",
+    "part" ->
+      "p_partkey:BIGINT,p_name:STRING,p_brand:STRING,p_type:STRING,p_size:INT,p_retailprice:DOUBLE",
+    "orders" ->
+      "o_orderkey:BIGINT,o_custkey:BIGINT,o_orderstatus:STRING,o_totalprice:DOUBLE,o_orderdate:TIMESTAMP_NTZ,o_orderpriority:STRING",
+    "lineitem" ->
+      "l_orderkey:BIGINT,l_partkey:BIGINT,l_suppkey:BIGINT,l_linenumber:INT,l_quantity:DOUBLE,l_extendedprice:DOUBLE,l_discount:DOUBLE,l_tax:DOUBLE,l_returnflag:STRING,l_linestatus:STRING,l_shipdate:TIMESTAMP_NTZ",
+    // post-normalization (Tables.events): both physical ts vintages land here
+    "events" ->
+      "event_id:BIGINT,ts:TIMESTAMP_NTZ,user_id:BIGINT,event_type:STRING,value:DOUBLE,props:STRING,ts_ns:BIGINT",
+    "documents" -> "doc_id:BIGINT,text:STRING,lang:STRING,source:STRING,n_chars:BIGINT",
+    "embeddings" -> "vec_id:BIGINT,embedding:ARRAY<FLOAT>,label:INT")
+
+  private def render(t: String): String = {
+    val df = t match {
+      case "events" => Tables.events(spark, TestSpark.sf0001)
+      case _        => Tables.load(spark, TestSpark.sf0001, t)
+    }
+    df.schema.fields.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+  }
+
+  Tables.all.foreach { t =>
+    test(s"corpus table $t keeps its pinned schema") {
+      assert(render(t) == expected(t),
+        s"$t schema drifted — corpus regenerated? Review FIXTURES.md §B, " +
+          "fuzz literal pools, and rerun Test/runMain graft.tools.SchemaDump")
+    }
+  }
+
+  test("every corpus table is pinned (no table added without a canary)") {
+    assert(Tables.all.toSet == expected.keySet)
+  }
+}
