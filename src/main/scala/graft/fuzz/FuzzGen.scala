@@ -94,6 +94,13 @@ import graft.Tables
   * portable scalar grammar; SchemaCanarySpec still pins its schema) is
   * fuzzed, so a silent regeneration of any of them trips the generated
   * tier, not just the hand-written queries.
+  * Grammar v8 reaches the remaining shapes over those two tables: set
+  * operations (UNION ALL / UNION / INTERSECT / EXCEPT of two differently-
+  * filtered projections) and UNCORRELATED scalar subqueries
+  * (`col cmp (SELECT min/max/avg … FROM same_table WHERE …)`) — the
+  * correlated membership shapes are impossible self-table (the `(pk = fk)`
+  * correlation would be a same-column tautology) and events/documents have
+  * no FK edge into the TPC-H dims.
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -405,6 +412,20 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 8) {
+      // v8 mode byte: set-ops and self-scalar subqueries over the two
+      // single-table corpora (events/documents) — the shapes v6/v7's
+      // body+window dispatch can't reach. Versions ≤ 7 never take this
+      // draw; the table coin is tossed inside the branch so fall-through
+      // seeds advance rnd identically whether or not the mode was near.
+      val m8 = rnd.nextInt(10)
+      if (m8 < 6) {
+        val t8 = if (rnd.nextBoolean()) "events" else "documents"
+        if (m8 < 3) return setopQuery(seed, rnd, version, Some(t8))
+        else return subqueryQuery(seed, rnd, version, Some(t8))
+      }
+      // else: fall through to the v7 dispatch with the advanced rnd state
+    }
     if (version >= 7) {
       // v7 mode byte (documents table), drawn before v6's so the newest
       // table gets first pick; versions ≤ 6 never take this draw.
@@ -714,10 +735,13 @@ object FuzzGen {
   /** v2 set-op mode: two differently-filtered projections of one table
     * under UNION ALL / INTERSECT / EXCEPT, total ORDER BY on the result.
     */
-  private def setopQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+  private def setopQuery(seed: Int, rnd: Random, version: Int,
+                         tableOverride: Option[String] = None): GenQuery = {
     val tables = Vector("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem")
-    val t = tables(rnd.nextInt(tables.length))
+    // v8 forces events/documents (no table draw — v8 seeds are a fresh
+    // sequence); every older caller passes None and draws as before.
+    val t = tableOverride.getOrElse(tables(rnd.nextInt(tables.length)))
     val cols = catalog(t)
     val k = 2 + rnd.nextInt(2)
     val picked = rnd.shuffle(cols.toVector).take(k)
@@ -739,7 +763,7 @@ object FuzzGen {
       " LIMIT 1000"
 
     val build = (s: SparkSession, d: String) => {
-      val base = Tables.load(s, d, t)
+      val base = loadFuzzTable(s, d, t)
       val proj = items.map(i => i.col.as(i.alias))
       val a = base.where(predA.col).select(proj: _*)
       val b = base.where(predB.col).select(proj: _*)
@@ -783,11 +807,20 @@ object FuzzGen {
     * semantics do). The anti shape is drawn as NOT EXISTS — NOT IN would
     * differ under NULLs and is deliberately never generated.
     */
-  private def subqueryQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
-    val (outerT, fk, innerT, pk) = fkEdges(rnd.nextInt(fkEdges.length))
+  private def subqueryQuery(seed: Int, rnd: Random, version: Int,
+                            selfTable: Option[String] = None): GenQuery = {
+    // v8's self-scalar mode: outer and inner are the SAME corpus table
+    // (events/documents — no FK edge exists), restricted to the scalar
+    // shape. The membership/correlated shapes are impossible self-table:
+    // the correlation `(pk = fk)` would render with one column name on
+    // both sides, which is a tautology, not a join. Older callers pass
+    // None and draw the edge + shape as before.
+    val (outerT, fk, innerT, pk) =
+      selfTable.map(t => (t, "", t, "")).getOrElse(fkEdges(rnd.nextInt(fkEdges.length)))
     val oCols = catalog(outerT)
     val iCols = catalog(innerT)
-    val shape = rnd.nextInt(4) // 0 IN, 1 EXISTS, 2 NOT EXISTS, 3 scalar
+    val shape = // 0 IN, 1 EXISTS, 2 NOT EXISTS, 3 scalar
+      if (selfTable.isDefined) 3 else rnd.nextInt(4)
     val innerPreds = Vector.fill(1 + rnd.nextInt(2))(genPred(rnd, iCols, version))
     val outerPreds = Vector.fill(rnd.nextInt(2))(genPred(rnd, oCols, version))
     val innerWhere = innerPreds.map(_.sql).mkString(" AND ")
@@ -810,7 +843,7 @@ object FuzzGen {
           val op = if (rnd.nextBoolean()) ">" else "<="
           (s"${oc.name} $op (SELECT $aggSql FROM $innerT WHERE $innerWhere)",
             (df: DataFrame, s: SparkSession, d: String) => {
-              var in = Tables.load(s, d, innerT)
+              var in = loadFuzzTable(s, d, innerT)
               innerPreds.foreach(p => in = in.where(p.col))
               val aggCol = aggDraw match {
                 case 0 => min(col(ic.name))
@@ -832,7 +865,7 @@ object FuzzGen {
           val joinType = if (shape == 2) "left_anti" else "left_semi"
           (sql,
             (df: DataFrame, s: SparkSession, d: String) => {
-              var in = Tables.load(s, d, innerT)
+              var in = loadFuzzTable(s, d, innerT)
               innerPreds.foreach(p => in = in.where(p.col))
               df.join(in.select(col(pk)), col(fk) === col(pk), joinType)
             })
@@ -850,7 +883,7 @@ object FuzzGen {
         s" FROM $outerT WHERE $whereSql GROUP BY ${key.name}" +
         " ORDER BY k0 ASC NULLS FIRST"
       val build = (s: SparkSession, d: String) => {
-        var o = Tables.load(s, d, outerT)
+        var o = loadFuzzTable(s, d, outerT)
         outerPreds.foreach(p => o = o.where(p.col))
         o = applySub(o, s, d)
         o.groupBy(col(key.name))
@@ -872,7 +905,7 @@ object FuzzGen {
         " ORDER BY " + items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ") +
         " LIMIT 1000"
       val build = (s: SparkSession, d: String) => {
-        var o = Tables.load(s, d, outerT)
+        var o = loadFuzzTable(s, d, outerT)
         outerPreds.foreach(p => o = o.where(p.col))
         o = applySub(o, s, d)
         o.select(items.map(i => i.col.as(i.alias)): _*)

@@ -113,6 +113,21 @@ object FuzzQueries {
     Seq(1, 10, 14, 16, 100, 102, 109, 111, 114, 127, 131, 134, 143, 150,
       153, 159, 163, 174, 190, 192)
 
+  // Grammar-v8 slice (set-ops + self-scalar subqueries over events/
+  // documents — the shapes the v6/v7 body+window dispatch can't reach).
+  // Whole 1-200 range verified against DuckDB at sf0.001 AND sf0.01
+  // (200/200 both, r10); picks non-empty at both SFs, disjoint from every
+  // older slice's seed numbers. Set-ops — events: INTERSECT (107), EXCEPT
+  // (117), UNION ALL (124), UNION distinct (157); documents: INTERSECT
+  // (105), EXCEPT (119), UNION ALL (123), small-side EXCEPT (144).
+  // Self-scalar — events: max proj (118), min grouped (129), avg proj
+  // keeping 8/1000 (136), min grouped keeping 3/1000 (167), avg grouped
+  // (177); documents: min proj (112), max grouped (152), min proj keeping
+  // 4/500 (148). Rendered with query(seed, 8).
+  val declaredSeedsV8: Seq[Int] =
+    Seq(105, 107, 112, 117, 118, 119, 123, 124, 129, 136, 144, 148, 152,
+      157, 167, 177)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -120,7 +135,8 @@ object FuzzQueries {
       declaredSeedsV4.map(s => s -> FuzzGen.query(s, 4)) ++
       declaredSeedsV5.map(s => s -> FuzzGen.query(s, 5)) ++
       declaredSeedsV6.map(s => s -> FuzzGen.query(s, 6)) ++
-      declaredSeedsV7.map(s => s -> FuzzGen.query(s, 7))).map { case (seed, g) =>
+      declaredSeedsV7.map(s => s -> FuzzGen.query(s, 7)) ++
+      declaredSeedsV8.map(s => s -> FuzzGen.query(s, 8))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -196,6 +196,27 @@ class FuzzSpec extends AnyFunSuite {
     assert(docWin >= 5, s"documents window shape under-drawn: $docWin")
   }
 
+  test("grammar v8 (set-ops + self-scalar subqueries over events/documents): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var setop = 0; var scalar = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 8)
+      val overNew = q.sql.contains("FROM events") || q.sql.contains("FROM documents")
+      if (overNew &&
+        Seq(" UNION ", " INTERSECT ", " EXCEPT ").exists(q.sql.contains)) setop += 1
+      if (overNew && q.sql.contains("(SELECT ")) scalar += 1
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v8 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v8 seeds matched; $setop set-op, $scalar self-scalar over events/documents")
+    assert(setop >= 15, s"v8 set-op shape under-drawn: $setop")
+    assert(scalar >= 15, s"v8 self-scalar shape under-drawn: $scalar")
+  }
+
   test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
     // the fz2xx catalog entries render from v1; a change here would silently
     // re-point their oracle SQL
@@ -248,7 +269,13 @@ class FuzzSpec extends AnyFunSuite {
       "fz127" -> "143fa975", "fz131" -> "431fbc66", "fz134" -> "c5b120c9",
       "fz143" -> "29e4f733", "fz150" -> "63f6758f", "fz153" -> "909aaac2",
       "fz159" -> "469a6c9b", "fz163" -> "4113fbce", "fz174" -> "85592648",
-      "fz190" -> "125a183d", "fz192" -> "6b413171")
+      "fz190" -> "125a183d", "fz192" -> "6b413171",
+      "fz105" -> "9d79446d", "fz107" -> "a5a602c7", "fz112" -> "b28fb079",
+      "fz117" -> "999ad9cd", "fz118" -> "eb913aab", "fz119" -> "f8f860a7",
+      "fz123" -> "708f28ad", "fz124" -> "7fe7b02d", "fz129" -> "8b49338e",
+      "fz136" -> "84cffcdf", "fz144" -> "da1e6728", "fz148" -> "8c1c1466",
+      "fz152" -> "b6055c5a", "fz157" -> "ea378fcb", "fz167" -> "2796ab81",
+      "fz177" -> "02a49113")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
