@@ -40,8 +40,11 @@ object Tables {
     *  - TIMESTAMP(MICROS, isAdjustedToUTC=0) (corpus regenerated 2026-08-13):
     *    read natively as TIMESTAMP_NTZ; derive `ts_ns` as epoch-micros×1000
     *    (exact — downstream tie-breaks/arithmetic keep nanosecond units).
-    *    `unix_micros` needs a TZ timestamp; the NTZ→TZ cast is exact because
-    *    both session factories pin `spark.sql.session.timeZone=UTC`.
+    *    The NTZ epoch is taken with `timestampdiff` against the NTZ epoch
+    *    literal — a wall-clock difference, so the result is identical in
+    *    EVERY session timezone (an `unix_micros(CAST(ts AS TIMESTAMP))`
+    *    form would silently shift by the session's UTC offset in any
+    *    session that didn't pin UTC).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
@@ -53,7 +56,8 @@ object Tables {
           .withColumn("ts",
             expr("CAST(timestamp_micros(ts_ns div 1000) AS TIMESTAMP_NTZ)"))
       case TimestampNTZType => // MICROS vintage, native NTZ read
-        raw.withColumn("ts_ns", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+        raw.withColumn("ts_ns", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000L"))
       case TimestampType => // defensive: isAdjustedToUTC=1 vintage, if ever
         raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
           .withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
@@ -62,6 +66,14 @@ object Tables {
           s"events.ts arrived as unexpected type $other — new corpus vintage?")
     }
   }
+
+  /** The table as the ENGINE's declared schema exposes it: `events` through
+    * its vintage-adaptive normalization, everything else a plain scan. The
+    * one dispatch point for every consumer (fuzz builds, SQL-surface views,
+    * schema canaries) — don't re-implement the events special case.
+    */
+  def loadNormalized(s: SparkSession, d: String, name: String): DataFrame =
+    if (name == "events") events(s, d) else load(s, d, name)
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -286,12 +286,12 @@ object FuzzGen {
     */
   private val documentsChain = Chain(Seq("documents"), Nil)
 
-  /** Table loader for generated builds: events needs its vintage-adaptive
-    * normalization ([[Tables.events]] — ts arrives as nanos-Long or native
-    * NTZ depending on corpus vintage); every other table is a plain scan.
+  /** Table loader for generated builds — the engine's normalized view of
+    * the corpus (events' vintage-adaptive ts handling lives in ONE place,
+    * [[Tables.loadNormalized]]).
     */
   private def loadFuzzTable(s: SparkSession, d: String, t: String): DataFrame =
-    if (t == "events") Tables.events(s, d) else Tables.load(s, d, t)
+    Tables.loadNormalized(s, d, t)
 
   /** A predicate / select item rendered for both paths. */
   final case class P(sql: String, col: Column)

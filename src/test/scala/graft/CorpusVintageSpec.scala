@@ -36,9 +36,12 @@ class CorpusVintageSpec extends AnyFunSuite {
       s"[$vintage] events.ts must normalize to TIMESTAMP_NTZ, got ${byName("ts")}")
     assert(byName("ts_ns") == LongType,
       s"[$vintage] events.ts_ns must be BIGINT epoch-nanos, got ${byName("ts_ns")}")
-    // ts and ts_ns must agree: ts is exactly ts_ns truncated to micros
-    val bad = df.where(
-      expr("unix_micros(CAST(ts AS TIMESTAMP)) != ts_ns div 1000")).count()
+    // ts and ts_ns must agree: ts is exactly ts_ns truncated to micros.
+    // timestampdiff against the NTZ epoch literal is session-TZ-independent
+    // (a wall-clock difference), so this check holds in any session TZ.
+    val bad = df.where(expr(
+      "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)" +
+        " != ts_ns div 1000")).count()
     assert(bad == 0, s"[$vintage] $bad rows where ts != trunc_micros(ts_ns)")
     assert(df.count() > 0, s"[$vintage] fixture read zero rows")
   }
@@ -54,10 +57,16 @@ class CorpusVintageSpec extends AnyFunSuite {
     assert(raw.schema("ts").dataType == LongType,
       s"fixture no longer reads as nanos-Long: ${raw.schema("ts").dataType}")
     assertContract(nanosFixtureDir, "nanos-fixture")
-    // sub-micro digits survive in ts_ns on the legacy vintage
+    // The semantic unique to the legacy branch: the RAW nanos (with real
+    // sub-microsecond digits — the fixture is written with …789-ns tails)
+    // survive in ts_ns, while ts truncates them. A regression that derives
+    // ts_ns from the truncated micros (losing the tail) fails here.
     val df = Tables.events(spark, nanosFixtureDir)
-    assert(df.where(expr("ts_ns % 1000 != 0")).count() == 0,
-      "fixture rows carry no sub-micro digits (written at µs boundaries)")
+    val subMicro = df.where(expr("ts_ns % 1000 != 0")).count()
+    assert(subMicro == df.count(),
+      s"only $subMicro rows kept sub-micro nanos in ts_ns — legacy branch " +
+        "truncated before preserving the raw value, or the fixture was " +
+        "regenerated at µs boundaries (it must not be)")
   }
 
   test("current live vintage is MICROS (update FIXTURES.md if this moves)") {

@@ -44,6 +44,7 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(event_type,purchase)"),
       s"event_type filter not pushed to scan:\n$p")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.nonEmpty, s"no ReadSchema line in formatted plan:\n$p")
     assert(!readSchema.contains("props") && !readSchema.contains("value"),
       s"events scan reads unprojected columns: $readSchema")
   }
@@ -52,6 +53,7 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val df = Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
     val p = plan(df)
     val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.nonEmpty, s"no ReadSchema line in formatted plan:\n$p")
     assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
     assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
       s"scan reads unprojected columns: $readSchema")

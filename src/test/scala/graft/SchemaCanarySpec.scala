@@ -36,17 +36,11 @@ class SchemaCanarySpec extends AnyFunSuite {
     "documents" -> "doc_id:BIGINT,text:STRING,lang:STRING,source:STRING,n_chars:BIGINT",
     "embeddings" -> "vec_id:BIGINT,embedding:ARRAY<FLOAT>,label:INT")
 
-  private def render(t: String): String = {
-    val df = t match {
-      case "events" => Tables.events(spark, TestSpark.sf0001)
-      case _        => Tables.load(spark, TestSpark.sf0001, t)
-    }
-    df.schema.fields.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
-  }
-
   Tables.all.foreach { t =>
     test(s"corpus table $t keeps its pinned schema") {
-      assert(render(t) == expected(t),
+      val got = graft.tools.SchemaDump.render(
+        Tables.loadNormalized(spark, TestSpark.sf0001, t))
+      assert(got == expected(t),
         s"$t schema drifted — corpus regenerated? Review FIXTURES.md §B, " +
           "fuzz literal pools, and rerun Test/runMain graft.tools.SchemaDump")
     }
@@ -54,5 +48,31 @@ class SchemaCanarySpec extends AnyFunSuite {
 
   test("every corpus table is pinned (no table added without a canary)") {
     assert(Tables.all.toSet == expected.keySet)
+  }
+
+  /** Columns the engine RELIES on being unique — window ORDER BY keys in
+    * the frozen fuzz seeds (FuzzGen.uniqueKeys) and FK-edge PKs. A corpus
+    * regeneration that introduces duplicates would not change any schema,
+    * but would make row_number/lag/lead/running-sum over these keys
+    * tie-break-dependent and silently diverge between engines — fail HERE
+    * with the key named instead.
+    */
+  private val uniqueCols: Map[String, String] = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "events" -> "event_id", "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
+
+  uniqueCols.foreach { case (t, k) =>
+    test(s"corpus key $t.$k is still unique") {
+      val df = Tables.loadNormalized(spark, TestSpark.sf0001, t)
+      val total = df.count()
+      val distinct = df.select(k).distinct().count()
+      assert(total == distinct,
+        s"$t.$k has duplicates ($distinct distinct of $total rows) — " +
+          "window-function fuzz seeds ordering by it are no longer " +
+          "deterministic; corpus regenerated?")
+    }
   }
 }

@@ -14,7 +14,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
 
   private def registerViews(): Unit =
     Tables.all.foreach { t =>
-      Tables.load(spark, d, t).createOrReplaceTempView(t)
+      // loadNormalized, not load: the SQL face must expose the ENGINE's
+      // declared schema (events normalized to ts TIMESTAMP_NTZ + ts_ns),
+      // not whatever physical encoding the corpus vintage shipped
+      Tables.loadNormalized(spark, d, t).createOrReplaceTempView(t)
     }
 
   test("SQL and DataFrame forms of an aggregation query agree row-for-row") {
