@@ -101,6 +101,16 @@ import graft.Tables
   * correlated membership shapes are impossible self-table (the `(pk = fk)`
   * correlation would be a same-column tautology) and events/documents have
   * no FK edge into the TPC-H dims.
+  * Grammar v9 joins the two corpus families: `events.user_id →
+  * customer.c_custkey` is a genuine FK containment (verified: every
+  * user_id matches a customer at sf0.001/0.01/0.1), so the edge flows
+  * through every join-bearing mode — the shared body over
+  * events⋈customer and events⋈customer⋈nation chains, windows headed by
+  * the (unique) event_id, membership/scalar subqueries filtering events
+  * through customer, and the aggregate-below-join derived-table shape
+  * (per-user event aggregates joined to the customer dimension — the
+  * canonical behavioral-analytics rollup). Until v9 no generated query
+  * joined an analytics table to a TPC-H dim.
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -286,6 +296,24 @@ object FuzzGen {
     */
   private val documentsChain = Chain(Seq("documents"), Nil)
 
+  /** v9's cross-family chains: `events.user_id → customer.c_custkey` is a
+    * verified FK containment at every sf (every user_id has a matching
+    * customer; max user_id ≈ custkeys/10), extending into the usual
+    * customer → nation dim edge. Kept OUT of [[chains]] so versions ≤ 8
+    * never draw them.
+    */
+  private val eventsCustomerChain =
+    Chain(Seq("events", "customer"), Seq("user_id" -> "c_custkey"))
+  private val eventsCustomerNationChain =
+    Chain(Seq("events", "customer", "nation"),
+      Seq("user_id" -> "c_custkey", "c_nationkey" -> "n_nationkey"))
+
+  /** v9's FK edge for the subquery / derived-table generators (same shape
+    * as [[fkEdges]] rows; kept separate so older versions never draw it).
+    */
+  private val eventsCustomerEdge: (String, String, String, String) =
+    ("events", "user_id", "customer", "c_custkey")
+
   /** Table loader for generated builds — the engine's normalized view of
     * the corpus (events' vintage-adaptive ts handling lives in ONE place,
     * [[Tables.loadNormalized]]).
@@ -412,6 +440,22 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 9) {
+      // v9 mode byte: the events⋈customer cross-family edge through every
+      // join-bearing mode. Drawn before every older dispatch so the new
+      // edge gets first pick; versions ≤ 8 never take this draw, and
+      // fall-through seeds continue into the v8 dispatch with the advanced
+      // rnd state (a v9 seed is a fresh draw sequence).
+      val m9 = rnd.nextInt(12)
+      if (m9 < 3) return bodyQuery(seed, rnd, version, eventsCustomerChain)
+      else if (m9 < 5) return bodyQuery(seed, rnd, version, eventsCustomerNationChain)
+      else if (m9 < 7) return windowQuery(seed, rnd, version, Some(eventsCustomerChain))
+      else if (m9 < 8) return subqueryQuery(seed, rnd, version,
+        edgeOverride = Some(eventsCustomerEdge))
+      else if (m9 < 9) return derivedJoinQuery(seed, rnd, version,
+        Some(eventsCustomerEdge))
+      // else: fall through to the v8 dispatch with the advanced rnd state
+    }
     if (version >= 8) {
       // v8 mode byte: set-ops and self-scalar subqueries over the two
       // single-table corpora (events/documents) — the shapes v6/v7's
@@ -808,15 +852,21 @@ object FuzzGen {
     * differ under NULLs and is deliberately never generated.
     */
   private def subqueryQuery(seed: Int, rnd: Random, version: Int,
-                            selfTable: Option[String] = None): GenQuery = {
+                            selfTable: Option[String] = None,
+                            edgeOverride: Option[(String, String, String, String)] = None)
+      : GenQuery = {
     // v8's self-scalar mode: outer and inner are the SAME corpus table
     // (events/documents — no FK edge exists), restricted to the scalar
     // shape. The membership/correlated shapes are impossible self-table:
     // the correlation `(pk = fk)` would render with one column name on
     // both sides, which is a tautology, not a join. Older callers pass
-    // None and draw the edge + shape as before.
+    // None and draw the edge + shape as before. v9 instead passes
+    // edgeOverride (events→customer), which keeps ALL four shapes — the
+    // edge is a real FK, so membership/correlation draw as usual.
     val (outerT, fk, innerT, pk) =
-      selfTable.map(t => (t, "", t, "")).getOrElse(fkEdges(rnd.nextInt(fkEdges.length)))
+      selfTable.map(t => (t, "", t, ""))
+        .orElse(edgeOverride)
+        .getOrElse(fkEdges(rnd.nextInt(fkEdges.length)))
     val oCols = catalog(outerT)
     val iCols = catalog(innerT)
     val shape = // 0 IN, 1 EXISTS, 2 NOT EXISTS, 3 scalar
@@ -922,8 +972,13 @@ object FuzzGen {
     * aggregate-below-join plan shape. Total ORDER BY over every output
     * column; aggregates follow genAgg's cross-engine-exact rules.
     */
-  private def derivedJoinQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
-    val (factT, fk, dimT, pk) = fkEdges(rnd.nextInt(fkEdges.length))
+  private def derivedJoinQuery(seed: Int, rnd: Random, version: Int,
+                               edgeOverride: Option[(String, String, String, String)] = None)
+      : GenQuery = {
+    // v9 passes the events→customer edge (per-user event aggregates joined
+    // to the customer dimension); older callers draw from fkEdges as before.
+    val (factT, fk, dimT, pk) =
+      edgeOverride.getOrElse(fkEdges(rnd.nextInt(fkEdges.length)))
     val fCols = catalog(factT)
     val dCols = catalog(dimT)
     val factPreds = Vector.fill(rnd.nextInt(3))(genPred(rnd, fCols, version))
@@ -956,14 +1011,17 @@ object FuzzGen {
     sb ++= " LIMIT 1000"
 
     val build = (s: SparkSession, d: String) => {
-      var f = Tables.load(s, d, factT)
+      // loadFuzzTable (not Tables.load): v9's fact side can be events,
+      // which must go through the vintage-adaptive normalization; for every
+      // other table the two loaders are identical.
+      var f = loadFuzzTable(s, d, factT)
       factPreds.foreach(p => f = f.where(p.col))
       val aggCols = aggs.map(i => i.col.as(i.alias)) ++
         having.map(_ => count(lit(1)).as("_hv")).toSeq
       var der = f.groupBy(col(fk)).agg(aggCols.head, aggCols.tail: _*)
       having.foreach(h => der = der.where(col("_hv") > h))
       der = der.withColumnRenamed(fk, "k0").drop("_hv")
-      var dim = Tables.load(s, d, dimT)
+      var dim = loadFuzzTable(s, d, dimT)
       dimPred.foreach(p => dim = dim.where(p.col))
       der.join(dim, col("k0") === col(pk), "inner")
         .select(outItems.map(i => i.col.as(i.alias)): _*)

@@ -128,6 +128,26 @@ object FuzzQueries {
     Seq(105, 107, 112, 117, 118, 119, 123, 124, 129, 136, 144, 148, 152,
       157, 167, 177)
 
+  // Grammar-v9 slice (the events⋈customer cross-family edge — until v9 no
+  // generated query joined an analytics table to a TPC-H dim). Whole
+  // 1001-1200 range verified against DuckDB at sf0.001 AND sf0.01 (200/200
+  // pass both, r10); picks non-empty at both SFs, and the 1001+ seed range
+  // is disjoint from every older slice by construction. Body joins:
+  // LEFT + LIKE projection (1007), grouped ts-BETWEEN + modulo (1014),
+  // selective grouped (1092), global count/avg over the join (1045);
+  // three-way with nation: LEFT grouped min(ts) (1018), sum by n_name
+  // (1026). Windows over the join: running sum (1001), first_value (1030),
+  // two-column-partition ntile (1036), dense_rank ORDER BY a tied dim
+  // column (1065), last_value of c_acctbal under a selective pred (1082),
+  // lead over a two-column partition (1087). Subqueries through the edge:
+  // grouped EXISTS (1086), grouped NOT EXISTS + sum (1005), scalar
+  // projection (1077), selective scalar (1089). Derived-table (per-user
+  // event aggregates ⋈ customer): two aggregates (1011), HAVING + max props
+  // (1017), HAVING count > 2 (1052). Rendered with query(seed, 9).
+  val declaredSeedsV9: Seq[Int] =
+    Seq(1001, 1005, 1007, 1011, 1014, 1017, 1018, 1026, 1030, 1036, 1045,
+      1052, 1065, 1077, 1082, 1086, 1087, 1089, 1092)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -136,7 +156,8 @@ object FuzzQueries {
       declaredSeedsV5.map(s => s -> FuzzGen.query(s, 5)) ++
       declaredSeedsV6.map(s => s -> FuzzGen.query(s, 6)) ++
       declaredSeedsV7.map(s => s -> FuzzGen.query(s, 7)) ++
-      declaredSeedsV8.map(s => s -> FuzzGen.query(s, 8))).map { case (seed, g) =>
+      declaredSeedsV8.map(s => s -> FuzzGen.query(s, 8)) ++
+      declaredSeedsV9.map(s => s -> FuzzGen.query(s, 9))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -662,6 +662,55 @@ object Round4bQueries {
              |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
              |        * 10000 + 0.5) / 10000 AS total
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+    Q(
+      "x20_temperature_mixture",
+      "Temperature-scaled mixture weighting (alpha = 0.5): per-source " +
+        "upweight factors sqrt(head_tokens / source_tokens) relative to " +
+        "the largest source — the UniMax/temperature renormalization that " +
+        "keeps small sources from drowning in a multi-source training mix " +
+        "(x10 covers fixed keep-rates; this derives the rates from corpus " +
+        "statistics). Cross-engine exactness by construction: after exact " +
+        "integer aggregation, the only float ops are int-to-double (< 2^53, " +
+        "exact), one division, one sqrt, one multiply — each CORRECTLY " +
+        "ROUNDED under IEEE-754 and applied per row, never accumulated — " +
+        "so floor(1e6 * x) is bit-identical in every compliant engine; " +
+        "effective token budgets then stay in integer arithmetic. Scale: " +
+        "ONE partial+final hash agg over the corpus (a crossJoin to a " +
+        "1-row max re-scans the corpus — column pruning makes the two agg " +
+        "subplans differ, so ReuseExchange can't fire); the head size " +
+        "comes from an unbounded window over the aggregated relation, " +
+        "whose single partition holds one row per SOURCE — bounded by " +
+        "source cardinality, not corpus size.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = size(split(col("text"), " ")).cast(LongType)
+        val per = Tables.documents(s, d)
+          .select(col("source"), tok.as("tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+        per
+          .withColumn("max_tokens", max(col("n_tokens")).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("upweight_ppm",
+            floor(sqrt(col("max_tokens").cast(DoubleType) / col("n_tokens"))
+              * 1000000).cast(LongType))
+          .withColumn("tokens_eff",
+            expr("n_tokens * upweight_ppm div 1000000"))
+          .select("source", "n_docs", "n_tokens", "upweight_ppm", "tokens_eff")
+          .orderBy("source")
+      },
+      Some("""WITH per AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |head AS (SELECT max(n_tokens) AS max_tokens FROM per)
+             |SELECT source, n_docs, n_tokens,
+             |  CAST(floor(sqrt(CAST(max_tokens AS DOUBLE) / n_tokens)
+             |             * 1000000) AS BIGINT) AS upweight_ppm,
+             |  (n_tokens * CAST(floor(sqrt(CAST(max_tokens AS DOUBLE) / n_tokens)
+             |                         * 1000000) AS BIGINT)) // 1000000 AS tokens_eff
+             |FROM per, head ORDER BY source""".stripMargin)
     )
   )
 }

@@ -217,6 +217,38 @@ class FuzzSpec extends AnyFunSuite {
     assert(scalar >= 15, s"v8 self-scalar shape under-drawn: $scalar")
   }
 
+  test("grammar v9 (events⋈customer cross-family joins): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var joined = 0; var threeWay = 0; var win = 0; var subq = 0; var derived = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 9)
+      val isEdge = q.sql.contains("user_id = c_custkey") ||
+        q.sql.contains("(SELECT c_custkey FROM customer") ||
+        q.sql.contains("c_custkey = user_id") ||
+        (q.sql.contains("FROM events") && q.sql.contains("customer"))
+      if (isEdge) joined += 1
+      if (isEdge && q.sql.contains("nation")) threeWay += 1
+      if (isEdge && q.sql.contains(" OVER ")) win += 1
+      if (isEdge && (q.sql.contains("EXISTS (SELECT ") ||
+        q.sql.contains(" IN (SELECT ") || q.sql.contains("(SELECT min(") ||
+        q.sql.contains("(SELECT max(") || q.sql.contains("(SELECT avg("))) subq += 1
+      if (isEdge && q.sql.contains(") d JOIN ")) derived += 1
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v9 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v9 seeds matched; $joined on the events⋈customer edge " +
+      s"($threeWay three-way, $win windowed, $subq subquery, $derived derived-join)")
+    // every join-bearing mode over the new edge must actually be drawn
+    assert(joined >= 50, s"cross-family edge under-drawn: $joined")
+    assert(threeWay >= 5, s"three-way chain under-drawn: $threeWay")
+    assert(win >= 5, s"windowed shape under-drawn: $win")
+    assert(subq + derived >= 5, s"subquery/derived shapes under-drawn: ${subq + derived}")
+  }
+
   test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
     // the fz2xx catalog entries render from v1; a change here would silently
     // re-point their oracle SQL
@@ -275,7 +307,14 @@ class FuzzSpec extends AnyFunSuite {
       "fz123" -> "708f28ad", "fz124" -> "7fe7b02d", "fz129" -> "8b49338e",
       "fz136" -> "84cffcdf", "fz144" -> "da1e6728", "fz148" -> "8c1c1466",
       "fz152" -> "b6055c5a", "fz157" -> "ea378fcb", "fz167" -> "2796ab81",
-      "fz177" -> "02a49113")
+      "fz177" -> "02a49113",
+      "fz1001" -> "45f88e06", "fz1005" -> "199ce6f1", "fz1007" -> "a5b4f4bd",
+      "fz1011" -> "6f3d16ee", "fz1014" -> "272cf1d2", "fz1017" -> "459ec504",
+      "fz1018" -> "11635aa3", "fz1026" -> "7346bee7", "fz1030" -> "f4a21306",
+      "fz1036" -> "bca8056c", "fz1045" -> "920effef", "fz1052" -> "6390ca30",
+      "fz1065" -> "7fcff81c", "fz1077" -> "b015e6ca", "fz1082" -> "bb0f39fd",
+      "fz1086" -> "5606deb7", "fz1087" -> "5ee75976", "fz1089" -> "fa2820db",
+      "fz1092" -> "03393468")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>

@@ -219,4 +219,23 @@ class Round4bQueriesSpec extends AnyFunSuite {
     val got = df("x14_incremental_agg")
     assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
   }
+
+  test("x20_temperature_mixture: head source at exactly 1e6 ppm, others upweighted, budgets exact") {
+    val rows = df("x20_temperature_mixture").collect()
+    assert(rows.nonEmpty)
+    val headPpm = rows.map(_.getAs[Long]("upweight_ppm")).min
+    // the largest source is its own head: sqrt(max/max) = 1.0 exactly
+    assert(headPpm == 1000000L, s"head source ppm $headPpm != 1000000")
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("upweight_ppm")
+      val nTok = r.getAs[Long]("n_tokens")
+      val eff = r.getAs[Long]("tokens_eff")
+      // alpha = 0.5 only UPweights relative to the head source
+      assert(ppm >= 1000000L, s"${r.getAs[String]("source")}: ppm $ppm < 1e6")
+      // effective budget is pure integer arithmetic on (n_tokens, ppm)
+      assert(eff == nTok * ppm / 1000000L,
+        s"${r.getAs[String]("source")}: tokens_eff $eff drifted")
+      assert(eff >= nTok, s"${r.getAs[String]("source")}: upweight shrank the budget")
+    }
+  }
 }
