@@ -111,6 +111,20 @@ import graft.Tables
   * (per-user event aggregates joined to the customer dimension — the
   * canonical behavioral-analytics rollup). Until v9 no generated query
   * joined an analytics table to a TPC-H dim.
+  * Grammar v10 adds three COMPOSITIONAL shapes the flat modes can't draw:
+  *   - conditional aggregates — measures under a CASE guard
+  *     (`sum(CASE WHEN p THEN 1 ELSE 0 END)`, `min/max(CASE WHEN p THEN c
+  *     END)` with the NULL else) over any chain incl. the v9 cross-family
+  *     edge; counts stay integer-exact, min/max are value-deterministic,
+  *     and the no-ELSE NULL branch exercises NULL-skipping agg semantics
+  *     in both engines;
+  *   - set operations over JOINED projections — v2/v8's set-op mode reads
+  *     one table; v10 unions/intersects/excepts two differently-filtered
+  *     projections of a two-table join (dup-elimination over join output);
+  *   - aggregate-of-aggregate — per-key counts in a derived table
+  *     re-aggregated globally or by a modulo bucket of the key (the
+  *     distribution-of-group-sizes shape; two aggregation LEVELS, where
+  *     v5's derived mode has one level plus a dim join).
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -440,6 +454,18 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 10) {
+      // v10 mode byte: compositional shapes (conditional aggregates,
+      // set-ops over joins, aggregate-of-aggregate). Drawn before every
+      // older dispatch; versions ≤ 9 never take this draw, and
+      // fall-through seeds continue into the v9 dispatch with the
+      // advanced rnd state.
+      val m10 = rnd.nextInt(10)
+      if (m10 < 3) return condAggQuery(seed, rnd, version)
+      else if (m10 < 5) return setopJoinQuery(seed, rnd, version)
+      else if (m10 < 7) return aggOfAggQuery(seed, rnd, version)
+      // else: fall through to the v9 dispatch with the advanced rnd state
+    }
     if (version >= 9) {
       // v9 mode byte: the events⋈customer cross-family edge through every
       // join-bearing mode. Drawn before every older dispatch so the new
@@ -1027,6 +1053,198 @@ object FuzzGen {
         .select(outItems.map(i => i.col.as(i.alias)): _*)
         .orderBy(outItems.map(i => col(i.alias).asc_nulls_first): _*)
         .limit(1000)
+    }
+    GenQuery(seed, sb.result(), build)
+  }
+
+  /** v10 chain pool: every flat chain plus the cross-family and
+    * single-table analytics chains — conditional aggregates are meaningful
+    * over all of them.
+    */
+  private def v10Chains: Seq[Chain] =
+    chains :+ eventsCustomerChain :+ eventsChain :+ documentsChain
+
+  /** v10 conditional-aggregate mode: a grouped aggregation whose measures
+    * sit under a CASE guard — `sum(CASE WHEN p THEN 1 ELSE 0 END)` (the
+    * count-if) and `min/max(CASE WHEN p THEN c END)` (no ELSE: the guard
+    * maps non-matching rows to NULL, which both engines' min/max skip; a
+    * group with zero matches yields NULL in both). Counts are
+    * integer-exact, min/max value-deterministic — no accumulation-order
+    * dependence anywhere. Total ORDER BY over the group keys.
+    */
+  private def condAggQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = v10Chains
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val nPred = rnd.nextInt(3)
+    val preds = Vector.fill(nPred)(genPred(rnd, cols, version))
+    val groupables = cols.filter(_.groupable)
+    val key = groupables(rnd.nextInt(groupables.length))
+
+    val nAgg = 1 + rnd.nextInt(2)
+    val aggs: Seq[Item] = (0 until nAgg).map { i =>
+      val guard = genPred(rnd, cols, version)
+      rnd.nextInt(3) match {
+        case 0 =>
+          Item(s"a$i",
+            s"CAST(sum(CASE WHEN ${guard.sql} THEN 1 ELSE 0 END) AS BIGINT)",
+            sum(when(guard.col, 1).otherwise(0)))
+        case 1 =>
+          val c = cols(rnd.nextInt(cols.length))
+          Item(s"a$i", s"min(CASE WHEN ${guard.sql} THEN ${c.name} END)",
+            min(when(guard.col, col(c.name))))
+        case _ =>
+          val c = cols(rnd.nextInt(cols.length))
+          Item(s"a$i", s"max(CASE WHEN ${guard.sql} THEN ${c.name} END)",
+            max(when(guard.col, col(c.name))))
+      }
+    }
+    val items = Item("k0", key.name, col(key.name)) +: aggs :+
+      Item("n", "count(*)", count(lit(1)))
+
+    val sb = new StringBuilder("SELECT ")
+    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    sb ++= s" FROM ${chain.tables.head}"
+    chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+      val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+      sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+    }
+    if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    sb ++= s" GROUP BY ${key.name} ORDER BY k0 ASC NULLS FIRST"
+
+    val build = (s: SparkSession, d: String) => {
+      val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      val aggCols = (aggs :+ items.last).map(i => i.col.as(i.alias))
+      j.groupBy(col(key.name))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(items.map(i =>
+          (if (i.alias == "k0") col(key.name) else col(i.alias)).as(i.alias)): _*)
+        .orderBy(col("k0").asc_nulls_first)
+    }
+    GenQuery(seed, sb.result(), build)
+  }
+
+  /** v10 set-ops over joined projections: v2/v8's set-op mode projects ONE
+    * table; this unions/intersects/excepts two differently-filtered
+    * projections of a two-table JOIN — set semantics (duplicate
+    * elimination, bag-difference) computed over join output. Same chain
+    * and join kind in both branches, so a divergence isolates the set
+    * operation itself.
+    */
+  private def setopJoinQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = chains.filter(_.tables.length == 2) :+ eventsCustomerChain
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKind = if (rnd.nextDouble() < 0.25) "LEFT" else "INNER"
+    val cols = chain.tables.flatMap(catalog)
+    val k = 2 + rnd.nextInt(2)
+    val picked = rnd.shuffle(cols.toVector).take(k)
+    val items = picked.zipWithIndex.map { case (c, i) =>
+      Item(s"c$i", c.name, col(c.name))
+    }
+    val predA = genPred(rnd, cols, version)
+    val predB = genPred(rnd, cols, version)
+    val op = rnd.nextInt(4) match {
+      case 0 => "UNION ALL"
+      case 1 => "INTERSECT"
+      case 2 => "EXCEPT"
+      case _ => "UNION"
+    }
+    val selList = items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    val (lk, rk) = chain.joins.head
+    val kw = if (joinKind == "LEFT") "LEFT JOIN" else "JOIN"
+    val from =
+      s"FROM ${chain.tables.head} $kw ${chain.tables(1)} ON ($lk = $rk)"
+    val sql = s"SELECT $selList $from WHERE ${predA.sql} " +
+      s"$op SELECT $selList $from WHERE ${predB.sql} " +
+      "ORDER BY " + items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ") +
+      " LIMIT 1000"
+
+    val build = (s: SparkSession, d: String) => {
+      def branch(p: P) = {
+        val l = loadFuzzTable(s, d, chain.tables.head)
+        val r = loadFuzzTable(s, d, chain.tables(1))
+        l.join(r, col(lk) === col(rk), if (joinKind == "LEFT") "left" else "inner")
+          .where(p.col)
+          .select(items.map(i => i.col.as(i.alias)): _*)
+      }
+      val a = branch(predA); val b = branch(predB)
+      val combined = op match {
+        case "UNION ALL" => a.union(b)
+        case "UNION"     => a.union(b).distinct()
+        case "INTERSECT" => a.intersect(b)
+        case _           => a.except(b)
+      }
+      combined.orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+        .limit(1000)
+    }
+    GenQuery(seed, sql, build)
+  }
+
+  /** v10 aggregate-of-aggregate: per-key counts (and optionally a sum) in
+    * a derived table, re-aggregated — globally, or grouped by a modulo
+    * bucket of the key (the distribution-of-group-sizes shape: "how many
+    * orders does a customer place", then "summarize that distribution").
+    * Two aggregation LEVELS where v5's derived mode has one level plus a
+    * dim join. Outer aggregates draw only integer-exact shapes (count,
+    * min/max, BIGINT-cast sum, avg over ints).
+    */
+  private def aggOfAggQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val (factT, fk, _, _) = fkEdges(rnd.nextInt(fkEdges.length))
+    val fCols = catalog(factT)
+    val innerPreds = Vector.fill(rnd.nextInt(3))(genPred(rnd, fCols, version))
+    val withSum = rnd.nextBoolean()
+    val sumCol = {
+      val ints = fCols.filter(_.kind == 'i')
+      ints(rnd.nextInt(ints.length))
+    }
+    val grouped = rnd.nextBoolean()
+    val m = 2 + rnd.nextInt(5)
+
+    val innerSelect = new StringBuilder(s"SELECT $fk AS k0, count(*) AS n")
+    if (withSum) innerSelect ++= s", CAST(sum(${sumCol.name}) AS BIGINT) AS s"
+    innerSelect ++= s" FROM $factT"
+    if (innerPreds.nonEmpty)
+      innerSelect ++= " WHERE " + innerPreds.map(_.sql).mkString(" AND ")
+    innerSelect ++= s" GROUP BY $fk"
+
+    // outer aggregates over the per-key counts: distribution summary
+    val outerAggs: Seq[(String, Column)] = Seq(
+      "n_keys" -> count(lit(1)),
+      "max_n" -> max(col("n")),
+      "sum_n" -> sum(col("n")),
+      "avg_n" -> avg(col("n"))) ++
+      (if (withSum) Seq("max_s" -> max(col("s"))) else Nil)
+    val outerSqls: Seq[String] = Seq(
+      "count(*)", "max(n)", "CAST(sum(n) AS BIGINT)", "avg(n)") ++
+      (if (withSum) Seq("max(s)") else Nil)
+
+    val sb = new StringBuilder("SELECT ")
+    if (grouped) sb ++= s"(k0 % $m) AS g, "
+    sb ++= outerSqls.zip(outerAggs.map(_._1))
+      .map { case (sql, a) => s"$sql AS $a" }.mkString(", ")
+    sb ++= s" FROM (${innerSelect.result()}) t"
+    if (grouped) sb ++= s" GROUP BY (k0 % $m) ORDER BY g ASC NULLS FIRST"
+
+    val build = (s: SparkSession, d: String) => {
+      var f = loadFuzzTable(s, d, factT)
+      innerPreds.foreach(p => f = f.where(p.col))
+      val innerAggs = Seq(count(lit(1)).as("n")) ++
+        (if (withSum) Seq(sum(col(sumCol.name)).as("s")) else Nil)
+      val inner = f.groupBy(col(fk).as("k0"))
+        .agg(innerAggs.head, innerAggs.tail: _*)
+      val aggCols = outerAggs.map { case (a, c) => c.as(a) }
+      if (grouped)
+        inner.groupBy((col("k0") % m).as("g"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .orderBy(col("g").asc_nulls_first)
+      else inner.agg(aggCols.head, aggCols.tail: _*)
     }
     GenQuery(seed, sb.result(), build)
   }

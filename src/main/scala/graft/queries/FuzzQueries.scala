@@ -148,6 +148,26 @@ object FuzzQueries {
     Seq(1001, 1005, 1007, 1011, 1014, 1017, 1018, 1026, 1030, 1036, 1045,
       1052, 1065, 1077, 1082, 1086, 1087, 1089, 1092)
 
+  // Grammar-v10 slice (compositional shapes: conditional aggregates,
+  // set-ops over joined projections, aggregate-of-aggregate). Whole
+  // 2001-2200 range verified against DuckDB at sf0.001 AND sf0.01 (200/200
+  // pass both, r10); picks non-empty at both SFs, seed range 2001+ disjoint
+  // from every older slice by construction. Conditional aggregates:
+  // multi-guard min/max over part (2015, 2042), CASE-count + guarded max
+  // over a lineitem join (2017), three-table orders⋈customer⋈nation (2030),
+  // dual CASE-counts by region (2035), guarded min/max over supplier⋈nation
+  // (2040 dropped: ties 2040's shape with 2030 — 2055 orders⋈customer and
+  // the events-edge guards 2050/2053/2060 taken instead). Set-ops over
+  // joins: UNION ALL orders⋈customer (2003), LEFT nation⋈region (2008),
+  // EXCEPT lineitem⋈orders (2039), UNION ALL over the v9 events⋈customer
+  // edge (2046), INTERSECT orders⋈customer (2054). Aggregate-of-aggregate:
+  // modulo-grouped over supplier (2001), lineitem per-order (2025),
+  // orders-per-customer (2037), lineitem-per-supplier (2052); global
+  // summaries (2014, 2016). Rendered with query(seed, 10).
+  val declaredSeedsV10: Seq[Int] =
+    Seq(2001, 2003, 2008, 2014, 2015, 2016, 2017, 2025, 2030, 2035, 2037,
+      2039, 2042, 2046, 2050, 2052, 2053, 2054, 2055, 2060)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -157,7 +177,8 @@ object FuzzQueries {
       declaredSeedsV6.map(s => s -> FuzzGen.query(s, 6)) ++
       declaredSeedsV7.map(s => s -> FuzzGen.query(s, 7)) ++
       declaredSeedsV8.map(s => s -> FuzzGen.query(s, 8)) ++
-      declaredSeedsV9.map(s => s -> FuzzGen.query(s, 9))).map { case (seed, g) =>
+      declaredSeedsV9.map(s => s -> FuzzGen.query(s, 9)) ++
+      declaredSeedsV10.map(s => s -> FuzzGen.query(s, 10))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

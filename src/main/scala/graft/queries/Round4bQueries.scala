@@ -681,7 +681,9 @@ object Round4bQueries {
         "subplans differ, so ReuseExchange can't fire); the head size " +
         "comes from an unbounded window over the aggregated relation, " +
         "whose single partition holds one row per SOURCE — bounded by " +
-        "source cardinality, not corpus size.",
+        "source cardinality, not corpus size. Budget headroom: " +
+        "n_tokens * ppm stays in BIGINT up to ~9.2e18, i.e. 1e12 tokens " +
+        "per source at a 1000x upweight — past that, widen to DECIMAL.",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val tok = size(split(col("text"), " ")).cast(LongType)

@@ -249,6 +249,31 @@ class FuzzSpec extends AnyFunSuite {
     assert(subq + derived >= 5, s"subquery/derived shapes under-drawn: ${subq + derived}")
   }
 
+  test("grammar v10 (conditional aggs, set-ops over joins, agg-of-agg): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var condAgg = 0; var setopJoin = 0; var aggOfAgg = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 10)
+      if (q.sql.contains("CASE WHEN") && q.sql.contains(" GROUP BY ") &&
+        (q.sql.contains("min(CASE") || q.sql.contains("max(CASE") ||
+          q.sql.contains("sum(CASE"))) condAgg += 1
+      if (Seq(" UNION ", " INTERSECT ", " EXCEPT ").exists(q.sql.contains) &&
+        q.sql.contains(" JOIN ")) setopJoin += 1
+      if (q.sql.contains("count(*) AS n_keys")) aggOfAgg += 1
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v10 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v10 seeds matched; $condAgg conditional-agg, " +
+      s"$setopJoin set-op-over-join, $aggOfAgg agg-of-agg")
+    assert(condAgg >= 15, s"conditional-agg mode under-drawn: $condAgg")
+    assert(setopJoin >= 10, s"set-op-over-join mode under-drawn: $setopJoin")
+    assert(aggOfAgg >= 10, s"agg-of-agg mode under-drawn: $aggOfAgg")
+  }
+
   test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
     // the fz2xx catalog entries render from v1; a change here would silently
     // re-point their oracle SQL
@@ -314,7 +339,14 @@ class FuzzSpec extends AnyFunSuite {
       "fz1036" -> "bca8056c", "fz1045" -> "920effef", "fz1052" -> "6390ca30",
       "fz1065" -> "7fcff81c", "fz1077" -> "b015e6ca", "fz1082" -> "bb0f39fd",
       "fz1086" -> "5606deb7", "fz1087" -> "5ee75976", "fz1089" -> "fa2820db",
-      "fz1092" -> "03393468")
+      "fz1092" -> "03393468",
+      "fz2001" -> "8520447f", "fz2003" -> "ce2ce70d", "fz2008" -> "c9312b5a",
+      "fz2014" -> "50d0d2ff", "fz2015" -> "33f85b29", "fz2016" -> "a5ccaf3d",
+      "fz2017" -> "35b4962e", "fz2025" -> "8bea2ecf", "fz2030" -> "2ca1807c",
+      "fz2035" -> "58214b1e", "fz2037" -> "f919836c", "fz2039" -> "9875d4a5",
+      "fz2042" -> "67bde232", "fz2046" -> "c60cbe91", "fz2050" -> "f1a4b7a8",
+      "fz2052" -> "7f00adfc", "fz2053" -> "485281aa", "fz2054" -> "c3d8dd4f",
+      "fz2055" -> "3f5dc77a", "fz2060" -> "c729eeec")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
