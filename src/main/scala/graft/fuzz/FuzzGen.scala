@@ -125,6 +125,25 @@ import graft.Tables
   *     re-aggregated globally or by a modulo bucket of the key (the
   *     distribution-of-group-sizes shape; two aggregation LEVELS, where
   *     v5's derived mode has one level plus a dim join).
+  * Grammar v11 adds three shapes around NULL and multi-level grouping
+  * semantics no older mode draws:
+  *   - grouping sets — `GROUP BY ROLLUP/CUBE (k0, k1)` with `GROUPING()`
+  *     flags projected (cast BIGINT both sides — Spark's grouping() is
+  *     BYTE, DuckDB's is typed differently); the super-aggregate rows'
+  *     NULL keys flow through the ORDER BY NULLS discipline, and the
+  *     (g0, g1, k0, k1) prefix is a candidate key of the output so the
+  *     total order holds across grouping sets;
+  *   - LEFT joins that actually MISS — every chain edge in the corpus is
+  *     FK-contained, so no older LEFT join ever produced a NULL right
+  *     side; v11 pushes a dimension predicate into the compound ON clause
+  *     (`LEFT JOIN dim ON (fk = pk AND p)`), then draws the IS NULL anti
+  *     filter, a COALESCE repair projection beside a matched flag, or a
+  *     GROUP BY over the matched flag — the NULL-extension semantics of
+  *     outer join under each consuming shape;
+  *   - top-N groups — grouped aggregation ORDERED BY the aggregate
+  *     (DESC NULLS LAST, group keys as the unique tiebreak) under LIMIT:
+  *     every older grouped mode orders by keys only and never limits, so
+  *     limit-at-a-tie-boundary over aggregate values was undrawn.
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -454,6 +473,19 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 11) {
+      // v11 mode byte: grouping sets (ROLLUP/CUBE + GROUPING flags),
+      // LEFT joins whose compound ON makes real misses (IS NULL anti /
+      // COALESCE repair / matched-flag grouping), and top-N groups
+      // ordered by an aggregate. Drawn before every older dispatch;
+      // versions ≤ 10 never take this draw, and fall-through seeds
+      // continue into the v10 dispatch with the advanced rnd state.
+      val m11 = rnd.nextInt(10)
+      if (m11 < 3) return rollupQuery(seed, rnd, version)
+      else if (m11 < 6) return leftNullQuery(seed, rnd, version)
+      else if (m11 < 8) return topGroupsQuery(seed, rnd, version)
+      // else: fall through to the v10 dispatch with the advanced rnd state
+    }
     if (version >= 10) {
       // v10 mode byte: compositional shapes (conditional aggregates,
       // set-ops over joins, aggregate-of-aggregate). Drawn before every
@@ -1245,6 +1277,236 @@ object FuzzGen {
           .agg(aggCols.head, aggCols.tail: _*)
           .orderBy(col("g").asc_nulls_first)
       else inner.agg(aggCols.head, aggCols.tail: _*)
+    }
+    GenQuery(seed, sb.result(), build)
+  }
+
+  /** v11 grouping-sets mode: ROLLUP or CUBE over two groupable columns
+    * with the GROUPING() flags projected. Determinism: the flag pair plus
+    * the key pair is a candidate key of the output (within (0,0) key
+    * combos are unique; each super-aggregate set pins one key to NULL and
+    * keeps the other unique; the grand total is a single row), so the
+    * ORDER BY (g0, g1, k0, k1) prefix is total. GROUPING() is cast BIGINT
+    * in both renderings — Spark's grouping() is ByteType, DuckDB's is not,
+    * and the driver compares canonicalized integer text. Aggregates follow
+    * genAgg's cross-engine-exact rules.
+    *
+    * EMPTY-input divergence (found by the v11 DuckDB soak, 13/200 seeds at
+    * sf0.001): on zero input rows DuckDB emits the grand-total grouping
+    * set as one row (the SQL-standard global-aggregate semantics for the
+    * `()` set) while Spark's grouping-sets aggregation yields no rows.
+    * Both renderings therefore carry `HAVING count(*) > 0` — identity on
+    * non-empty input (every grouping-set row aggregates ≥ 1 source row)
+    * and removes exactly the divergent row on empty input.
+    */
+  private def rollupQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = v10Chains.filter(_.tables.flatMap(catalog).count(_.groupable) >= 2)
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val nPred = rnd.nextInt(3)
+    val preds = Vector.fill(nPred)(genPred(rnd, cols, version))
+    val groupables = cols.filter(_.groupable)
+    val keys = rnd.shuffle(groupables.toVector).take(2)
+    val isCube = rnd.nextBoolean()
+    val aggs = (0 until 1 + rnd.nextInt(2)).map(i => genAgg(rnd, cols, s"a$i", version))
+    val op = if (isCube) "CUBE" else "ROLLUP"
+
+    val flagItems = keys.zipWithIndex.map { case (c, i) =>
+      Item(s"g$i", s"CAST(grouping(${c.name}) AS BIGINT)",
+        grouping(col(c.name)).cast("long"))
+    }
+    val keyItems = keys.zipWithIndex.map { case (c, i) =>
+      Item(s"k$i", c.name, col(c.name))
+    }
+    val items = flagItems ++ keyItems ++ aggs
+
+    val sb = new StringBuilder("SELECT ")
+    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    sb ++= s" FROM ${chain.tables.head}"
+    chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+      val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+      sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+    }
+    if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    sb ++= s" GROUP BY $op (${keys.map(_.name).mkString(", ")})"
+    sb ++= " HAVING count(*) > 0"
+    sb ++= " ORDER BY " + (flagItems ++ keyItems)
+      .map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+
+    val build = (s: SparkSession, d: String) => {
+      val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      val gb =
+        if (isCube) j.cube(keys.map(c => col(c.name)): _*)
+        else j.rollup(keys.map(c => col(c.name)): _*)
+      val aggCols = (flagItems ++ aggs).map(i => i.col.as(i.alias)) :+
+        count(lit(1)).as("_hv")
+      gb.agg(aggCols.head, aggCols.tail: _*)
+        .where(col("_hv") > 0)
+        .select(items.map(i =>
+          (if (i.alias.startsWith("k"))
+            col(keys(i.alias.drop(1).toInt).name)
+          else col(i.alias)).as(i.alias)): _*)
+        .orderBy((flagItems ++ keyItems).map(i => col(i.alias).asc_nulls_first): _*)
+    }
+    GenQuery(seed, sb.result(), build)
+  }
+
+  /** v11 missing-LEFT-join mode: every corpus chain edge is FK-contained,
+    * so a bare LEFT join never misses — pushing 1-2 dimension predicates
+    * into the compound ON clause (`LEFT JOIN dim ON (fk = pk AND p…)`)
+    * makes the right side genuinely NULL for non-qualifying rows. Three
+    * consuming shapes: the IS NULL anti filter (the classic
+    * find-the-orphans form), a COALESCE repair projection beside a
+    * CASE-matched flag, and a GROUP BY over the matched flag. All
+    * value-level — no accumulation-order dependence; total ORDER BY.
+    */
+  private def leftNullQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val edges = fkEdges :+ eventsCustomerEdge
+    val (factT, fk, dimT, pk) = edges(rnd.nextInt(edges.length))
+    val fCols = catalog(factT)
+    val dCols = catalog(dimT)
+    val onPreds = Vector.fill(1 + rnd.nextInt(2))(genPred(rnd, dCols, version))
+    val outerPreds = Vector.fill(rnd.nextInt(2))(genPred(rnd, fCols, version))
+    val shape = rnd.nextInt(3) // 0 anti, 1 coalesce proj, 2 matched-flag group
+
+    val onSql = (s"$fk = $pk" +: onPreds.map(_.sql)).mkString(" AND ")
+    val onCol = onPreds.foldLeft(col(fk) === col(pk))((c, p) => c && p.col)
+    val fromSql = s"FROM $factT LEFT JOIN $dimT ON ($onSql)"
+    def joined(s: SparkSession, d: String): DataFrame = {
+      var f = loadFuzzTable(s, d, factT)
+      outerPreds.foreach(p => f = f.where(p.col))
+      f.join(loadFuzzTable(s, d, dimT), onCol, "left")
+    }
+    val outerWhere = outerPreds.map(_.sql)
+
+    shape match {
+      case 0 =>
+        val k = 2 + rnd.nextInt(2)
+        val picked = rnd.shuffle(fCols.toVector).take(k)
+        val items = picked.zipWithIndex.map { case (c, i) =>
+          Item(s"c$i", c.name, col(c.name))
+        }
+        val whereSql = (outerWhere :+ s"$pk IS NULL").mkString(" AND ")
+        val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+          s" $fromSql WHERE $whereSql" +
+          " ORDER BY " + items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ") +
+          " LIMIT 1000"
+        val build = (s: SparkSession, d: String) =>
+          joined(s, d).where(col(pk).isNull)
+            .select(items.map(i => i.col.as(i.alias)): _*)
+            .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+            .limit(1000)
+        GenQuery(seed, sql, build)
+      case 1 =>
+        val picked = rnd.shuffle(fCols.toVector).take(2)
+        val dc = dCols(rnd.nextInt(dCols.length))
+        val dl = dc.lits(rnd.nextInt(dc.lits.length))
+        val items = picked.zipWithIndex.map { case (c, i) =>
+          Item(s"c$i", c.name, col(c.name))
+        } ++ Seq(
+          Item("cx", s"COALESCE(${dc.name}, ${dl.sql})",
+            coalesce(col(dc.name), dl.col)),
+          Item("m", s"CASE WHEN $pk IS NULL THEN 0 ELSE 1 END",
+            when(col(pk).isNull, 0).otherwise(1)))
+        val whereSql =
+          if (outerWhere.isEmpty) "" else " WHERE " + outerWhere.mkString(" AND ")
+        val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+          s" $fromSql$whereSql" +
+          " ORDER BY " + items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ") +
+          " LIMIT 1000"
+        val build = (s: SparkSession, d: String) =>
+          joined(s, d)
+            .select(items.map(i => i.col.as(i.alias)): _*)
+            .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+            .limit(1000)
+        GenQuery(seed, sql, build)
+      case _ =>
+        val aggs = (0 until 1 + rnd.nextInt(2)).map(i => genAgg(rnd, fCols, s"a$i", version))
+        val flagSql = s"CASE WHEN $pk IS NULL THEN 0 ELSE 1 END"
+        val items = Item("k0", flagSql, when(col(pk).isNull, 0).otherwise(1)) +:
+          (Item("n", "count(*)", count(lit(1))) +: aggs)
+        val whereSql =
+          if (outerWhere.isEmpty) "" else " WHERE " + outerWhere.mkString(" AND ")
+        val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+          s" $fromSql$whereSql GROUP BY $flagSql ORDER BY k0 ASC NULLS FIRST"
+        val build = (s: SparkSession, d: String) => {
+          val aggCols = items.drop(1).map(i => i.col.as(i.alias))
+          joined(s, d)
+            .groupBy(when(col(pk).isNull, 0).otherwise(1).as("k0"))
+            .agg(aggCols.head, aggCols.tail: _*)
+            .orderBy(col("k0").asc_nulls_first)
+        }
+        GenQuery(seed, sql, build)
+    }
+  }
+
+  /** v11 top-N-groups mode: grouped aggregation ORDERED BY the first
+    * aggregate (DESC NULLS LAST — Spark's desc default) with the group
+    * keys as the unique ascending tiebreak, under LIMIT 100. Rows tied on
+    * the aggregate are totally ordered by the keys, so the limit boundary
+    * is deterministic. Aggregates follow genAgg's exact rules (avg-of-int
+    * doubles are exactly representable, so DESC comparison ties resolve
+    * identically in both engines).
+    */
+  private def topGroupsQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = v10Chains
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val nPred = rnd.nextInt(3)
+    val preds = Vector.fill(nPred)(genPred(rnd, cols, version))
+    val groupables = cols.filter(_.groupable)
+    val keys = rnd.shuffle(groupables.toVector).take(1 + rnd.nextInt(2))
+    val aggs = (0 until 1 + rnd.nextInt(2)).map(i => genAgg(rnd, cols, s"a$i", version))
+    val having = if (rnd.nextDouble() < 0.3) Some(1 + rnd.nextInt(3)) else None
+
+    val keyItems = keys.zipWithIndex.map { case (c, i) =>
+      Item(s"k$i", c.name, col(c.name))
+    }
+    val items = keyItems ++ aggs
+    val orderSql = s"a0 DESC NULLS LAST, " +
+      keyItems.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+
+    val sb = new StringBuilder("SELECT ")
+    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    sb ++= s" FROM ${chain.tables.head}"
+    chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+      val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+      sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+    }
+    if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    sb ++= s" GROUP BY ${keys.map(_.name).mkString(", ")}"
+    having.foreach(h => sb ++= s" HAVING count(*) > $h")
+    sb ++= s" ORDER BY $orderSql LIMIT 100"
+
+    val build = (s: SparkSession, d: String) => {
+      val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      val aggCols = aggs.map(i => i.col.as(i.alias)) ++
+        having.map(_ => count(lit(1)).as("_hv")).toSeq
+      var agged = j.groupBy(keys.map(c => col(c.name)): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      having.foreach(h => agged = agged.where(col("_hv") > h))
+      agged
+        .select(items.map(i =>
+          (if (i.alias.startsWith("k"))
+            col(keys(i.alias.drop(1).toInt).name)
+          else col(i.alias)).as(i.alias)): _*)
+        .orderBy(col("a0").desc_nulls_last +:
+          keyItems.map(i => col(i.alias).asc_nulls_first): _*)
+        .limit(100)
     }
     GenQuery(seed, sb.result(), build)
   }

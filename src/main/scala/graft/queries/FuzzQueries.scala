@@ -168,6 +168,29 @@ object FuzzQueries {
     Seq(2001, 2003, 2008, 2014, 2015, 2016, 2017, 2025, 2030, 2035, 2037,
       2039, 2042, 2046, 2050, 2052, 2053, 2054, 2055, 2060)
 
+  // Grammar-v11 slice (grouping sets, LEFT joins that actually miss, top-N
+  // groups — the NULL/multi-level-grouping shapes no older mode draws).
+  // Whole 3001-3200 range verified against DuckDB at sf0.001 AND sf0.01
+  // (200/200 pass both, r10 — after the soak surfaced Spark-vs-DuckDB
+  // empty-input grand-total divergence now guarded by HAVING count(*) > 0);
+  // picks non-empty at both SFs, seed range 3001+ disjoint from every older
+  // slice by construction. ROLLUP: supplier⋈nation dim keys (3018),
+  // max(double) over lineitem⋈supplier (3021), three-table LEFT chain with
+  // min-string (3037), orders under a selective price pred (3059). CUBE:
+  // sum+max multi-agg over lineitem (3003), count-DISTINCT under LEFT join
+  // (3012), count(col)+min over customer (3060), small dims (3069).
+  // IS NULL anti: lineitem⋈orders with LIKE in the ON (3005),
+  // supplier⋈nation (3020), the events⋈customer edge (3051). COALESCE
+  // repair + matched flag: customer⋈nation (3007), lineitem⋈part with a ts
+  // output column (3011), events⋈customer (3027). Matched-flag GROUP BY:
+  // contradictory ON preds = all-miss (3009), supplier⋈nation (3016),
+  // min-string agg (3045). Top-N groups: sum-ordered (3002), avg-ordered
+  // two-key (3013), two aggregates under IN (3025), two-key over a join
+  // (3036). Rendered with query(seed, 11).
+  val declaredSeedsV11: Seq[Int] =
+    Seq(3002, 3003, 3005, 3007, 3009, 3011, 3012, 3013, 3016, 3018, 3020,
+      3021, 3025, 3027, 3036, 3037, 3045, 3051, 3059, 3060, 3069)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -178,7 +201,8 @@ object FuzzQueries {
       declaredSeedsV7.map(s => s -> FuzzGen.query(s, 7)) ++
       declaredSeedsV8.map(s => s -> FuzzGen.query(s, 8)) ++
       declaredSeedsV9.map(s => s -> FuzzGen.query(s, 9)) ++
-      declaredSeedsV10.map(s => s -> FuzzGen.query(s, 10))).map { case (seed, g) =>
+      declaredSeedsV10.map(s => s -> FuzzGen.query(s, 10)) ++
+      declaredSeedsV11.map(s => s -> FuzzGen.query(s, 11))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -274,6 +274,27 @@ class FuzzSpec extends AnyFunSuite {
     assert(aggOfAgg >= 10, s"agg-of-agg mode under-drawn: $aggOfAgg")
   }
 
+  test("grammar v11 (ROLLUP/CUBE+GROUPING, missing LEFT joins, top-N groups): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var gsets = 0; var leftNull = 0; var topN = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 11)
+      if (q.sql.contains("GROUP BY ROLLUP") || q.sql.contains("GROUP BY CUBE")) gsets += 1
+      if (q.sql.contains("IS NULL")) leftNull += 1
+      if (q.sql.contains("DESC NULLS LAST, k0") && q.sql.contains("LIMIT 100")) topN += 1
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v11 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v11 seeds matched; $gsets grouping-sets, $leftNull left-null, $topN top-N-groups")
+    assert(gsets >= 15, s"grouping-sets mode under-drawn: $gsets")
+    assert(leftNull >= 15, s"missing-LEFT-join mode under-drawn: $leftNull")
+    assert(topN >= 10, s"top-N-groups mode under-drawn: $topN")
+  }
+
   test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
     // the fz2xx catalog entries render from v1; a change here would silently
     // re-point their oracle SQL
@@ -346,7 +367,14 @@ class FuzzSpec extends AnyFunSuite {
       "fz2035" -> "58214b1e", "fz2037" -> "f919836c", "fz2039" -> "9875d4a5",
       "fz2042" -> "67bde232", "fz2046" -> "c60cbe91", "fz2050" -> "f1a4b7a8",
       "fz2052" -> "7f00adfc", "fz2053" -> "485281aa", "fz2054" -> "c3d8dd4f",
-      "fz2055" -> "3f5dc77a", "fz2060" -> "c729eeec")
+      "fz2055" -> "3f5dc77a", "fz2060" -> "c729eeec",
+      "fz3002" -> "93fa53dd", "fz3003" -> "5b52d46c", "fz3005" -> "c1a68bdb",
+      "fz3007" -> "9e4e298b", "fz3009" -> "b601fb01", "fz3011" -> "124caa7f",
+      "fz3012" -> "70e28691", "fz3013" -> "092108a8", "fz3016" -> "ebf57b6a",
+      "fz3018" -> "29b7429c", "fz3020" -> "d24303e5", "fz3021" -> "ea90b262",
+      "fz3025" -> "e9572254", "fz3027" -> "024dfee9", "fz3036" -> "907e20cd",
+      "fz3037" -> "b23766d4", "fz3045" -> "e03d4548", "fz3051" -> "a1ab1adc",
+      "fz3059" -> "0ab82eb9", "fz3060" -> "855b688e", "fz3069" -> "3b9cd998")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
