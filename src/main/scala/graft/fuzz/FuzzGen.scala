@@ -144,6 +144,19 @@ import graft.Tables
   *     (DESC NULLS LAST, group keys as the unique tiebreak) under LIMIT:
   *     every older grouped mode orders by keys only and never limits, so
   *     limit-at-a-tie-boundary over aggregate values was undrawn.
+  * Grammar v12 adds the remaining join/set semantics no mode draws:
+  *   - FULL OUTER joins — predicates on BOTH sides pushed into the
+  *     compound ON clause make both sides miss, so the output carries
+  *     NULL-extended rows in both directions; consumed as a COALESCE'd
+  *     key + CASE source tag projection or a GROUP BY over the tag;
+  *   - INTERSECT ALL / EXCEPT ALL — the bag-semantics set operations
+  *     (multiset intersection/difference retain duplicate multiplicity;
+  *     v2/v8's INTERSECT/EXCEPT are the DISTINCT forms);
+  *   - aggregate⋈aggregate — two differently-filtered groupings of one
+  *     fact table (or of customer/supplier on the shared nation key)
+  *     joined per key: the compare-two-cohorts shape with two
+  *     aggregation pipelines meeting at a join, INNER or LEFT (LEFT
+  *     makes the right cohort's aggregates NULL for missing keys).
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -473,6 +486,17 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 12) {
+      // v12 mode byte: FULL OUTER joins (both-side misses via compound
+      // ON), bag-semantics set ops (INTERSECT ALL / EXCEPT ALL), and
+      // aggregate⋈aggregate cohort joins. Versions ≤ 11 never take this
+      // draw; fall-through continues into the v11 dispatch.
+      val m12 = rnd.nextInt(10)
+      if (m12 < 3) return fullOuterQuery(seed, rnd, version)
+      else if (m12 < 6) return setopAllQuery(seed, rnd, version)
+      else if (m12 < 8) return aggJoinQuery(seed, rnd, version)
+      // else: fall through to the v11 dispatch with the advanced rnd state
+    }
     if (version >= 11) {
       // v11 mode byte: grouping sets (ROLLUP/CUBE + GROUPING flags),
       // LEFT joins whose compound ON makes real misses (IS NULL anti /
@@ -1509,5 +1533,150 @@ object FuzzGen {
         .limit(100)
     }
     GenQuery(seed, sb.result(), build)
+  }
+
+  /** v12 FULL OUTER mode: predicates on BOTH sides inside the compound ON
+    * (`FULL JOIN dim ON (fk = pk AND factPred AND dimPred)`) so fact rows
+    * without a qualifying dim AND dim rows without a qualifying fact both
+    * survive NULL-extended. Consumed as a projection — COALESCE'd key, one
+    * column from each side, a CASE source tag ('both'/'fact'/'dim') — or
+    * as a GROUP BY over the tag. All value-level; total ORDER BY.
+    */
+  private def fullOuterQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val edges = fkEdges :+ eventsCustomerEdge
+    val (factT, fk, dimT, pk) = edges(rnd.nextInt(edges.length))
+    val fCols = catalog(factT)
+    val dCols = catalog(dimT)
+    val fPred = genPred(rnd, fCols, version)
+    val dPred = genPred(rnd, dCols, version)
+    val onSql = s"$fk = $pk AND ${fPred.sql} AND ${dPred.sql}"
+    val onCol = col(fk) === col(pk) && fPred.col && dPred.col
+    val fromSql = s"FROM $factT FULL JOIN $dimT ON ($onSql)"
+    val tagSql = s"CASE WHEN $fk IS NULL THEN 'dim' WHEN $pk IS NULL" +
+      " THEN 'fact' ELSE 'both' END"
+    val tagCol = when(col(fk).isNull, "dim")
+      .when(col(pk).isNull, "fact").otherwise("both")
+    def joined(s: SparkSession, d: String): DataFrame =
+      loadFuzzTable(s, d, factT)
+        .join(loadFuzzTable(s, d, dimT), onCol, "full")
+
+    if (rnd.nextBoolean()) {
+      // projection shape
+      val fc = fCols(rnd.nextInt(fCols.length))
+      val dc = dCols(rnd.nextInt(dCols.length))
+      val items = Seq(
+        Item("k0", s"COALESCE($fk, $pk)", coalesce(col(fk), col(pk))),
+        Item("c0", fc.name, col(fc.name)),
+        Item("c1", dc.name, col(dc.name)),
+        Item("src", tagSql, tagCol))
+      val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+        s" $fromSql ORDER BY " +
+        items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ") +
+        " LIMIT 1000"
+      val build = (s: SparkSession, d: String) =>
+        joined(s, d)
+          .select(items.map(i => i.col.as(i.alias)): _*)
+          .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+          .limit(1000)
+      GenQuery(seed, sql, build)
+    } else {
+      // grouped-by-tag shape
+      val aggs = (0 until 1 + rnd.nextInt(2)).map(i => genAgg(rnd, dCols, s"a$i", version))
+      val items = Item("k0", tagSql, tagCol) +:
+        (Item("n", "count(*)", count(lit(1))) +: aggs)
+      val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+        s" $fromSql GROUP BY $tagSql ORDER BY k0 ASC NULLS FIRST"
+      val build = (s: SparkSession, d: String) => {
+        val aggCols = items.drop(1).map(i => i.col.as(i.alias))
+        joined(s, d)
+          .groupBy(tagCol.as("k0"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .orderBy(col("k0").asc_nulls_first)
+      }
+      GenQuery(seed, sql, build)
+    }
+  }
+
+  /** v12 bag-semantics set ops: INTERSECT ALL / EXCEPT ALL of two
+    * differently-filtered projections of one table — multiset semantics
+    * (duplicate multiplicity min/difference) where v2/v8 draw only the
+    * DISTINCT forms. Duplicate output rows are indistinguishable under the
+    * total ORDER BY, so row order stays deterministic.
+    */
+  private def setopAllQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val tables = Vector("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents")
+    val t = tables(rnd.nextInt(tables.length))
+    val cols = catalog(t)
+    val k = 2 + rnd.nextInt(2)
+    val picked = rnd.shuffle(cols.toVector).take(k)
+    val items = picked.zipWithIndex.map { case (c, i) =>
+      Item(s"c$i", c.name, col(c.name))
+    }
+    val predA = genPred(rnd, cols, version)
+    val predB = genPred(rnd, cols, version)
+    val op = if (rnd.nextBoolean()) "INTERSECT ALL" else "EXCEPT ALL"
+    val selList = items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    val sql = s"SELECT $selList FROM $t WHERE ${predA.sql} " +
+      s"$op SELECT $selList FROM $t WHERE ${predB.sql} " +
+      "ORDER BY " + items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ") +
+      " LIMIT 1000"
+    val build = (s: SparkSession, d: String) => {
+      val base = loadFuzzTable(s, d, t)
+      val proj = items.map(i => i.col.as(i.alias))
+      val a = base.where(predA.col).select(proj: _*)
+      val b = base.where(predB.col).select(proj: _*)
+      val combined =
+        if (op == "INTERSECT ALL") a.intersectAll(b) else a.exceptAll(b)
+      combined.orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+        .limit(1000)
+    }
+    GenQuery(seed, sql, build)
+  }
+
+  /** v12 aggregate⋈aggregate: two differently-filtered groupings joined
+    * per key — usually two filters over ONE fact table grouped by the
+    * same FK (compare-two-cohorts), sometimes customer-vs-supplier
+    * aggregates meeting on the shared nation key. INNER or LEFT (LEFT
+    * NULL-extends the right cohort's aggregates for keys it lacks). Both
+    * pipelines use genAgg's exact aggregates; the key is unique per side
+    * after grouping, so ORDER BY k0 is total.
+    */
+  private def aggJoinQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    // (left table, left key, right table, right key)
+    val (lt, lk, rt, rk) =
+      if (rnd.nextInt(10) < 7) {
+        val (factT, fk, _, _) = fkEdges(rnd.nextInt(fkEdges.length))
+        (factT, fk, factT, fk)
+      } else ("customer", "c_nationkey", "supplier", "s_nationkey")
+    val lCols = catalog(lt)
+    val rCols = catalog(rt)
+    val predA = genPred(rnd, lCols, version)
+    val predB = genPred(rnd, rCols, version)
+    val aggA = genAgg(rnd, lCols, "xa", version)
+    val aggB = genAgg(rnd, rCols, "xb", version)
+    val joinKind = if (rnd.nextInt(4) == 0) "LEFT" else "INNER"
+    val kw = if (joinKind == "LEFT") "LEFT JOIN" else "JOIN"
+
+    val sql = s"SELECT a.k0 AS k0, a.na AS na, a.xa AS xa, b.nb AS nb, b.xb AS xb" +
+      s" FROM (SELECT $lk AS k0, count(*) AS na, ${aggA.sql} AS xa" +
+      s" FROM $lt WHERE ${predA.sql} GROUP BY $lk) a" +
+      s" $kw (SELECT $rk AS k1, count(*) AS nb, ${aggB.sql} AS xb" +
+      s" FROM $rt WHERE ${predB.sql} GROUP BY $rk) b ON (a.k0 = b.k1)" +
+      " ORDER BY k0 ASC NULLS FIRST"
+
+    val build = (s: SparkSession, d: String) => {
+      val a = loadFuzzTable(s, d, lt).where(predA.col)
+        .groupBy(col(lk).as("k0"))
+        .agg(count(lit(1)).as("na"), aggA.col.as("xa"))
+      val b = loadFuzzTable(s, d, rt).where(predB.col)
+        .groupBy(col(rk).as("k1"))
+        .agg(count(lit(1)).as("nb"), aggB.col.as("xb"))
+      a.join(b, col("k0") === col("k1"),
+          if (joinKind == "LEFT") "left" else "inner")
+        .select(col("k0"), col("na"), col("xa"), col("nb"), col("xb"))
+        .orderBy(col("k0").asc_nulls_first)
+    }
+    GenQuery(seed, sql, build)
   }
 }

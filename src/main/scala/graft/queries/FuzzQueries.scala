@@ -191,6 +191,26 @@ object FuzzQueries {
     Seq(3002, 3003, 3005, 3007, 3009, 3011, 3012, 3013, 3016, 3018, 3020,
       3021, 3025, 3027, 3036, 3037, 3045, 3051, 3059, 3060, 3069)
 
+  // Grammar-v12 slice (FULL OUTER joins, bag-semantics set ops,
+  // aggregate⋈aggregate cohort joins). Whole 4001-4200 range verified
+  // against DuckDB at sf0.001 AND sf0.01 (200/200 pass both, r10, zero
+  // divergence first sweep); picks non-empty at both SFs, seed range 4001+
+  // disjoint from every older slice by construction. FULL OUTER projection
+  // (COALESCE'd key + source tag — all picks carry ALL THREE tags
+  // both/fact/dim at sf0.001, so both NULL-extension directions are in the
+  // differential): supplier⋈nation (4001), lineitem⋈orders (4014), the
+  // events⋈customer edge (4032), orders⋈customer (4034). FULL OUTER
+  // grouped by tag: sum (4005), min (4007), avg (4012), events⋈customer
+  // count-DISTINCT multi-agg (4023). INTERSECT ALL: supplier (4002),
+  // events with ts output (4009), lineitem doubles (4015). EXCEPT ALL:
+  // lineitem (4011), documents long-text (4021), region small-side (4036).
+  // Agg⋈agg cohorts: lineitem-by-partkey min (4004), orders-by-custkey max
+  // (4025), customer-vs-supplier on the shared nation key (4035, 4046,
+  // 4058), min-double measure (4040). Rendered with query(seed, 12).
+  val declaredSeedsV12: Seq[Int] =
+    Seq(4001, 4002, 4004, 4005, 4007, 4009, 4011, 4012, 4014, 4015, 4021,
+      4023, 4025, 4032, 4034, 4035, 4036, 4040, 4046, 4058)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -202,7 +222,8 @@ object FuzzQueries {
       declaredSeedsV8.map(s => s -> FuzzGen.query(s, 8)) ++
       declaredSeedsV9.map(s => s -> FuzzGen.query(s, 9)) ++
       declaredSeedsV10.map(s => s -> FuzzGen.query(s, 10)) ++
-      declaredSeedsV11.map(s => s -> FuzzGen.query(s, 11))).map { case (seed, g) =>
+      declaredSeedsV11.map(s => s -> FuzzGen.query(s, 11)) ++
+      declaredSeedsV12.map(s => s -> FuzzGen.query(s, 12))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -295,6 +295,27 @@ class FuzzSpec extends AnyFunSuite {
     assert(topN >= 10, s"top-N-groups mode under-drawn: $topN")
   }
 
+  test("grammar v12 (FULL OUTER, INTERSECT/EXCEPT ALL, agg-join cohorts): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var full = 0; var bagOp = 0; var aggJoin = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 12)
+      if (q.sql.contains("FULL JOIN")) full += 1
+      if (q.sql.contains("INTERSECT ALL") || q.sql.contains("EXCEPT ALL")) bagOp += 1
+      if (q.sql.contains(") a JOIN (SELECT") || q.sql.contains(") a LEFT JOIN (SELECT")) aggJoin += 1
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v12 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v12 seeds matched; $full full-outer, $bagOp bag-set-op, $aggJoin agg-join")
+    assert(full >= 15, s"FULL OUTER mode under-drawn: $full")
+    assert(bagOp >= 15, s"INTERSECT/EXCEPT ALL mode under-drawn: $bagOp")
+    assert(aggJoin >= 10, s"agg-join mode under-drawn: $aggJoin")
+  }
+
   test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
     // the fz2xx catalog entries render from v1; a change here would silently
     // re-point their oracle SQL
@@ -374,7 +395,14 @@ class FuzzSpec extends AnyFunSuite {
       "fz3018" -> "29b7429c", "fz3020" -> "d24303e5", "fz3021" -> "ea90b262",
       "fz3025" -> "e9572254", "fz3027" -> "024dfee9", "fz3036" -> "907e20cd",
       "fz3037" -> "b23766d4", "fz3045" -> "e03d4548", "fz3051" -> "a1ab1adc",
-      "fz3059" -> "0ab82eb9", "fz3060" -> "855b688e", "fz3069" -> "3b9cd998")
+      "fz3059" -> "0ab82eb9", "fz3060" -> "855b688e", "fz3069" -> "3b9cd998",
+      "fz4001" -> "3f23956a", "fz4002" -> "63e591d8", "fz4004" -> "377112f3",
+      "fz4005" -> "ead08c1c", "fz4007" -> "c9447cc0", "fz4009" -> "baa9652c",
+      "fz4011" -> "9f3d591f", "fz4012" -> "5e39a0f6", "fz4014" -> "e34814e1",
+      "fz4015" -> "087f2443", "fz4021" -> "bf88776d", "fz4023" -> "61ba63b2",
+      "fz4025" -> "089379e5", "fz4032" -> "4de5abf3", "fz4034" -> "8ba1cf5e",
+      "fz4035" -> "638c5bf7", "fz4036" -> "63bf2f67", "fz4040" -> "06a90352",
+      "fz4046" -> "70c8723a", "fz4058" -> "e6566004")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
