@@ -191,6 +191,94 @@ object TextQueries {
              |      t -> CAST(ascii(substr(t, 1, 1)) * 7 + length(t) AS BIGINT)),
              |    (h, v) -> (h * 131 + v) % 1000000007) AS fingerprint
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "tq_dup_ngram_frac",
+      "Gopher-style intra-document repetition gate: per document, the " +
+        "fraction of 3-gram instances belonging to a DUPLICATED 3-gram " +
+        "(Rae et al. 2021 'duplicate n-gram fraction' family; complements " +
+        "tq_top_word_ratio's most-common-word gate). The Spark side is a " +
+        "pure zero-shuffle projection over SORTED per-doc gram arrays: " +
+        "with e = adjacent-equal pairs and r = runs of length ≥ 2, the " +
+        "duplicated-instance count is exactly e + r (a run of k equal " +
+        "grams has k-1 adjacent-equal pairs and contributes k = (k-1)+1 " +
+        "instances). Built ONLY from slice/zip_with/aggregate with " +
+        "lambda-bound elements — HOFs are interpreted (CodegenFallback) " +
+        "and do no subexpression elimination, so element_at into an outer " +
+        "array inside a lambda re-evaluates that array's whole tree per " +
+        "iteration (the MinHash-scaladoc eval-storm class; the first form " +
+        "of this query did exactly that and went O(n² log n) per doc). " +
+        "The oracle is the independent explode → groupBy(doc, gram) → " +
+        "re-aggregate construction, so the differential crosses two plan " +
+        "shapes, not just two engines. At 100 TB the projection form " +
+        "shuffles nothing; the explode form would shuffle the corpus.",
+      (s, d) => {
+        val nTok = size(toks)
+        val n = nTok - 2 // gram count; ≥ 1 after the WHERE
+        // trigrams via shifted slices zipped pairwise — every lambda reads
+        // only its bound element variables, never indexes an outer array
+        val t1 = slice(toks, lit(1), n)
+        val t2 = slice(toks, lit(2), n)
+        val t3 = slice(toks, lit(3), n)
+        val grams = zip_with(zip_with(t1, t2,
+            (a, b) => concat(a, lit(" "), b)), t3,
+          (ab, c) => concat(ab, lit(" "), c))
+        val sorted = array_sort(grams)
+        // adjacent-equal flags over the sorted grams: eqs(i) = 1 iff
+        // sorted(i) == sorted(i+1); n-1 entries (empty when n == 1)
+        // ONE fold over the sorted grams, tracking (previous element,
+        // previous-equal flag, count): an element equal to its
+        // predecessor adds 2 when it STARTS a run (its predecessor — the
+        // run head — is an instance too) and 1 when it extends one, so a
+        // run of k equal grams contributes 2 + (k-2) = k — exactly its
+        // instance count. `sorted` is referenced ONCE: every reference to
+        // an interpreted HOF tree re-evaluates it per row, so reference
+        // count is the cost driver. The "" sentinel never equals a gram
+        // (three tokens joined by two spaces are never empty).
+        val dupCnt = aggregate(
+          sorted,
+          struct(lit("").as("prev"), lit(0L).as("peq"), lit(0L).as("acc")),
+          (st, x) => {
+            val isEq = x === st.getField("prev")
+            struct(
+              x.as("prev"),
+              when(isEq, 1L).otherwise(0L).as("peq"),
+              (st.getField("acc") + when(isEq,
+                when(st.getField("peq") === 1L, 1L).otherwise(2L))
+                .otherwise(0L)).as("acc"))
+          },
+          st => st.getField("acc"))
+        Tables.documents(s, d)
+          .where(size(toks) >= 3)
+          // two-stage select: dup_grams is non-cheap and referenced twice
+          // downstream, so CollapseProject (SPARK-36718) keeps the
+          // boundary and the gram pipeline evaluates ONCE per row
+          .select(
+            col("doc_id"),
+            n.cast(LongType).as("n_grams"),
+            dupCnt.as("dup_grams"))
+          .select(
+            col("doc_id"), col("n_grams"), col("dup_grams"),
+            round(col("dup_grams").cast(DoubleType)
+              / col("n_grams").cast(DoubleType), 4).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3
+             |), grams AS (
+             |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+             |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+             |), counts AS (
+             |  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+             |), agg AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+             |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_grams
+             |  FROM counts GROUP BY doc_id)
+             |SELECT doc_id, n_grams, dup_grams,
+             |  floor((CAST(dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE))
+             |    * 10000 + 0.5) / 10000 AS dup_frac
+             |FROM agg ORDER BY doc_id""".stripMargin)
     )
   )
 }
