@@ -157,6 +157,22 @@ import graft.Tables
   *     joined per key: the compare-two-cohorts shape with two
   *     aggregation pipelines meeting at a join, INNER or LEFT (LEFT
   *     makes the right cohort's aggregates NULL for missing keys).
+  * Grammar v13 moves the differential from plan shapes to SCALAR
+  * semantics — the classic cross-engine divergence surface (indexing
+  * bases, character vs byte lengths, type-promotion rules) the older
+  * grammars barely touch:
+  *   - computed projections — upper/substr(1-based)/length over strings,
+  *     BIGINT-cast-first addition/doubling over ints (cast BEFORE the op:
+  *     engines disagree on overflow behavior, not on BIGINT arithmetic),
+  *     year/month/day extraction over timestamps (cast BIGINT — Spark
+  *     returns INT, DuckDB BIGINT);
+  *   - sliding-frame windows — sum/min/max/count OVER (... ROWS BETWEEN
+  *     k PRECEDING AND CURRENT ROW) on verified-unique key orderings
+  *     (every older window frame is unbounded, running, or whole-
+  *     partition; a bounded moving frame was undrawn);
+  *   - CASE-expression GROUP BY keys — grouping by a computed predicate
+  *     bucket (plus sometimes a raw second key), where every older
+  *     grouped mode keys on raw columns (v10's modulo bucket excepted).
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -486,6 +502,16 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 13) {
+      // v13 mode byte: scalar-expression shapes (computed projections,
+      // sliding window frames, CASE group keys). Versions ≤ 12 never take
+      // this draw; fall-through continues into the v12 dispatch.
+      val m13 = rnd.nextInt(10)
+      if (m13 < 3) return exprProjQuery(seed, rnd, version)
+      else if (m13 < 6) return slidingWindowQuery(seed, rnd, version)
+      else if (m13 < 8) return caseKeyQuery(seed, rnd, version)
+      // else: fall through to the v12 dispatch with the advanced rnd state
+    }
     if (version >= 12) {
       // v12 mode byte: FULL OUTER joins (both-side misses via compound
       // ON), bag-semantics set ops (INTERSECT ALL / EXCEPT ALL), and
@@ -1678,5 +1704,225 @@ object FuzzGen {
         .orderBy(col("k0").asc_nulls_first)
     }
     GenQuery(seed, sql, build)
+  }
+
+  /** v13 computed scalar expression: string functions (upper / 1-based
+    * substr / character length), BIGINT arithmetic (operands cast BEFORE
+    * the op — engines agree on BIGINT arithmetic, not on overflow), and
+    * timestamp field extraction (cast BIGINT: Spark returns INT, DuckDB
+    * BIGINT). The timestamp draw remaps to arithmetic when the chain has
+    * no timestamp column (same remap discipline as the window functions).
+    */
+  private def genExpr(rnd: Random, cols: Seq[FCol], alias: String): Item = {
+    val sCols = cols.filter(_.kind == 's')
+    val iCols = cols.filter(_.kind == 'i')
+    val tCols = cols.filter(_.kind == 't')
+    val d0 = rnd.nextInt(6)
+    val d = if (d0 == 5 && tCols.isEmpty) 3 else d0
+    d match {
+      case 0 =>
+        val c = sCols(rnd.nextInt(sCols.length))
+        Item(alias, s"upper(${c.name})", upper(col(c.name)))
+      case 1 =>
+        val c = sCols(rnd.nextInt(sCols.length))
+        val l = 2 + rnd.nextInt(3)
+        Item(alias, s"substr(${c.name}, 1, $l)", substring(col(c.name), 1, l))
+      case 2 =>
+        val c = sCols(rnd.nextInt(sCols.length))
+        Item(alias, s"CAST(length(${c.name}) AS BIGINT)",
+          length(col(c.name)).cast(org.apache.spark.sql.types.LongType))
+      case 3 =>
+        val a = iCols(rnd.nextInt(iCols.length))
+        val b = iCols(rnd.nextInt(iCols.length))
+        Item(alias, s"(CAST(${a.name} AS BIGINT) + CAST(${b.name} AS BIGINT))",
+          col(a.name).cast(org.apache.spark.sql.types.LongType) +
+            col(b.name).cast(org.apache.spark.sql.types.LongType))
+      case 4 =>
+        val a = iCols(rnd.nextInt(iCols.length))
+        Item(alias, s"(CAST(${a.name} AS BIGINT) * 2)",
+          col(a.name).cast(org.apache.spark.sql.types.LongType) * 2)
+      case _ =>
+        val c = tCols(rnd.nextInt(tCols.length))
+        val (fnSql, fnCol) = rnd.nextInt(3) match {
+          case 0 => ("year", year(col(c.name)))
+          case 1 => ("month", month(col(c.name)))
+          case _ => ("day", dayofmonth(col(c.name)))
+        }
+        Item(alias, s"CAST($fnSql(${c.name}) AS BIGINT)",
+          fnCol.cast(org.apache.spark.sql.types.LongType))
+    }
+  }
+
+  /** v13 computed-projection mode: raw columns beside drawn scalar
+    * expressions, total ORDER BY over every output, LIMIT.
+    */
+  private def exprProjQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = v10Chains
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val nPred = rnd.nextInt(3)
+    val preds = Vector.fill(nPred)(genPred(rnd, cols, version))
+    val nRaw = 1 + rnd.nextInt(2)
+    val raw = rnd.shuffle(cols.toVector).take(nRaw).zipWithIndex.map {
+      case (c, i) => Item(s"c$i", c.name, col(c.name))
+    }
+    val exprs = (0 until 2).map(i => genExpr(rnd, cols, s"e$i"))
+    val items = raw ++ exprs
+
+    val sb = new StringBuilder("SELECT ")
+    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    sb ++= s" FROM ${chain.tables.head}"
+    chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+      val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+      sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+    }
+    if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    sb ++= " ORDER BY " +
+      items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+    sb ++= " LIMIT 1000"
+
+    val build = (s: SparkSession, d: String) => {
+      val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      j.select(items.map(i => i.col.as(i.alias)): _*)
+        .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+        .limit(1000)
+    }
+    GenQuery(seed, sb.result(), build)
+  }
+
+  /** v13 sliding-frame window mode: sum/min/max/count OVER a bounded
+    * ROWS BETWEEN k PRECEDING AND CURRENT ROW frame, ordered by the head
+    * table's verified-unique key (a bounded frame's content depends on
+    * peer ORDER, so only total orderings are drawn — the same discipline
+    * as row_number/lag). Every older frame is unbounded, running, or
+    * whole-partition.
+    */
+  private def slidingWindowQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = (chains :+ eventsCustomerChain :+ eventsChain :+ documentsChain)
+      .filter(c => uniqueKeys.contains(c.tables.head))
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val nPred = rnd.nextInt(3)
+    val preds = Vector.fill(nPred)(genPred(rnd, cols, version))
+    val uk = uniqueKeys(chain.tables.head)
+    val groupables = cols.filter(_.groupable)
+    val g = groupables(rnd.nextInt(groupables.length))
+    val k = 1 + rnd.nextInt(4)
+    val intCols = cols.filter(_.kind == 'i')
+    val anyCol = cols(rnd.nextInt(cols.length))
+    val sumCol = intCols(rnd.nextInt(intCols.length))
+    val ukOrderSql = uk.map(kc => s"$kc ASC NULLS FIRST").mkString(", ")
+    val frameSql = s"ROWS BETWEEN $k PRECEDING AND CURRENT ROW"
+    def w = Window.partitionBy(col(g.name))
+      .orderBy(uk.map(col(_).asc_nulls_first): _*)
+      .rowsBetween(-k, Window.currentRow)
+    val (wSql, wCol) = rnd.nextInt(4) match {
+      case 0 =>
+        (s"CAST(sum(${sumCol.name}) OVER (PARTITION BY ${g.name}" +
+          s" ORDER BY $ukOrderSql $frameSql) AS BIGINT)",
+          sum(col(sumCol.name)).over(w))
+      case 1 =>
+        (s"min(${anyCol.name}) OVER (PARTITION BY ${g.name}" +
+          s" ORDER BY $ukOrderSql $frameSql)",
+          min(col(anyCol.name)).over(w))
+      case 2 =>
+        (s"max(${anyCol.name}) OVER (PARTITION BY ${g.name}" +
+          s" ORDER BY $ukOrderSql $frameSql)",
+          max(col(anyCol.name)).over(w))
+      case _ =>
+        (s"count(${anyCol.name}) OVER (PARTITION BY ${g.name}" +
+          s" ORDER BY $ukOrderSql $frameSql)",
+          count(col(anyCol.name)).over(w))
+    }
+    val items =
+      uk.zipWithIndex.map { case (kc, i) => Item(s"u$i", kc, col(kc)) } ++
+        Seq(Item("k0", g.name, col(g.name)), Item("w0", wSql, wCol))
+
+    val sb = new StringBuilder("SELECT ")
+    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    sb ++= s" FROM ${chain.tables.head}"
+    chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+      val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+      sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+    }
+    if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    sb ++= " ORDER BY " +
+      items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+    sb ++= " LIMIT 1000"
+
+    val build = (s: SparkSession, d: String) => {
+      val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      j.select(items.map(i => i.col.as(i.alias)): _*)
+        .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+        .limit(1000)
+    }
+    GenQuery(seed, sb.result(), build)
+  }
+
+  /** v13 CASE-expression group key: GROUP BY a computed predicate bucket
+    * ('hit'/'miss'), sometimes beside a raw second key. Every older
+    * grouped mode keys on raw columns (v10's modulo bucket excepted).
+    */
+  private def caseKeyQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = v10Chains
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val nPred = rnd.nextInt(3)
+    val preds = Vector.fill(nPred)(genPred(rnd, cols, version))
+    val guard = genPred(rnd, cols, version)
+    val keySql = s"CASE WHEN ${guard.sql} THEN 'hit' ELSE 'miss' END"
+    val keyCol = when(guard.col, "hit").otherwise("miss")
+    val groupables = cols.filter(_.groupable)
+    val g2: Option[FCol] =
+      if (rnd.nextInt(3) == 0 && groupables.nonEmpty)
+        Some(groupables(rnd.nextInt(groupables.length)))
+      else None
+    val aggs = (0 until 1 + rnd.nextInt(2)).map(i => genAgg(rnd, cols, s"a$i", version))
+    val keyItems = Item("k0", keySql, keyCol) +:
+      g2.map(c => Item("k1", c.name, col(c.name))).toSeq
+    val items = keyItems ++ aggs
+
+    val sb = new StringBuilder("SELECT ")
+    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    sb ++= s" FROM ${chain.tables.head}"
+    chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+      val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+      sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+    }
+    if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    sb ++= s" GROUP BY $keySql" + g2.map(c => s", ${c.name}").getOrElse("")
+    sb ++= " ORDER BY " +
+      keyItems.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+
+    val build = (s: SparkSession, d: String) => {
+      val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      val gCols = keyCol.as("k0") +: g2.map(c => col(c.name).as("k1")).toSeq
+      val aggCols = aggs.map(i => i.col.as(i.alias))
+      j.groupBy(gCols: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .orderBy(keyItems.map(i => col(i.alias).asc_nulls_first): _*)
+    }
+    GenQuery(seed, sb.result(), build)
   }
 }

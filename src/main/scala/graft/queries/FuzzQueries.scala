@@ -211,6 +211,25 @@ object FuzzQueries {
     Seq(4001, 4002, 4004, 4005, 4007, 4009, 4011, 4012, 4014, 4015, 4021,
       4023, 4025, 4032, 4034, 4035, 4036, 4040, 4046, 4058)
 
+  // Grammar-v13 slice (scalar-expression semantics: computed projections,
+  // bounded sliding window frames, CASE group keys). Whole 5001-5200 range
+  // verified against DuckDB at sf0.001 AND sf0.01 (200/200 pass both, r10,
+  // zero divergence first sweep); picks non-empty at both SFs, seed range
+  // 5001+ disjoint from every older slice by construction. Computed
+  // projections: day + BIGINT-add over orders (5017), upper + doubling
+  // over events (5023), substr + add over nation (5025), substr + day over
+  // a lineitem chain (5038), upper + year (5050), length + add (5008),
+  // substr + doubling over part (5057). Sliding frames (ROWS BETWEEN k
+  // PRECEDING AND CURRENT ROW on unique-key order): sum over customer
+  // (5029), events (5031), documents (5041); min over orders (5018); max
+  // over part (5074); count over events (5016) and supplier (5006). CASE
+  // group keys: max+count supplier (5003), min events (5020), sum+min
+  // nation (5035), min+count lineitem (5042), count documents (5060), sum
+  // lineitem (5045). Rendered with query(seed, 13).
+  val declaredSeedsV13: Seq[Int] =
+    Seq(5003, 5006, 5008, 5016, 5017, 5018, 5020, 5023, 5025, 5029, 5031,
+      5035, 5038, 5041, 5042, 5045, 5050, 5057, 5060, 5074)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -223,7 +242,8 @@ object FuzzQueries {
       declaredSeedsV9.map(s => s -> FuzzGen.query(s, 9)) ++
       declaredSeedsV10.map(s => s -> FuzzGen.query(s, 10)) ++
       declaredSeedsV11.map(s => s -> FuzzGen.query(s, 11)) ++
-      declaredSeedsV12.map(s => s -> FuzzGen.query(s, 12))).map { case (seed, g) =>
+      declaredSeedsV12.map(s => s -> FuzzGen.query(s, 12)) ++
+      declaredSeedsV13.map(s => s -> FuzzGen.query(s, 13))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -316,6 +316,29 @@ class FuzzSpec extends AnyFunSuite {
     assert(aggJoin >= 10, s"agg-join mode under-drawn: $aggJoin")
   }
 
+  test("grammar v13 (computed projections, sliding frames, CASE keys): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var exprs = 0; var sliding = 0; var caseKey = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 13)
+      if (Seq("upper(", "substr(", "length(", "year(", "month(", "day(",
+        " AS BIGINT) + ", " AS BIGINT) * 2").exists(q.sql.contains)) exprs += 1
+      if (q.sql.contains("PRECEDING AND CURRENT ROW") &&
+        !q.sql.contains("UNBOUNDED PRECEDING")) sliding += 1
+      if (q.sql.contains("GROUP BY CASE WHEN")) caseKey += 1
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v13 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v13 seeds matched; $exprs computed-expr, $sliding sliding-frame, $caseKey CASE-key")
+    assert(exprs >= 15, s"computed-projection mode under-drawn: $exprs")
+    assert(sliding >= 15, s"sliding-frame mode under-drawn: $sliding")
+    assert(caseKey >= 10, s"CASE-key mode under-drawn: $caseKey")
+  }
+
   test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
     // the fz2xx catalog entries render from v1; a change here would silently
     // re-point their oracle SQL
@@ -402,7 +425,14 @@ class FuzzSpec extends AnyFunSuite {
       "fz4015" -> "087f2443", "fz4021" -> "bf88776d", "fz4023" -> "61ba63b2",
       "fz4025" -> "089379e5", "fz4032" -> "4de5abf3", "fz4034" -> "8ba1cf5e",
       "fz4035" -> "638c5bf7", "fz4036" -> "63bf2f67", "fz4040" -> "06a90352",
-      "fz4046" -> "70c8723a", "fz4058" -> "e6566004")
+      "fz4046" -> "70c8723a", "fz4058" -> "e6566004",
+      "fz5003" -> "3fcc1a35", "fz5006" -> "f382f519", "fz5008" -> "e681ea71",
+      "fz5016" -> "4f97d6e4", "fz5017" -> "d01e3554", "fz5018" -> "743af697",
+      "fz5020" -> "92f1517e", "fz5023" -> "b3a324f7", "fz5025" -> "65aa4f7f",
+      "fz5029" -> "411faf5e", "fz5031" -> "19526965", "fz5035" -> "d10244c5",
+      "fz5038" -> "6ff5b452", "fz5041" -> "ef2d4d50", "fz5042" -> "b1d063d2",
+      "fz5045" -> "d6577124", "fz5050" -> "8043cada", "fz5057" -> "d331cc4c",
+      "fz5060" -> "2a639f90", "fz5074" -> "7a4b6085")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
