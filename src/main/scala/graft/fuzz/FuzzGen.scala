@@ -173,6 +173,18 @@ import graft.Tables
   *   - CASE-expression GROUP BY keys — grouping by a computed predicate
   *     bucket (plus sometimes a raw second key), where every older
   *     grouped mode keys on raw columns (v10's modulo bucket excepted).
+  * Grammar v14 adds three more undrawn shapes:
+  *   - CORRELATED scalar subqueries — `(SELECT max(ic) FROM inner WHERE
+  *     pk = fk AND …)` in the projection (NULL where no inner row
+  *     qualifies) or in WHERE (the NULL comparison drops the row in both
+  *     engines); the SQL side forces both engines through correlated
+  *     scalar DECORRELATION (TPC-H q17's path), the DataFrame side is
+  *     the already-decorrelated LEFT-JOIN-on-per-key-aggregate plan. v5
+  *     draws only UNcorrelated scalars;
+  *   - HAVING over a non-count aggregate — `HAVING max(ic) > v` /
+  *     `HAVING min(ic) <= v` (every older HAVING is count(*) > h);
+  *   - three-branch UNION ALL — associativity/column-alignment over more
+  *     than two inputs (every older set-op has exactly two).
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -502,6 +514,16 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 14) {
+      // v14 mode byte: correlated scalar subqueries, non-count HAVING,
+      // three-branch UNION ALL. Versions ≤ 13 never take this draw;
+      // fall-through continues into the v13 dispatch.
+      val m14 = rnd.nextInt(10)
+      if (m14 < 4) return corrScalarQuery(seed, rnd, version)
+      else if (m14 < 6) return havingAggQuery(seed, rnd, version)
+      else if (m14 < 8) return unionThreeQuery(seed, rnd, version)
+      // else: fall through to the v13 dispatch with the advanced rnd state
+    }
     if (version >= 13) {
       // v13 mode byte: scalar-expression shapes (computed projections,
       // sliding window frames, CASE group keys). Versions ≤ 12 never take
@@ -1924,5 +1946,181 @@ object FuzzGen {
         .orderBy(keyItems.map(i => col(i.alias).asc_nulls_first): _*)
     }
     GenQuery(seed, sb.result(), build)
+  }
+
+  /** v14 correlated scalar subquery: `(SELECT min/max/avg(ic) FROM inner
+    * WHERE pk = fk AND …)` — in the projection (NULL where no inner row
+    * qualifies, both engines) or in WHERE (NULL comparison → row dropped,
+    * both engines). The SQL rendering makes both engines DECORRELATE the
+    * correlated scalar; the DataFrame rendering is the decorrelated plan
+    * itself — a LEFT join against the per-key inner aggregate. avg stays
+    * int-only per genAgg's exactness rules.
+    */
+  private def corrScalarQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val edges = fkEdges :+ eventsCustomerEdge
+    val (outerT, fk, innerT, pk) = edges(rnd.nextInt(edges.length))
+    val oCols = catalog(outerT)
+    val iCols = catalog(innerT)
+    val iInts = iCols.filter(_.kind == 'i')
+    val ic = iInts(rnd.nextInt(iInts.length))
+    val aggDraw = rnd.nextInt(3)
+    val (aggSql, aggCol: Column) = aggDraw match {
+      case 0 => (s"min(${ic.name})", min(col(ic.name)))
+      case 1 => (s"max(${ic.name})", max(col(ic.name)))
+      case _ => (s"avg(${ic.name})", avg(col(ic.name)))
+    }
+    val innerPreds = Vector.fill(rnd.nextInt(2))(genPred(rnd, iCols, version))
+    val outerPreds = Vector.fill(rnd.nextInt(2))(genPred(rnd, oCols, version))
+    val innerWhere =
+      (s"$pk = $fk" +: innerPreds.map(_.sql)).mkString(" AND ")
+    val subSql = s"(SELECT $aggSql FROM $innerT WHERE $innerWhere)"
+    val inWhere = rnd.nextBoolean()
+
+    def innerAgg(s: SparkSession, d: String): DataFrame = {
+      var in = loadFuzzTable(s, d, innerT)
+      innerPreds.foreach(p => in = in.where(p.col))
+      in.groupBy(col(pk)).agg(aggCol.as("_sc"))
+    }
+
+    if (inWhere) {
+      val oInts = oCols.filter(_.kind == 'i')
+      val oc = oInts(rnd.nextInt(oInts.length))
+      val op = if (rnd.nextBoolean()) ">" else "<="
+      val k = 2 + rnd.nextInt(2)
+      val picked = rnd.shuffle(oCols.toVector).take(k)
+      val items = picked.zipWithIndex.map { case (c, i) =>
+        Item(s"c$i", c.name, col(c.name))
+      }
+      val whereSql =
+        (outerPreds.map(_.sql) :+ s"${oc.name} $op $subSql").mkString(" AND ")
+      val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+        s" FROM $outerT WHERE $whereSql" +
+        " ORDER BY " + items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ") +
+        " LIMIT 1000"
+      val build = (s: SparkSession, d: String) => {
+        var o = loadFuzzTable(s, d, outerT)
+        outerPreds.foreach(p => o = o.where(p.col))
+        val cmp = if (op == ">") col(oc.name) > col("_sc")
+                  else col(oc.name) <= col("_sc")
+        o.join(innerAgg(s, d), col(fk) === col(pk), "left")
+          .where(cmp)
+          .select(items.map(i => i.col.as(i.alias)): _*)
+          .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+          .limit(1000)
+      }
+      GenQuery(seed, sql, build)
+    } else {
+      val picked = rnd.shuffle(oCols.toVector).take(2)
+      val items = picked.zipWithIndex.map { case (c, i) =>
+        Item(s"c$i", c.name, col(c.name))
+      } :+ Item("sc", subSql, col("_sc"))
+      val whereSql =
+        if (outerPreds.isEmpty) ""
+        else " WHERE " + outerPreds.map(_.sql).mkString(" AND ")
+      val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+        s" FROM $outerT$whereSql" +
+        " ORDER BY " + items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ") +
+        " LIMIT 1000"
+      val build = (s: SparkSession, d: String) => {
+        var o = loadFuzzTable(s, d, outerT)
+        outerPreds.foreach(p => o = o.where(p.col))
+        o.join(innerAgg(s, d), col(fk) === col(pk), "left")
+          .select(items.map(i => i.col.as(i.alias)): _*)
+          .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+          .limit(1000)
+      }
+      GenQuery(seed, sql, build)
+    }
+  }
+
+  /** v14 non-count HAVING: grouped aggregation filtered on `max(ic) > v`
+    * or `min(ic) <= v` — a value-deterministic aggregate bound, where
+    * every older HAVING is count(*) > h.
+    */
+  private def havingAggQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = v10Chains
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val nPred = rnd.nextInt(3)
+    val preds = Vector.fill(nPred)(genPred(rnd, cols, version))
+    val groupables = cols.filter(_.groupable)
+    val keys = rnd.shuffle(groupables.toVector).take(1 + rnd.nextInt(2))
+    val aggs = (0 until 1 + rnd.nextInt(2)).map(i => genAgg(rnd, cols, s"a$i", version))
+    val iCols = cols.filter(_.kind == 'i')
+    val hc = iCols(rnd.nextInt(iCols.length))
+    val hl = hc.lits(rnd.nextInt(hc.lits.length))
+    val useMax = rnd.nextBoolean()
+    val havSql = if (useMax) s"max(${hc.name}) > ${hl.sql}"
+                 else s"min(${hc.name}) <= ${hl.sql}"
+    val havCol = if (useMax) max(col(hc.name)) > hl.col
+                 else min(col(hc.name)) <= hl.col
+
+    val keyItems = keys.zipWithIndex.map { case (c, i) =>
+      Item(s"k$i", c.name, col(c.name))
+    }
+    val items = keyItems ++ aggs
+
+    val sb = new StringBuilder("SELECT ")
+    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    sb ++= s" FROM ${chain.tables.head}"
+    chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+      val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+      sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+    }
+    if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    sb ++= s" GROUP BY ${keys.map(_.name).mkString(", ")} HAVING $havSql"
+    sb ++= " ORDER BY " +
+      keyItems.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+
+    val build = (s: SparkSession, d: String) => {
+      val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      val aggCols = aggs.map(i => i.col.as(i.alias)) :+ havCol.as("_hv")
+      j.groupBy(keys.map(c => col(c.name)): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .where(col("_hv"))
+        .select(items.map(i =>
+          (if (i.alias.startsWith("k"))
+            col(keys(i.alias.drop(1).toInt).name)
+          else col(i.alias)).as(i.alias)): _*)
+        .orderBy(keyItems.map(i => col(i.alias).asc_nulls_first): _*)
+    }
+    GenQuery(seed, sb.result(), build)
+  }
+
+  /** v14 three-branch UNION ALL: associativity and column alignment over
+    * more than two inputs — every older set-op has exactly two branches.
+    */
+  private def unionThreeQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val tables = Vector("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents")
+    val t = tables(rnd.nextInt(tables.length))
+    val cols = catalog(t)
+    val k = 2 + rnd.nextInt(2)
+    val picked = rnd.shuffle(cols.toVector).take(k)
+    val items = picked.zipWithIndex.map { case (c, i) =>
+      Item(s"c$i", c.name, col(c.name))
+    }
+    val ps = Vector.fill(3)(genPred(rnd, cols, version))
+    val selList = items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    val sql = ps.map(p => s"SELECT $selList FROM $t WHERE ${p.sql}")
+      .mkString(" UNION ALL ") +
+      " ORDER BY " + items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ") +
+      " LIMIT 1000"
+    val build = (s: SparkSession, d: String) => {
+      val base = loadFuzzTable(s, d, t)
+      val proj = items.map(i => i.col.as(i.alias))
+      val parts = ps.map(p => base.where(p.col).select(proj: _*))
+      parts.reduce(_ union _)
+        .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+        .limit(1000)
+    }
+    GenQuery(seed, sql, build)
   }
 }

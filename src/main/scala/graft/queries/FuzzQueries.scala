@@ -230,6 +230,25 @@ object FuzzQueries {
     Seq(5003, 5006, 5008, 5016, 5017, 5018, 5020, 5023, 5025, 5029, 5031,
       5035, 5038, 5041, 5042, 5045, 5050, 5057, 5060, 5074)
 
+  // Grammar-v14 slice (correlated scalar subqueries, non-count HAVING,
+  // three-branch UNION ALL). Whole 6001-6200 range verified against DuckDB
+  // at sf0.001 AND sf0.01 (200/200 pass both, r10, zero divergence first
+  // sweep); picks non-empty at both SFs, seed range 6001+ disjoint from
+  // every older slice by construction. Correlated scalar in the PROJECTION
+  // (NULL where no inner row qualifies — both engines must decorrelate;
+  // the DF side is the decorrelated LEFT-join-on-per-key-aggregate):
+  // max (6005), min (6007), max over orders⋈customer (6014), avg (6016),
+  // min (6034), avg (6047). Correlated scalar in WHERE (NULL comparison
+  // drops the row): avg over lineitem (6001), min filtering events through
+  // customer (6012), min (6022), max (6032), max over events (6041), avg
+  // (6043). HAVING over max/min aggregates: lineitem (6002, 6042),
+  // supplier (6009), part (6049). Three-branch UNION ALL: part (6004),
+  // events (6013), documents (6015), customer (6017). Rendered with
+  // query(seed, 14).
+  val declaredSeedsV14: Seq[Int] =
+    Seq(6001, 6002, 6004, 6005, 6007, 6009, 6012, 6013, 6014, 6015, 6016,
+      6017, 6022, 6032, 6034, 6041, 6042, 6043, 6047, 6049)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -243,7 +262,8 @@ object FuzzQueries {
       declaredSeedsV10.map(s => s -> FuzzGen.query(s, 10)) ++
       declaredSeedsV11.map(s => s -> FuzzGen.query(s, 11)) ++
       declaredSeedsV12.map(s => s -> FuzzGen.query(s, 12)) ++
-      declaredSeedsV13.map(s => s -> FuzzGen.query(s, 13))).map { case (seed, g) =>
+      declaredSeedsV13.map(s => s -> FuzzGen.query(s, 13)) ++
+      declaredSeedsV14.map(s => s -> FuzzGen.query(s, 14))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -339,6 +339,28 @@ class FuzzSpec extends AnyFunSuite {
     assert(caseKey >= 10, s"CASE-key mode under-drawn: $caseKey")
   }
 
+  test("grammar v14 (correlated scalars, non-count HAVING, 3-branch UNION): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var corr = 0; var hav = 0; var u3 = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 14)
+      if (Seq("(SELECT min(", "(SELECT max(", "(SELECT avg(").exists(q.sql.contains) &&
+        q.sql.contains(" = ")) corr += 1
+      if (q.sql.contains("HAVING max(") || q.sql.contains("HAVING min(")) hav += 1
+      if (q.sql.split(" UNION ALL ").length == 3) u3 += 1
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v14 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v14 seeds matched; $corr correlated-scalar, $hav agg-HAVING, $u3 three-branch-union")
+    assert(corr >= 20, s"correlated-scalar mode under-drawn: $corr")
+    assert(hav >= 10, s"agg-HAVING mode under-drawn: $hav")
+    assert(u3 >= 10, s"three-branch-union mode under-drawn: $u3")
+  }
+
   test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
     // the fz2xx catalog entries render from v1; a change here would silently
     // re-point their oracle SQL
@@ -432,7 +454,14 @@ class FuzzSpec extends AnyFunSuite {
       "fz5029" -> "411faf5e", "fz5031" -> "19526965", "fz5035" -> "d10244c5",
       "fz5038" -> "6ff5b452", "fz5041" -> "ef2d4d50", "fz5042" -> "b1d063d2",
       "fz5045" -> "d6577124", "fz5050" -> "8043cada", "fz5057" -> "d331cc4c",
-      "fz5060" -> "2a639f90", "fz5074" -> "7a4b6085")
+      "fz5060" -> "2a639f90", "fz5074" -> "7a4b6085",
+      "fz6001" -> "a9e95cb5", "fz6002" -> "1a715904", "fz6004" -> "c840b506",
+      "fz6005" -> "02de7c32", "fz6007" -> "c0b85be9", "fz6009" -> "33b3abca",
+      "fz6012" -> "126421ce", "fz6013" -> "0108fba6", "fz6014" -> "ac7277ea",
+      "fz6015" -> "c5e981a8", "fz6016" -> "b3b314d3", "fz6017" -> "9c622182",
+      "fz6022" -> "8858bd30", "fz6032" -> "f2080732", "fz6034" -> "3f8605db",
+      "fz6041" -> "31fd57c2", "fz6042" -> "a519d128", "fz6043" -> "c790f9c0",
+      "fz6047" -> "427acf62", "fz6049" -> "4efe474f")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
