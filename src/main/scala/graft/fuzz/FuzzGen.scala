@@ -185,6 +185,20 @@ import graft.Tables
   *     `HAVING min(ic) <= v` (every older HAVING is count(*) > h);
   *   - three-branch UNION ALL — associativity/column-alignment over more
   *     than two inputs (every older set-op has exactly two).
+  * Grammar v15 adds:
+  *   - window-over-aggregate — rank/dense_rank/row_number OVER the
+  *     aggregate value (DESC, group keys as the unique tiebreak) in the
+  *     same grouped SELECT: both engines evaluate window functions AFTER
+  *     aggregation, and every older window runs over base rows. The
+  *     window result is cast BIGINT (Spark rank is INT, DuckDB BIGINT);
+  *   - LIMIT n OFFSET m pagination under a total ORDER BY (OFFSET is
+  *     undrawn anywhere older — limit-boundary arithmetic differs from
+  *     plain LIMIT);
+  *   - NULLIF / IS DISTINCT FROM — NULL-injection and null-safe
+  *     comparison scalars (NULLIF manufactures NULLs mid-projection that
+  *     then flow through the ORDER BY NULLS placement; <=> vs = under
+  *     those NULLs is exactly the semantics the null-safe operator
+  *     exists for).
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -514,6 +528,16 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 15) {
+      // v15 mode byte: window-over-aggregate, OFFSET pagination, and
+      // NULLIF / IS DISTINCT FROM scalars. Versions ≤ 14 never take this
+      // draw; fall-through continues into the v14 dispatch.
+      val m15 = rnd.nextInt(10)
+      if (m15 < 3) return aggRankQuery(seed, rnd, version)
+      else if (m15 < 6) return offsetQuery(seed, rnd, version)
+      else if (m15 < 8) return nullScalarQuery(seed, rnd, version)
+      // else: fall through to the v14 dispatch with the advanced rnd state
+    }
     if (version >= 14) {
       // v14 mode byte: correlated scalar subqueries, non-count HAVING,
       // three-branch UNION ALL. Versions ≤ 13 never take this draw;
@@ -2122,5 +2146,172 @@ object FuzzGen {
         .limit(1000)
     }
     GenQuery(seed, sql, build)
+  }
+
+  /** v15 window-over-aggregate: rank the GROUPS by their aggregate value
+    * (DESC, keys as the unique ascending tiebreak — a total order, so
+    * even row_number is deterministic) inside the grouped SELECT itself:
+    * both engines evaluate window functions after aggregation. Cast
+    * BIGINT — Spark's rank family returns INT, DuckDB's BIGINT. The
+    * global (unpartitioned) window runs over POST-aggregate rows — group
+    * cardinality, not corpus cardinality — which is what makes the
+    * rank-the-cohorts pattern scale-sane.
+    */
+  private def aggRankQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = v10Chains
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val nPred = rnd.nextInt(3)
+    val preds = Vector.fill(nPred)(genPred(rnd, cols, version))
+    val groupables = cols.filter(_.groupable)
+    val keys = rnd.shuffle(groupables.toVector).take(1 + rnd.nextInt(2))
+    val measure = genAgg(rnd, cols, "a0", version)
+    val fnDraw = rnd.nextInt(3)
+    val keyItems = keys.zipWithIndex.map { case (c, i) =>
+      Item(s"k$i", c.name, col(c.name))
+    }
+    val overSql = s"ORDER BY ${measure.sql} DESC NULLS LAST, " +
+      keys.map(c => s"${c.name} ASC NULLS FIRST").mkString(", ")
+    val fnSql = fnDraw match {
+      case 0 => "rank()"
+      case 1 => "dense_rank()"
+      case _ => "row_number()"
+    }
+    val items = keyItems ++ Seq(measure,
+      Item("r", s"CAST($fnSql OVER ($overSql) AS BIGINT)", lit(0)))
+
+    val sb = new StringBuilder("SELECT ")
+    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    sb ++= s" FROM ${chain.tables.head}"
+    chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+      val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+      sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+    }
+    if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    sb ++= s" GROUP BY ${keys.map(_.name).mkString(", ")}"
+    sb ++= " ORDER BY " +
+      keyItems.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+
+    val build = (s: SparkSession, d: String) => {
+      val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      val w = Window.orderBy(
+        col("a0").desc_nulls_last +:
+          keyItems.map(i => col(i.alias).asc_nulls_first): _*)
+      val fnCol = fnDraw match {
+        case 0 => rank()
+        case 1 => dense_rank()
+        case _ => row_number()
+      }
+      j.groupBy(keys.map(c => col(c.name)): _*)
+        .agg(measure.col.as("a0"))
+        .select(keyItems.map(i => col(i.sql).as(i.alias)) :+ col("a0"): _*)
+        .withColumn("r", fnCol.over(w)
+          .cast(org.apache.spark.sql.types.LongType))
+        .orderBy(keyItems.map(i => col(i.alias).asc_nulls_first): _*)
+    }
+    GenQuery(seed, sb.result(), build)
+  }
+
+  /** v15 pagination: a total-ordered projection under LIMIT n OFFSET m —
+    * deterministic because the ORDER BY covers every output column.
+    */
+  private def offsetQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = v10Chains
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val nPred = rnd.nextInt(3)
+    val preds = Vector.fill(nPred)(genPred(rnd, cols, version))
+    val k = 2 + rnd.nextInt(2)
+    val picked = rnd.shuffle(cols.toVector).take(k)
+    val items = picked.zipWithIndex.map { case (c, i) =>
+      Item(s"c$i", c.name, col(c.name))
+    }
+    val lim = 50 + rnd.nextInt(200)
+    val off = 1 + rnd.nextInt(50)
+
+    val sb = new StringBuilder("SELECT ")
+    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    sb ++= s" FROM ${chain.tables.head}"
+    chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+      val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+      sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+    }
+    if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    sb ++= " ORDER BY " +
+      items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+    sb ++= s" LIMIT $lim OFFSET $off"
+
+    val build = (s: SparkSession, d: String) => {
+      val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      j.select(items.map(i => i.col.as(i.alias)): _*)
+        .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+        .offset(off)
+        .limit(lim)
+    }
+    GenQuery(seed, sb.result(), build)
+  }
+
+  /** v15 NULL-injection scalars: NULLIF manufactures NULLs mid-projection
+    * (flowing through the ORDER BY NULLS placement), IS DISTINCT FROM is
+    * the null-safe comparison projected as a BOOLEAN column.
+    */
+  private def nullScalarQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = v10Chains
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val nPred = rnd.nextInt(3)
+    val preds = Vector.fill(nPred)(genPred(rnd, cols, version))
+    val isCols = cols.filter(c => c.kind == 'i' || c.kind == 's')
+    val nc = isCols(rnd.nextInt(isCols.length))
+    val nl = nc.lits(rnd.nextInt(nc.lits.length))
+    val dc = isCols(rnd.nextInt(isCols.length))
+    val dl = dc.lits(rnd.nextInt(dc.lits.length))
+    val raw = rnd.shuffle(cols.toVector).take(1 + rnd.nextInt(2))
+      .zipWithIndex.map { case (c, i) => Item(s"c$i", c.name, col(c.name)) }
+    val items = raw ++ Seq(
+      Item("nx", s"nullif(${nc.name}, ${nl.sql})", nullif(col(nc.name), nl.col)),
+      Item("dx", s"(${dc.name} IS DISTINCT FROM ${dl.sql})",
+        !(col(dc.name) <=> dl.col)))
+
+    val sb = new StringBuilder("SELECT ")
+    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    sb ++= s" FROM ${chain.tables.head}"
+    chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+      val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+      sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+    }
+    if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    sb ++= " ORDER BY " +
+      items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+    sb ++= " LIMIT 1000"
+
+    val build = (s: SparkSession, d: String) => {
+      val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      j.select(items.map(i => i.col.as(i.alias)): _*)
+        .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+        .limit(1000)
+    }
+    GenQuery(seed, sb.result(), build)
   }
 }

@@ -249,6 +249,20 @@ object FuzzQueries {
     Seq(6001, 6002, 6004, 6005, 6007, 6009, 6012, 6013, 6014, 6015, 6016,
       6017, 6022, 6032, 6034, 6041, 6042, 6043, 6047, 6049)
 
+  // Grammar-v15 slice (window-over-aggregate, OFFSET pagination, NULLIF /
+  // IS DISTINCT FROM scalars). Whole 7001-7200 range verified against
+  // DuckDB at sf0.001 AND sf0.01 (200/200 pass both, r10, zero divergence
+  // first sweep); picks non-empty at both SFs, seed range 7001+ disjoint
+  // from every older slice by construction. Window-over-aggregate (rank
+  // the groups by their measure inside the grouped SELECT): dense_rank
+  // (7007, 7011, 7016), rank (7027, 7028, 7042), row_number (7005, 7009).
+  // OFFSET under a total ORDER BY: 7002, 7010, 7015, 7019, 7020, 7029.
+  // NULLIF + IS DISTINCT FROM projections: 7004, 7017, 7023, 7024, 7033,
+  // 7035. Rendered with query(seed, 15).
+  val declaredSeedsV15: Seq[Int] =
+    Seq(7002, 7004, 7005, 7007, 7009, 7010, 7011, 7015, 7016, 7017, 7019,
+      7020, 7023, 7024, 7027, 7028, 7029, 7033, 7035, 7042)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -263,7 +277,8 @@ object FuzzQueries {
       declaredSeedsV11.map(s => s -> FuzzGen.query(s, 11)) ++
       declaredSeedsV12.map(s => s -> FuzzGen.query(s, 12)) ++
       declaredSeedsV13.map(s => s -> FuzzGen.query(s, 13)) ++
-      declaredSeedsV14.map(s => s -> FuzzGen.query(s, 14))).map { case (seed, g) =>
+      declaredSeedsV14.map(s => s -> FuzzGen.query(s, 14)) ++
+      declaredSeedsV15.map(s => s -> FuzzGen.query(s, 15))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

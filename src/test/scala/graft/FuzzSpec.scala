@@ -361,6 +361,27 @@ class FuzzSpec extends AnyFunSuite {
     assert(u3 >= 10, s"three-branch-union mode under-drawn: $u3")
   }
 
+  test("grammar v15 (window-over-aggregate, OFFSET, NULLIF/IS DISTINCT FROM): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var aggRank = 0; var offs = 0; var nullSc = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 15)
+      if (q.sql.contains(" OVER (ORDER BY ") && q.sql.contains(" GROUP BY ")) aggRank += 1
+      if (q.sql.contains(" OFFSET ")) offs += 1
+      if (q.sql.contains("nullif(") && q.sql.contains("IS DISTINCT FROM")) nullSc += 1
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v15 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v15 seeds matched; $aggRank agg-rank, $offs offset, $nullSc null-scalar")
+    assert(aggRank >= 15, s"window-over-aggregate mode under-drawn: $aggRank")
+    assert(offs >= 15, s"OFFSET mode under-drawn: $offs")
+    assert(nullSc >= 10, s"NULLIF/IS-DISTINCT mode under-drawn: $nullSc")
+  }
+
   test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
     // the fz2xx catalog entries render from v1; a change here would silently
     // re-point their oracle SQL
@@ -461,7 +482,14 @@ class FuzzSpec extends AnyFunSuite {
       "fz6015" -> "c5e981a8", "fz6016" -> "b3b314d3", "fz6017" -> "9c622182",
       "fz6022" -> "8858bd30", "fz6032" -> "f2080732", "fz6034" -> "3f8605db",
       "fz6041" -> "31fd57c2", "fz6042" -> "a519d128", "fz6043" -> "c790f9c0",
-      "fz6047" -> "427acf62", "fz6049" -> "4efe474f")
+      "fz6047" -> "427acf62", "fz6049" -> "4efe474f",
+      "fz7002" -> "1ab24b23", "fz7004" -> "667fe50b", "fz7005" -> "3ca526ac",
+      "fz7007" -> "7ab22414", "fz7009" -> "a041e1aa", "fz7010" -> "15e9054f",
+      "fz7011" -> "bed2f651", "fz7015" -> "ef519170", "fz7016" -> "dd4c5c6b",
+      "fz7017" -> "aa66610e", "fz7019" -> "486db9f8", "fz7020" -> "fe676146",
+      "fz7023" -> "f556589a", "fz7024" -> "2a0f5fb5", "fz7027" -> "130ccec7",
+      "fz7028" -> "99f54108", "fz7029" -> "754b81d0", "fz7033" -> "4efdf41f",
+      "fz7035" -> "63178ac8", "fz7042" -> "78e29f18")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
