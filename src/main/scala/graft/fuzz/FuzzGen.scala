@@ -516,7 +516,18 @@ object FuzzGen {
     * DataFrame-API build (engine side). Same seed → same query, always.
     */
   final case class GenQuery(seed: Int, sql: String,
-                            build: (SparkSession, String) => DataFrame)
+                            build: (SparkSession, String) => DataFrame,
+                            sparkSqlOpt: Option[String] = None,
+                            mode: String = "") {
+    /** The SQL as SPARK parses it. Identical to [[sql]] (the DuckDB/oracle
+      * text) for every grammar that stays inside the two engines' shared
+      * dialect; differs only for v16's array/HOF surface, where the same
+      * draw renders `element_at`/`slice`/`aggregate` for Spark and
+      * `[i]`/`list_reduce`/`list_transform` for DuckDB. FuzzSpec's second
+      * construction path always parses THIS text.
+      */
+    def sparkSql: String = sparkSqlOpt.getOrElse(sql)
+  }
 
   def query(seed: Int): GenQuery = query(seed, 1)
 
@@ -789,7 +800,7 @@ object FuzzGen {
       limit.foreach(n => out = out.limit(n))
       out
     }
-    GenQuery(seed, sqlText, build)
+    GenQuery(seed, sqlText, build, mode = s"body:$mode:${chain.tables.head}")
   }
 
   /** v2 window mode: project the head table's key + the partition column +
@@ -927,7 +938,7 @@ object FuzzGen {
         .orderBy(orderAliases.map(a => col(a).asc_nulls_first): _*)
         .limit(1000)
     }
-    GenQuery(seed, sb.result(), build)
+    GenQuery(seed, sb.result(), build, mode = s"window:${chain.tables.head}")
   }
 
   /** v2 set-op mode: two differently-filtered projections of one table
@@ -974,7 +985,7 @@ object FuzzGen {
       combined.orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
         .limit(1000)
     }
-    GenQuery(seed, sql, build)
+    GenQuery(seed, sql, build, mode = s"setop:$t")
   }
 
   /** FK → unique-PK edges of the corpus (same edges [[chains]] joins over):
@@ -1025,6 +1036,12 @@ object FuzzGen {
     val iCols = catalog(innerT)
     val shape = // 0 IN, 1 EXISTS, 2 NOT EXISTS, 3 scalar
       if (selfTable.isDefined) 3 else rnd.nextInt(4)
+    val modeTag = shape match {
+      case 0 => "subq:in"
+      case 1 => "subq:exists"
+      case 2 => "subq:anti"
+      case _ => "subq:scalar"
+    }
     val innerPreds = Vector.fill(1 + rnd.nextInt(2))(genPred(rnd, iCols, version))
     val outerPreds = Vector.fill(rnd.nextInt(2))(genPred(rnd, oCols, version))
     val innerWhere = innerPreds.map(_.sql).mkString(" AND ")
@@ -1097,7 +1114,7 @@ object FuzzGen {
             (if (i.alias == "k0") col(key.name) else col(i.alias)).as(i.alias)): _*)
           .orderBy(col("k0").asc_nulls_first)
       }
-      GenQuery(seed, sql, build)
+      GenQuery(seed, sql, build, mode = modeTag)
     } else {
       val k = 2 + rnd.nextInt(2)
       val picked = rnd.shuffle(oCols.toVector).take(k)
@@ -1116,7 +1133,7 @@ object FuzzGen {
           .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
           .limit(1000)
       }
-      GenQuery(seed, sql, build)
+      GenQuery(seed, sql, build, mode = modeTag)
     }
   }
 
@@ -1182,7 +1199,7 @@ object FuzzGen {
         .orderBy(outItems.map(i => col(i.alias).asc_nulls_first): _*)
         .limit(1000)
     }
-    GenQuery(seed, sb.result(), build)
+    GenQuery(seed, sb.result(), build, mode = "derived")
   }
 
   /** v10 chain pool: every flat chain plus the cross-family and
@@ -1256,7 +1273,7 @@ object FuzzGen {
           (if (i.alias == "k0") col(key.name) else col(i.alias)).as(i.alias)): _*)
         .orderBy(col("k0").asc_nulls_first)
     }
-    GenQuery(seed, sb.result(), build)
+    GenQuery(seed, sb.result(), build, mode = "condagg")
   }
 
   /** v10 set-ops over joined projections: v2/v8's set-op mode projects ONE
@@ -1312,7 +1329,7 @@ object FuzzGen {
       combined.orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
         .limit(1000)
     }
-    GenQuery(seed, sql, build)
+    GenQuery(seed, sql, build, mode = "setopjoin")
   }
 
   /** v10 aggregate-of-aggregate: per-key counts (and optionally a sum) in
@@ -1374,7 +1391,7 @@ object FuzzGen {
           .orderBy(col("g").asc_nulls_first)
       else inner.agg(aggCols.head, aggCols.tail: _*)
     }
-    GenQuery(seed, sb.result(), build)
+    GenQuery(seed, sb.result(), build, mode = "aggofagg")
   }
 
   /** v11 grouping-sets mode: ROLLUP or CUBE over two groupable columns
@@ -1451,7 +1468,7 @@ object FuzzGen {
           else col(i.alias)).as(i.alias)): _*)
         .orderBy((flagItems ++ keyItems).map(i => col(i.alias).asc_nulls_first): _*)
     }
-    GenQuery(seed, sb.result(), build)
+    GenQuery(seed, sb.result(), build, mode = op.toLowerCase)
   }
 
   /** v11 missing-LEFT-join mode: every corpus chain edge is FK-contained,
@@ -1499,7 +1516,7 @@ object FuzzGen {
             .select(items.map(i => i.col.as(i.alias)): _*)
             .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
             .limit(1000)
-        GenQuery(seed, sql, build)
+        GenQuery(seed, sql, build, mode = "leftnull:anti")
       case 1 =>
         val picked = rnd.shuffle(fCols.toVector).take(2)
         val dc = dCols(rnd.nextInt(dCols.length))
@@ -1522,7 +1539,7 @@ object FuzzGen {
             .select(items.map(i => i.col.as(i.alias)): _*)
             .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
             .limit(1000)
-        GenQuery(seed, sql, build)
+        GenQuery(seed, sql, build, mode = "leftnull:coalesce")
       case _ =>
         val aggs = (0 until 1 + rnd.nextInt(2)).map(i => genAgg(rnd, fCols, s"a$i", version))
         val flagSql = s"CASE WHEN $pk IS NULL THEN 0 ELSE 1 END"
@@ -1539,7 +1556,7 @@ object FuzzGen {
             .agg(aggCols.head, aggCols.tail: _*)
             .orderBy(col("k0").asc_nulls_first)
         }
-        GenQuery(seed, sql, build)
+        GenQuery(seed, sql, build, mode = "leftnull:flag")
     }
   }
 
@@ -1604,7 +1621,7 @@ object FuzzGen {
           keyItems.map(i => col(i.alias).asc_nulls_first): _*)
         .limit(100)
     }
-    GenQuery(seed, sb.result(), build)
+    GenQuery(seed, sb.result(), build, mode = "topgroups")
   }
 
   /** v12 FULL OUTER mode: predicates on BOTH sides inside the compound ON
@@ -1650,7 +1667,7 @@ object FuzzGen {
           .select(items.map(i => i.col.as(i.alias)): _*)
           .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
           .limit(1000)
-      GenQuery(seed, sql, build)
+      GenQuery(seed, sql, build, mode = "fullouter:proj")
     } else {
       // grouped-by-tag shape
       val aggs = (0 until 1 + rnd.nextInt(2)).map(i => genAgg(rnd, dCols, s"a$i", version))
@@ -1665,7 +1682,7 @@ object FuzzGen {
           .agg(aggCols.head, aggCols.tail: _*)
           .orderBy(col("k0").asc_nulls_first)
       }
-      GenQuery(seed, sql, build)
+      GenQuery(seed, sql, build, mode = "fullouter:group")
     }
   }
 
@@ -1703,7 +1720,7 @@ object FuzzGen {
       combined.orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
         .limit(1000)
     }
-    GenQuery(seed, sql, build)
+    GenQuery(seed, sql, build, mode = "setopall")
   }
 
   /** v12 aggregate⋈aggregate: two differently-filtered groupings joined
@@ -1749,7 +1766,7 @@ object FuzzGen {
         .select(col("k0"), col("na"), col("xa"), col("nb"), col("xb"))
         .orderBy(col("k0").asc_nulls_first)
     }
-    GenQuery(seed, sql, build)
+    GenQuery(seed, sql, build, mode = "aggjoin")
   }
 
   /** v13 computed scalar expression: string functions (upper / 1-based
@@ -1840,7 +1857,7 @@ object FuzzGen {
         .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
         .limit(1000)
     }
-    GenQuery(seed, sb.result(), build)
+    GenQuery(seed, sb.result(), build, mode = "exprproj")
   }
 
   /** v13 sliding-frame window mode: sum/min/max/count OVER a bounded
@@ -1916,7 +1933,7 @@ object FuzzGen {
         .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
         .limit(1000)
     }
-    GenQuery(seed, sb.result(), build)
+    GenQuery(seed, sb.result(), build, mode = "sliding")
   }
 
   /** v13 CASE-expression group key: GROUP BY a computed predicate bucket
@@ -1969,7 +1986,7 @@ object FuzzGen {
         .agg(aggCols.head, aggCols.tail: _*)
         .orderBy(keyItems.map(i => col(i.alias).asc_nulls_first): _*)
     }
-    GenQuery(seed, sb.result(), build)
+    GenQuery(seed, sb.result(), build, mode = "casekey")
   }
 
   /** v14 correlated scalar subquery: `(SELECT min/max/avg(ic) FROM inner
@@ -2032,7 +2049,7 @@ object FuzzGen {
           .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
           .limit(1000)
       }
-      GenQuery(seed, sql, build)
+      GenQuery(seed, sql, build, mode = "corrscalar:where")
     } else {
       val picked = rnd.shuffle(oCols.toVector).take(2)
       val items = picked.zipWithIndex.map { case (c, i) =>
@@ -2053,7 +2070,7 @@ object FuzzGen {
           .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
           .limit(1000)
       }
-      GenQuery(seed, sql, build)
+      GenQuery(seed, sql, build, mode = "corrscalar:proj")
     }
   }
 
@@ -2115,7 +2132,7 @@ object FuzzGen {
           else col(i.alias)).as(i.alias)): _*)
         .orderBy(keyItems.map(i => col(i.alias).asc_nulls_first): _*)
     }
-    GenQuery(seed, sb.result(), build)
+    GenQuery(seed, sb.result(), build, mode = "havingagg")
   }
 
   /** v14 three-branch UNION ALL: associativity and column alignment over
@@ -2145,7 +2162,7 @@ object FuzzGen {
         .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
         .limit(1000)
     }
-    GenQuery(seed, sql, build)
+    GenQuery(seed, sql, build, mode = "union3")
   }
 
   /** v15 window-over-aggregate: rank the GROUPS by their aggregate value
@@ -2216,7 +2233,7 @@ object FuzzGen {
           .cast(org.apache.spark.sql.types.LongType))
         .orderBy(keyItems.map(i => col(i.alias).asc_nulls_first): _*)
     }
-    GenQuery(seed, sb.result(), build)
+    GenQuery(seed, sb.result(), build, mode = "aggrank")
   }
 
   /** v15 pagination: a total-ordered projection under LIMIT n OFFSET m —
@@ -2262,7 +2279,7 @@ object FuzzGen {
         .offset(off)
         .limit(lim)
     }
-    GenQuery(seed, sb.result(), build)
+    GenQuery(seed, sb.result(), build, mode = "offset")
   }
 
   /** v15 NULL-injection scalars: NULLIF manufactures NULLs mid-projection
@@ -2312,6 +2329,6 @@ object FuzzGen {
         .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
         .limit(1000)
     }
-    GenQuery(seed, sb.result(), build)
+    GenQuery(seed, sb.result(), build, mode = "nullscalar")
   }
 }

@@ -40,7 +40,7 @@ class FuzzSpec extends AnyFunSuite {
     (1 to 120).foreach { seed =>
       val q = FuzzGen.query(seed)
       val dfRes = q.build(spark, TestSpark.sf0001)
-      val sqlRes = spark.sql(q.sql)
+      val sqlRes = spark.sql(q.sparkSql)
       assert(dfRes.columns.toSeq == sqlRes.columns.toSeq,
         s"seed $seed column mismatch: ${q.sql}")
       val a = dfRes.collect().map(_.toString).toSeq
@@ -67,10 +67,10 @@ class FuzzSpec extends AnyFunSuite {
     var windows = 0; var setops = 0
     (1 to 120).foreach { seed =>
       val q = FuzzGen.query(seed, 2)
-      if (q.sql.contains(" OVER (")) windows += 1
-      if (Seq("UNION ALL", "INTERSECT", "EXCEPT").exists(q.sql.contains)) setops += 1
+      if (q.mode.startsWith("window:")) windows += 1
+      if (q.mode.startsWith("setop:")) setops += 1
       val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
-      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
       assert(a == b,
         s"v2 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
           s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
@@ -92,7 +92,7 @@ class FuzzSpec extends AnyFunSuite {
       if (q.sql.contains("DESC NULLS LAST")) desc += 1
       if (q.sql.contains("avg(")) avgs += 1
       val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
-      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
       assert(a == b,
         s"v3 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
           s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
@@ -112,7 +112,7 @@ class FuzzSpec extends AnyFunSuite {
       if ("PARTITION BY [a-z_]+, [a-z_]+ ".r.findFirstIn(q.sql).isDefined) multi += 1
       if (q.sql.contains(" UNION SELECT ")) union += 1
       val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
-      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
       assert(a == b,
         s"v4 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
           s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
@@ -127,16 +127,15 @@ class FuzzSpec extends AnyFunSuite {
     var subq = 0; var anti = 0; var scalar = 0; var derived = 0
     (1 to 120).foreach { seed =>
       val q = FuzzGen.query(seed, 5)
-      // disjoint shape counters: "EXISTS (SELECT" also matches inside
-      // "NOT EXISTS (SELECT", so classify anti first (ADVICE r8)
-      if (q.sql.contains("NOT EXISTS")) anti += 1
-      else if (q.sql.contains(" IN (SELECT ") ||
-        q.sql.contains("EXISTS (SELECT ")) subq += 1
-      if (q.sql.contains("(SELECT min(") || q.sql.contains("(SELECT max(") ||
-        q.sql.contains("(SELECT avg(")) scalar += 1
-      if (q.sql.contains(") d JOIN ")) derived += 1
+      // generators report the drawn mode directly (ADVICE r10: SQL
+      // substring classification silently inflates when another mode
+      // happens to emit the same token)
+      if (q.mode == "subq:anti") anti += 1
+      else if (q.mode == "subq:in" || q.mode == "subq:exists") subq += 1
+      if (q.mode == "subq:scalar") scalar += 1
+      if (q.mode == "derived") derived += 1
       val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
-      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
       assert(a == b,
         s"v5 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
           s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
@@ -156,13 +155,13 @@ class FuzzSpec extends AnyFunSuite {
     var ev = 0; var evWin = 0; var tsPred = 0
     (1 to 120).foreach { seed =>
       val q = FuzzGen.query(seed, 6)
-      val isEvents = q.sql.contains("FROM events")
+      val isEvents = q.mode.endsWith(":events")
       if (isEvents) ev += 1
-      if (isEvents && q.sql.contains(" OVER ")) evWin += 1
+      if (q.mode == "window:events") evWin += 1
       // a 2024 TIMESTAMP literal is drawn only from events.ts's pool
       if (isEvents && q.sql.contains("TIMESTAMP '2024")) tsPred += 1
       val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
-      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
       assert(a == b,
         s"v6 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
           s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
@@ -180,12 +179,12 @@ class FuzzSpec extends AnyFunSuite {
     var doc = 0; var docWin = 0; var txt = 0
     (1 to 120).foreach { seed =>
       val q = FuzzGen.query(seed, 7)
-      val isDoc = q.sql.contains("FROM documents")
+      val isDoc = q.mode.endsWith(":documents")
       if (isDoc) doc += 1
-      if (isDoc && q.sql.contains(" OVER ")) docWin += 1
+      if (q.mode == "window:documents") docWin += 1
       if (isDoc && q.sql.contains("text")) txt += 1
       val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
-      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
       assert(a == b,
         s"v7 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
           s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
@@ -202,11 +201,10 @@ class FuzzSpec extends AnyFunSuite {
     (1 to 120).foreach { seed =>
       val q = FuzzGen.query(seed, 8)
       val overNew = q.sql.contains("FROM events") || q.sql.contains("FROM documents")
-      if (overNew &&
-        Seq(" UNION ", " INTERSECT ", " EXCEPT ").exists(q.sql.contains)) setop += 1
-      if (overNew && q.sql.contains("(SELECT ")) scalar += 1
+      if (q.mode == "setop:events" || q.mode == "setop:documents") setop += 1
+      if (overNew && q.mode == "subq:scalar") scalar += 1
       val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
-      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
       assert(a == b,
         s"v8 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
           s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
@@ -234,7 +232,7 @@ class FuzzSpec extends AnyFunSuite {
         q.sql.contains("(SELECT max(") || q.sql.contains("(SELECT avg("))) subq += 1
       if (isEdge && q.sql.contains(") d JOIN ")) derived += 1
       val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
-      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
       assert(a == b,
         s"v9 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
           s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
@@ -254,14 +252,11 @@ class FuzzSpec extends AnyFunSuite {
     var condAgg = 0; var setopJoin = 0; var aggOfAgg = 0
     (1 to 120).foreach { seed =>
       val q = FuzzGen.query(seed, 10)
-      if (q.sql.contains("CASE WHEN") && q.sql.contains(" GROUP BY ") &&
-        (q.sql.contains("min(CASE") || q.sql.contains("max(CASE") ||
-          q.sql.contains("sum(CASE"))) condAgg += 1
-      if (Seq(" UNION ", " INTERSECT ", " EXCEPT ").exists(q.sql.contains) &&
-        q.sql.contains(" JOIN ")) setopJoin += 1
-      if (q.sql.contains("count(*) AS n_keys")) aggOfAgg += 1
+      if (q.mode == "condagg") condAgg += 1
+      if (q.mode == "setopjoin") setopJoin += 1
+      if (q.mode == "aggofagg") aggOfAgg += 1
       val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
-      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
       assert(a == b,
         s"v10 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
           s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
@@ -279,11 +274,11 @@ class FuzzSpec extends AnyFunSuite {
     var gsets = 0; var leftNull = 0; var topN = 0
     (1 to 120).foreach { seed =>
       val q = FuzzGen.query(seed, 11)
-      if (q.sql.contains("GROUP BY ROLLUP") || q.sql.contains("GROUP BY CUBE")) gsets += 1
-      if (q.sql.contains("IS NULL")) leftNull += 1
-      if (q.sql.contains("DESC NULLS LAST, k0") && q.sql.contains("LIMIT 100")) topN += 1
+      if (q.mode == "rollup" || q.mode == "cube") gsets += 1
+      if (q.mode.startsWith("leftnull:")) leftNull += 1
+      if (q.mode == "topgroups") topN += 1
       val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
-      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
       assert(a == b,
         s"v11 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
           s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
@@ -300,11 +295,11 @@ class FuzzSpec extends AnyFunSuite {
     var full = 0; var bagOp = 0; var aggJoin = 0
     (1 to 120).foreach { seed =>
       val q = FuzzGen.query(seed, 12)
-      if (q.sql.contains("FULL JOIN")) full += 1
-      if (q.sql.contains("INTERSECT ALL") || q.sql.contains("EXCEPT ALL")) bagOp += 1
-      if (q.sql.contains(") a JOIN (SELECT") || q.sql.contains(") a LEFT JOIN (SELECT")) aggJoin += 1
+      if (q.mode.startsWith("fullouter:")) full += 1
+      if (q.mode == "setopall") bagOp += 1
+      if (q.mode == "aggjoin") aggJoin += 1
       val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
-      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
       assert(a == b,
         s"v12 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
           s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
@@ -321,13 +316,11 @@ class FuzzSpec extends AnyFunSuite {
     var exprs = 0; var sliding = 0; var caseKey = 0
     (1 to 120).foreach { seed =>
       val q = FuzzGen.query(seed, 13)
-      if (Seq("upper(", "substr(", "length(", "year(", "month(", "day(",
-        " AS BIGINT) + ", " AS BIGINT) * 2").exists(q.sql.contains)) exprs += 1
-      if (q.sql.contains("PRECEDING AND CURRENT ROW") &&
-        !q.sql.contains("UNBOUNDED PRECEDING")) sliding += 1
-      if (q.sql.contains("GROUP BY CASE WHEN")) caseKey += 1
+      if (q.mode == "exprproj") exprs += 1
+      if (q.mode == "sliding") sliding += 1
+      if (q.mode == "casekey") caseKey += 1
       val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
-      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
       assert(a == b,
         s"v13 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
           s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
@@ -344,12 +337,11 @@ class FuzzSpec extends AnyFunSuite {
     var corr = 0; var hav = 0; var u3 = 0
     (1 to 120).foreach { seed =>
       val q = FuzzGen.query(seed, 14)
-      if (Seq("(SELECT min(", "(SELECT max(", "(SELECT avg(").exists(q.sql.contains) &&
-        q.sql.contains(" = ")) corr += 1
-      if (q.sql.contains("HAVING max(") || q.sql.contains("HAVING min(")) hav += 1
-      if (q.sql.split(" UNION ALL ").length == 3) u3 += 1
+      if (q.mode.startsWith("corrscalar:")) corr += 1
+      if (q.mode == "havingagg") hav += 1
+      if (q.mode == "union3") u3 += 1
       val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
-      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
       assert(a == b,
         s"v14 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
           s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
@@ -366,11 +358,11 @@ class FuzzSpec extends AnyFunSuite {
     var aggRank = 0; var offs = 0; var nullSc = 0
     (1 to 120).foreach { seed =>
       val q = FuzzGen.query(seed, 15)
-      if (q.sql.contains(" OVER (ORDER BY ") && q.sql.contains(" GROUP BY ")) aggRank += 1
-      if (q.sql.contains(" OFFSET ")) offs += 1
-      if (q.sql.contains("nullif(") && q.sql.contains("IS DISTINCT FROM")) nullSc += 1
+      if (q.mode == "aggrank") aggRank += 1
+      if (q.mode == "offset") offs += 1
+      if (q.mode == "nullscalar") nullSc += 1
       val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
-      val b = spark.sql(q.sql).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
       assert(a == b,
         s"v15 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
           s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
