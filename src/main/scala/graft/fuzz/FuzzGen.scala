@@ -310,7 +310,28 @@ object FuzzGen {
       FCol("text", 's', sLit("join", "spark", "the")),
       FCol("lang", 's', sLit("de", "en", "es", "fr", "zh"), groupable = true),
       FCol("source", 's', sLit("src11", "src17", "src3"), groupable = true),
-      FCol("n_chars", 'i', iLit(100, 250, 400, 500))))
+      FCol("n_chars", 'i', iLit(100, 250, 400, 500))),
+    // v16: the derived scalar view over EMBEDDINGS — the last corpus table
+    // with zero generated coverage (its ARRAY<FLOAT> column has no portable
+    // scalar grammar, so the fuzz surface is a per-seed DERIVED TABLE of
+    // integer-exact projections; see [[drawEmbOverride]]). Column
+    // definitions vary per seed (which element, which slice), but names and
+    // literal pools are fixed: every value is floor(1e6·x) of a per-row
+    // correctly-rounded IEEE derivation (never an accumulated float across
+    // rows — the x15/x20 determinism rule), so all downstream predicates /
+    // aggregates / windows run on exact BIGINTs. Pools profiled from the
+    // corpus (element values ±0.41 ⇒ e_a/e_b ±410k around 0; 4-16-element
+    // head sums ⇒ e_s wider; 8-32-element squared sums of UNIT vectors
+    // ⇒ e_q ≈ 1e6·k/64; positives-per-vector e_np ≈ 32±4; vec_id dense
+    // 0..499 at sf0.001/0.01; label 0..9).
+    "emb" -> Seq(
+      FCol("vec_id", 'i', iLit(60, 180, 320, 460)),
+      FCol("label", 'i', iLit(2, 4, 7), groupable = true),
+      FCol("e_a", 'i', iLit(-150000, -50000, 0, 50000, 150000)),
+      FCol("e_b", 'i', iLit(-150000, -50000, 0, 50000, 150000)),
+      FCol("e_s", 'i', iLit(-300000, -80000, 0, 80000, 300000)),
+      FCol("e_q", 'i', iLit(100000, 200000, 350000, 500000)),
+      FCol("e_np", 'i', iLit(28, 31, 33, 36))))
 
   /** VERIFIED-unique key of each table in the synthetic corpus. FK-chain
     * joins go FK → unique PK, so a chain's output rows stay uniquely
@@ -337,7 +358,10 @@ object FuzzGen {
     // count(DISTINCT event_id) = count(*) verified at sf0.001/0.01/0.1
     "events"   -> Seq("event_id"),
     // doc_id is 0..N-1 dense, verified distinct at sf0.001/0.01/0.1
-    "documents" -> Seq("doc_id"))
+    "documents" -> Seq("doc_id"),
+    // v16's derived view keeps embeddings' vec_id (0..N-1 dense, verified
+    // distinct at sf0.001/0.01/0.1) as its unique head key
+    "emb" -> Seq("vec_id"))
 
   /** Window sort-preference columns per head table: the PK where verified
     * unique, the (non-unique) PK-shaped pair for lineitem — usable as a
@@ -383,6 +407,88 @@ object FuzzGen {
     * events, and likewise kept OUT of [[chains]].
     */
   private val documentsChain = Chain(Seq("documents"), Nil)
+
+  /** v16's forced chain: the "emb" pseudo-table is the per-seed derived
+    * projection of embeddings (see [[drawEmbOverride]]); single-table like
+    * events/documents and kept OUT of [[chains]] so versions ≤ 15 never
+    * draw it.
+    */
+  private val embChain = Chain(Seq("emb"), Nil)
+
+  /** A per-seed replacement for a chain's HEAD table: the same derived
+    * relation rendered three ways — DuckDB-dialect FROM fragment (the
+    * oracle text), Spark-dialect FROM fragment (the spark.sql construction
+    * path), and the DataFrame-API loader. Needed because the two engines
+    * share no array/HOF syntax (`element_at`/`slice`/`aggregate` vs
+    * `[i]`/`[a:b]`/`list_reduce`); everything OUTSIDE the fragment stays in
+    * the shared dialect, so only queries that draw an override carry a
+    * distinct sparkSql rendering.
+    */
+  final case class TableOverride(fromDuck: String, fromSpark: String,
+                                 load: (SparkSession, String) => DataFrame)
+
+  /** v16's embeddings surface: draw per-seed element indices and slice
+    * lengths, and build the "emb" derived table of integer-exact scalars:
+    *
+    *   e_a, e_b  = floor(1e6 · embedding[ka|kb])      — one element each
+    *   e_s       = floor(1e6 · Σ embedding[1..kc])    — sequential fold
+    *   e_q       = floor(1e6 · Σ embedding[i]², i≤kd) — sequential fold
+    *   e_np      = #{i : embedding[i] > 0}
+    *
+    * Cross-engine determinism: parquet FLOATs read bit-identically in both
+    * engines; FLOAT→DOUBLE widening is exact; each fold is SEQUENTIAL in
+    * both renderings (Spark `aggregate` with a 0.0 seed ≡ DuckDB
+    * `list_reduce` over the cast list — adding 0.0 to the first element is
+    * exact, the f10/f11 oracle-proven pattern), so every IEEE operation
+    * happens in the same order on the same bits; ×1e6 is one correctly-
+    * rounded multiply; floor + BIGINT cast are exact. The grammar above the
+    * view then only ever sees BIGINTs.
+    */
+  private def drawEmbOverride(rnd: Random): TableOverride = {
+    val ka = 1 + rnd.nextInt(64)
+    val kb0 = 1 + rnd.nextInt(64)
+    val kb = if (kb0 == ka) (ka % 64) + 1 else kb0
+    val kc = 4 + rnd.nextInt(13) // head-sum slice: 4..16 elements
+    val kd = 8 + rnd.nextInt(25) // squared-sum slice: 8..32 elements
+    def scaled(inner: String) =
+      s"CAST(floor($inner * 1000000) AS BIGINT)"
+    val duck =
+      "(SELECT vec_id, label, " +
+        scaled(s"CAST(embedding[$ka] AS DOUBLE)") + " AS e_a, " +
+        scaled(s"CAST(embedding[$kb] AS DOUBLE)") + " AS e_b, " +
+        scaled(s"list_reduce(list_transform(embedding[1:$kc], " +
+          "x -> CAST(x AS DOUBLE)), (a, b) -> a + b)") + " AS e_s, " +
+        scaled(s"list_reduce(list_transform(embedding[1:$kd], " +
+          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)") + " AS e_q, " +
+        "CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS e_np " +
+        "FROM embeddings) emb"
+    val spk =
+      "(SELECT vec_id, label, " +
+        scaled(s"CAST(element_at(embedding, $ka) AS DOUBLE)") + " AS e_a, " +
+        scaled(s"CAST(element_at(embedding, $kb) AS DOUBLE)") + " AS e_b, " +
+        scaled(s"aggregate(transform(slice(embedding, 1, $kc), " +
+          "x -> CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, b) -> a + b)") + " AS e_s, " +
+        scaled(s"aggregate(transform(slice(embedding, 1, $kd), " +
+          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
+          "(a, b) -> a + b)") + " AS e_q, " +
+        "CAST(size(filter(embedding, x -> x > 0)) AS BIGINT) AS e_np " +
+        "FROM embeddings) emb"
+    val load = (s: SparkSession, d: String) => {
+      val e = col("embedding")
+      def fold(k: Int, sq: Boolean): Column = aggregate(
+        transform(slice(e, 1, k),
+          x => if (sq) x.cast("double") * x.cast("double") else x.cast("double")),
+        lit(0.0), (a, x) => a + x)
+      loadFuzzTable(s, d, "embeddings").select(
+        col("vec_id"), col("label"),
+        floor(element_at(e, ka).cast("double") * 1000000).cast("long").as("e_a"),
+        floor(element_at(e, kb).cast("double") * 1000000).cast("long").as("e_b"),
+        floor(fold(kc, sq = false) * 1000000).cast("long").as("e_s"),
+        floor(fold(kd, sq = true) * 1000000).cast("long").as("e_q"),
+        size(filter(e, x => x > 0)).cast("long").as("e_np"))
+    }
+    TableOverride(duck, spk, load)
+  }
 
   /** v9's cross-family chains: `events.user_id → customer.c_custkey` is a
     * verified FK containment at every sf (every user_id has a matching
@@ -539,6 +645,24 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 16) {
+      // v16 mode byte: the embeddings table — its ARRAY<FLOAT> column has
+      // no portable scalar grammar, so each seed draws a DERIVED TABLE of
+      // integer-exact array/HOF scalars ([[drawEmbOverride]]: element
+      // access, sequential slice folds, HOF filter count) and runs the
+      // shared body/window machinery over it. The one grammar whose two
+      // SQL renderings differ (Spark vs DuckDB array dialects) — the
+      // differential is DF-API vs spark.sql(sparkSql) vs DuckDB(sql),
+      // three paths from one draw. Versions ≤ 15 never take this draw;
+      // fall-through continues into the v15 dispatch.
+      val m16 = rnd.nextInt(10)
+      if (m16 < 8) {
+        val tov = Some(drawEmbOverride(rnd))
+        if (m16 < 5) return bodyQuery(seed, rnd, version, embChain, tov)
+        else return windowQuery(seed, rnd, version, Some(embChain), tov)
+      }
+      // else: fall through to the v15 dispatch with the advanced rnd state
+    }
     if (version >= 15) {
       // v15 mode byte: window-over-aggregate, OFFSET pagination, and
       // NULLIF / IS DISTINCT FROM scalars. Versions ≤ 14 never take this
@@ -680,7 +804,8 @@ object FuzzGen {
     * stays at the call site for versions ≤ 5).
     */
   private def bodyQuery(seed: Int, rnd: Random, version: Int,
-                        chain: Chain): GenQuery = {
+                        chain: Chain,
+                        tov: Option[TableOverride] = None): GenQuery = {
     val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
     val cols = chain.tables.flatMap(catalog)
 
@@ -737,10 +862,11 @@ object FuzzGen {
         (aggs.toVector, Vector.empty[FCol], None, false, None, false)
     }
 
-    // ---- SQL rendering ----
-    val sb = new StringBuilder(if (distinct) "SELECT DISTINCT " else "SELECT ")
-    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
-    sb ++= s" FROM ${chain.tables.head}"
+    // ---- SQL rendering (head FROM fragment swaps per dialect when a
+    // TableOverride is drawn; everything else is the shared dialect) ----
+    val selSql = (if (distinct) "SELECT DISTINCT " else "SELECT ") +
+      items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ") + " FROM "
+    val sb = new StringBuilder()
     chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
       val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
       sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
@@ -763,11 +889,16 @@ object FuzzGen {
         case (a, false) => s"$a DESC NULLS LAST"
       }.mkString(", ")
     limit.foreach(n => sb ++= s" LIMIT $n")
-    val sqlText = sb.result()
+    val tailSql = sb.result()
+    val sqlText = selSql + tov.map(_.fromDuck).getOrElse(chain.tables.head) + tailSql
+    val sparkSqlText = tov.map(o => selSql + o.fromSpark + tailSql)
 
     // ---- DataFrame-API rendering (same draw, independent construction) ----
     val build = (s: SparkSession, d: String) => {
-      val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+      val dfs = chain.tables.zipWithIndex.map { case (t, i) =>
+        if (i == 0 && tov.isDefined) tov.get.load(s, d)
+        else loadFuzzTable(s, d, t)
+      }
       var j = dfs.head
       chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
         j = j.join(dfs(i + 1), col(lk) === col(rk),
@@ -800,7 +931,8 @@ object FuzzGen {
       limit.foreach(n => out = out.limit(n))
       out
     }
-    GenQuery(seed, sqlText, build, mode = s"body:$mode:${chain.tables.head}")
+    GenQuery(seed, sqlText, build, sparkSqlOpt = sparkSqlText,
+      mode = s"body:$mode:${chain.tables.head}")
   }
 
   /** v2 window mode: project the head table's key + the partition column +
@@ -812,7 +944,8 @@ object FuzzGen {
     * tie-breaking (the [[uniqueKeys]] doc has the corpus evidence).
     */
   private def windowQuery(seed: Int, rnd: Random, version: Int,
-                          chainOverride: Option[Chain] = None): GenQuery = {
+                          chainOverride: Option[Chain] = None,
+                          tov: Option[TableOverride] = None): GenQuery = {
     // v6 forces the events chain (no chain draw — v6 seeds are a fresh
     // sequence); every older caller passes None and draws as before.
     val chain = chainOverride.getOrElse(chains(rnd.nextInt(chains.length)))
@@ -915,9 +1048,9 @@ object FuzzGen {
     // and those are indistinguishable in the compare
     val orderAliases = items.map(_.alias)
 
-    val sb = new StringBuilder("SELECT ")
-    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
-    sb ++= s" FROM ${chain.tables.head}"
+    val selSql = "SELECT " +
+      items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ") + " FROM "
+    val sb = new StringBuilder()
     chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
       val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
       sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
@@ -925,9 +1058,15 @@ object FuzzGen {
     if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
     sb ++= " ORDER BY " + orderAliases.map(a => s"$a ASC NULLS FIRST").mkString(", ")
     sb ++= " LIMIT 1000"
+    val tailSql = sb.result()
+    val sqlText = selSql + tov.map(_.fromDuck).getOrElse(chain.tables.head) + tailSql
+    val sparkSqlText = tov.map(o => selSql + o.fromSpark + tailSql)
 
     val build = (s: SparkSession, d: String) => {
-      val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+      val dfs = chain.tables.zipWithIndex.map { case (t, i) =>
+        if (i == 0 && tov.isDefined) tov.get.load(s, d)
+        else loadFuzzTable(s, d, t)
+      }
       var j = dfs.head
       chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
         j = j.join(dfs(i + 1), col(lk) === col(rk),
@@ -938,7 +1077,8 @@ object FuzzGen {
         .orderBy(orderAliases.map(a => col(a).asc_nulls_first): _*)
         .limit(1000)
     }
-    GenQuery(seed, sb.result(), build, mode = s"window:${chain.tables.head}")
+    GenQuery(seed, sqlText, build, sparkSqlOpt = sparkSqlText,
+      mode = s"window:${chain.tables.head}")
   }
 
   /** v2 set-op mode: two differently-filtered projections of one table

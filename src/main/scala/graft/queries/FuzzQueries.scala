@@ -263,6 +263,32 @@ object FuzzQueries {
     Seq(7002, 7004, 7005, 7007, 7009, 7010, 7011, 7015, 7016, 7017, 7019,
       7020, 7023, 7024, 7027, 7028, 7029, 7033, 7035, 7042)
 
+  // Grammar-v16 slice (the embeddings table — the last corpus table with
+  // zero generated coverage; each seed derives integer-exact array/HOF
+  // scalars and is rendered THREE ways: DF-API, Spark-dialect SQL, and
+  // DuckDB-dialect SQL — see FuzzGen.drawEmbOverride). Whole 8001-8200
+  // range verified against DuckDB at sf0.001 AND sf0.01 (200/200 pass
+  // both, r11, zero divergence first sweep); picks emb-bearing, non-empty
+  // at both SFs, seed range 8001+ disjoint from every older slice by
+  // construction. Windows over the derived view: rank+dense_rank by
+  // positive-count (8001), last_value under a fold BETWEEN pred (8003),
+  // first_value of the head sum (8008), per-label sum of folds (8014),
+  // lag (8020), lead at 26-row selectivity (8091), rank+dense_rank
+  // selective (8125), lag of the squared fold (8142), ntile (8188).
+  // Grouped: max fold + count-DISTINCT element (8002), sum of squared
+  // folds (8016), avg under a squared-fold pred — 2 groups survive
+  // (8088), count-DISTINCT + head-sum pred (8098), avg by label (8124),
+  // sum at 2-row selectivity (8174). Projections: all-three derived cols
+  // (8018), fold BETWEEN + CASE (8025), IN + CASE 3-row selective (8081),
+  // SELECT DISTINCT over four derived cols (8107), modulo over folds
+  // (8130), DISTINCT + modulo (8144). Global: sum + count-DISTINCT fold
+  // (8126), avg of squared fold + positive count (8170). Rendered with
+  // query(seed, 16).
+  val declaredSeedsV16: Seq[Int] =
+    Seq(8001, 8002, 8003, 8008, 8014, 8016, 8018, 8020, 8025, 8081, 8088,
+      8091, 8098, 8107, 8124, 8125, 8126, 8130, 8142, 8144, 8170, 8174,
+      8188)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -278,7 +304,8 @@ object FuzzQueries {
       declaredSeedsV12.map(s => s -> FuzzGen.query(s, 12)) ++
       declaredSeedsV13.map(s => s -> FuzzGen.query(s, 13)) ++
       declaredSeedsV14.map(s => s -> FuzzGen.query(s, 14)) ++
-      declaredSeedsV15.map(s => s -> FuzzGen.query(s, 15))).map { case (seed, g) =>
+      declaredSeedsV15.map(s => s -> FuzzGen.query(s, 15)) ++
+      declaredSeedsV16.map(s => s -> FuzzGen.query(s, 16))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

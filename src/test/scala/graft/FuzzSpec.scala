@@ -33,6 +33,10 @@ class FuzzSpec extends AnyFunSuite {
     // v7 draws documents (plain scan, no normalization)
     Tables.load(spark, TestSpark.sf0001, "documents")
       .createOrReplaceTempView("documents")
+    // v16 draws the embeddings-derived "emb" view; the spark.sql rendering
+    // references the raw embeddings table inside its derived subquery
+    Tables.load(spark, TestSpark.sf0001, "embeddings")
+      .createOrReplaceTempView("embeddings")
   }
 
   test("120 seeded random queries: DataFrame-API plan ≡ spark.sql of the generated SQL") {
@@ -374,6 +378,37 @@ class FuzzSpec extends AnyFunSuite {
     assert(nullSc >= 10, s"NULLIF/IS-DISTINCT mode under-drawn: $nullSc")
   }
 
+  test("grammar v16 (embeddings array/HOF derived scalars): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var emb = 0; var embWin = 0; var dual = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 16)
+      if (q.mode.endsWith(":emb")) emb += 1
+      if (q.mode == "window:emb") embWin += 1
+      if (q.sparkSqlOpt.isDefined) {
+        dual += 1
+        // the two dialects must genuinely differ (else the third rendering
+        // adds no evidence) and the oracle text must carry the DuckDB array
+        // syntax, never Spark's
+        assert(q.sparkSql != q.sql, s"v16 seed $seed: dialects identical")
+        assert(q.sql.contains("list_reduce(") && !q.sql.contains("element_at("),
+          s"v16 seed $seed: oracle text not DuckDB-dialect: ${q.sql.take(120)}")
+        assert(q.sparkSql.contains("aggregate(") && !q.sparkSql.contains("list_reduce("),
+          s"v16 seed $seed: spark text not Spark-dialect")
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v16 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sparkSql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v16 seeds matched; $emb over emb ($embWin windowed, $dual dual-dialect)")
+    assert(emb >= 60, s"emb mode under-drawn: $emb")
+    assert(embWin >= 15, s"emb window shape under-drawn: $embWin")
+    assert(dual == emb, s"every emb query must render dual dialects: $dual != $emb")
+  }
+
   test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
     // the fz2xx catalog entries render from v1; a change here would silently
     // re-point their oracle SQL
@@ -481,7 +516,15 @@ class FuzzSpec extends AnyFunSuite {
       "fz7017" -> "aa66610e", "fz7019" -> "486db9f8", "fz7020" -> "fe676146",
       "fz7023" -> "f556589a", "fz7024" -> "2a0f5fb5", "fz7027" -> "130ccec7",
       "fz7028" -> "99f54108", "fz7029" -> "754b81d0", "fz7033" -> "4efdf41f",
-      "fz7035" -> "63178ac8", "fz7042" -> "78e29f18")
+      "fz7035" -> "63178ac8", "fz7042" -> "78e29f18",
+      "fz8001" -> "28c07ad2", "fz8002" -> "5d4d1977", "fz8003" -> "558fdbf3",
+      "fz8008" -> "a695564f", "fz8014" -> "5f413326", "fz8016" -> "8b2dd657",
+      "fz8018" -> "bac49dd1", "fz8020" -> "9d4fe341", "fz8025" -> "4ffe5657",
+      "fz8081" -> "a0d54c41", "fz8088" -> "2e4fcb1a", "fz8091" -> "d25bb32a",
+      "fz8098" -> "bb5f26db", "fz8107" -> "8793070f", "fz8124" -> "479e318a",
+      "fz8125" -> "716253f5", "fz8126" -> "d0e560f8", "fz8130" -> "e299220c",
+      "fz8142" -> "081aae6b", "fz8144" -> "7c975943", "fz8170" -> "fdf09f0b",
+      "fz8174" -> "546cfd99", "fz8188" -> "4dba7850")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>

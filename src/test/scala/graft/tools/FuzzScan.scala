@@ -17,7 +17,8 @@ object FuzzScan {
     (from to to).foreach { seed =>
       val q = FuzzGen.query(seed, version)
       val shape =
-        if (q.sql.contains("NOT EXISTS")) "ANTI "
+        if (q.mode.nonEmpty) q.mode.padTo(18, ' ').take(18)
+        else if (q.sql.contains("NOT EXISTS")) "ANTI "
         else if (q.sql.contains("EXISTS (SELECT ")) "EXIST"
         else if (q.sql.contains(" IN (SELECT ")) "INSUB"
         else if (Seq("(SELECT min(", "(SELECT max(", "(SELECT avg(")
