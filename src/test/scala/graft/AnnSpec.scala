@@ -41,13 +41,14 @@ class AnnSpec extends AnyFunSuite {
     val approx = Ann.lshTopK(queries, emb, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // Corpus, hyperplanes, and tie-breaks are all deterministic, so recall
-    // is a stable number (measured 0.38 on this corpus) — gate it with
-    // margin rather than merely asserting structure.
+    // is a stable number (measured 0.38 on this corpus) — gate it at
+    // measured − 0.1 (r11 verdict item #6: a 0.2 floor would pass a badly
+    // broken index).
     assert(approx.nonEmpty)
     val recall = exact.intersect(approx).size.toDouble / exact.size
     info(s"recall@5 = $recall")
-    assert(recall >= 0.2,
-      s"LSH recall regressed below the gated floor: $recall")
+    assert(recall >= 0.28,
+      s"LSH recall regressed below measured-minus-margin (0.38 - 0.1): $recall")
   }
 
   test("IVF top-k: valid structure and recall competitive with probing rate") {
@@ -60,9 +61,10 @@ class AnnSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     info(s"ivf recall@5 = $recall (2/8 cells probed)")
-    // deterministic k-means seed + corpus → stable recall (measured 0.48)
-    assert(recall >= 0.25,
-      s"IVF recall regressed below the gated floor: $recall")
+    // deterministic k-means seed + corpus → stable recall (measured 0.48);
+    // floor = measured − 0.1 (r11 verdict item #6)
+    assert(recall >= 0.38,
+      s"IVF recall regressed below measured-minus-margin (0.48 - 0.1): $recall")
   }
 
   test("allPairsTopN: blocked grid covers every pair exactly once (multi-block == single-block == local reference)") {

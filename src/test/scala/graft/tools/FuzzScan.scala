@@ -17,7 +17,9 @@ object FuzzScan {
     (from to to).foreach { seed =>
       val q = FuzzGen.query(seed, version)
       val shape =
-        if (q.mode.nonEmpty) q.mode.padTo(18, ' ').take(18)
+        // pad to the longest tag without truncating (ADVICE r11: padTo+take
+        // rendered distinct long tags identically in the scan listing)
+        if (q.mode.nonEmpty) q.mode.padTo(24, ' ')
         else if (q.sql.contains("NOT EXISTS")) "ANTI "
         else if (q.sql.contains("EXISTS (SELECT ")) "EXIST"
         else if (q.sql.contains(" IN (SELECT ")) "INSUB"
