@@ -199,6 +199,29 @@ import graft.Tables
   *     then flow through the ORDER BY NULLS placement; <=> vs = under
   *     those NULLs is exactly the semantics the null-safe operator
   *     exists for).
+  * Grammar v17 closes the round-11 coverage asymmetry: base-table columns
+  * are never NULL, so three-valued logic was under-fuzzed everywhere
+  * (v11/v12 manufacture NULLs only through outer-join extension, v15 only
+  * through NULLIF). v17 decorates a corpus table with a DETERMINISTIC
+  * NULL-injecting derived view — `CASE WHEN (pk % m) = r THEN NULL ELSE c
+  * END` over 1-2 drawn victim columns, identical in the shared-dialect SQL
+  * and the DataFrame rendering (the v16 TableOverride mechanism, here with
+  * ONE SQL text since both engines speak CASE) — and runs three mode
+  * families over it:
+  *   - dedicated NULL-semantics predicates ([[nullPredQuery]]): NOT IN
+  *     over the nullable column (the all-rows-vanish trap: a NULL operand
+  *     makes the whole NOT IN evaluate to NULL, dropping the row in both
+  *     engines), IN-lists CONTAINING a NULL literal, IS [NOT] DISTINCT
+  *     FROM (null-safe comparison — IS DISTINCT FROM keeps the NULL rows
+  *     a <> would drop), IS NULL filters, COALESCE repair, and the
+  *     NULL-skipping aggregate contrast (count(*) vs count(c) vs
+  *     count(DISTINCT c) vs sum/min/max over a partially-NULL column);
+  *   - the shared proj/group/global body over the nullable view — NULL
+  *     group keys, NULL-skipping aggregates, and NULLS FIRST/LAST
+  *     placement under both ASC and DESC ordering of genuinely-NULL data;
+  *   - the window generator over the nullable view — rank/value windows
+  *     whose partition or order columns carry real NULLs (the unique head
+  *     key is never a victim, so order-dependent draws stay total).
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -209,6 +232,15 @@ import graft.Tables
   * so only sum-bearing seeds re-pinned.
   */
 object FuzzGen {
+
+  /** The corpus's embedding dimensionality. v16's element-index draws go
+    * 1..EmbeddingDim, which under ANSI would THROW in Spark but silently
+    * yield NULL in DuckDB if the corpus were ever regenerated narrower —
+    * the two renderings failing DIFFERENTLY (ADVICE r11). FuzzSpec's
+    * "embeddings are EmbeddingDim-wide" test pins the corpus fact so a dim
+    * change fails loudly and identically before any generated query runs.
+    */
+  val EmbeddingDim = 64
 
   /** A literal rendered for both paths. */
   final case class Lit(sql: String, col: Column)
@@ -445,9 +477,9 @@ object FuzzGen {
     * view then only ever sees BIGINTs.
     */
   private def drawEmbOverride(rnd: Random): TableOverride = {
-    val ka = 1 + rnd.nextInt(64)
-    val kb0 = 1 + rnd.nextInt(64)
-    val kb = if (kb0 == ka) (ka % 64) + 1 else kb0
+    val ka = 1 + rnd.nextInt(EmbeddingDim)
+    val kb0 = 1 + rnd.nextInt(EmbeddingDim)
+    val kb = if (kb0 == ka) (ka % EmbeddingDim) + 1 else kb0
     val kc = 4 + rnd.nextInt(13) // head-sum slice: 4..16 elements
     val kd = 8 + rnd.nextInt(25) // squared-sum slice: 8..32 elements
     def scaled(inner: String) =
@@ -490,6 +522,48 @@ object FuzzGen {
     TableOverride(duck, spk, load)
   }
 
+  /** v17's NULL-injection pool: corpus tables with a verified-unique int
+    * key IN the fuzz catalog (the modulo driver; never itself a victim, so
+    * window order-dependent draws stay total). lineitem is absent for the
+    * same duplicate-PK reason it has no [[uniqueKeys]] row; the tiny dims
+    * (region/nation) are absent because NULLing 1-in-m of 3-25 rows leaves
+    * too few NULLs to exercise anything.
+    */
+  private val nullablePool: Vector[String] =
+    Vector("orders", "customer", "supplier", "part", "events", "documents")
+
+  /** v17's NULL-injecting derived view: replace 1-2 drawn victim columns
+    * with `CASE WHEN (pk % m) = r THEN NULL ELSE c END` (m in 5..9 — a
+    * deterministic 1-in-m of rows per victim become NULL in BOTH
+    * renderings). Unlike v16 the fragment is the SHARED dialect — both
+    * engines speak CASE — so fromDuck == fromSpark and a v17 query carries
+    * one SQL text. The view is aliased to the base table name so the body
+    * generators' column references resolve unchanged.
+    */
+  private def drawNullOverride(rnd: Random): (TableOverride, Chain, Seq[FCol]) = {
+    val t = nullablePool(rnd.nextInt(nullablePool.length))
+    val key = uniqueKeys(t).head
+    val candidates = catalog(t).filterNot(_.name == key)
+    val victims = rnd.shuffle(candidates.toVector).take(1 + rnd.nextInt(2))
+    val m = 5 + rnd.nextInt(5)
+    val r = rnd.nextInt(m)
+    val victimNames = victims.map(_.name).toSet
+    val colSqls = catalog(t).map { c =>
+      if (victimNames(c.name))
+        s"CASE WHEN ($key % $m) = $r THEN NULL ELSE ${c.name} END AS ${c.name}"
+      else c.name
+    }
+    val frag = s"(SELECT ${colSqls.mkString(", ")} FROM $t) $t"
+    val load = (s: SparkSession, d: String) => {
+      loadFuzzTable(s, d, t).select(catalog(t).map { c =>
+        if (victimNames(c.name))
+          when((col(key) % m) === r, lit(null)).otherwise(col(c.name)).as(c.name)
+        else col(c.name)
+      }: _*)
+    }
+    (TableOverride(frag, frag, load), Chain(Seq(t), Nil), victims)
+  }
+
   /** v9's cross-family chains: `events.user_id → customer.c_custkey` is a
     * verified FK containment at every sf (every user_id has a matching
     * customer; max user_id ≈ custkeys/10), extending into the usual
@@ -505,7 +579,7 @@ object FuzzGen {
   /** v9's FK edge for the subquery / derived-table generators (same shape
     * as [[fkEdges]] rows; kept separate so older versions never draw it).
     */
-  private val eventsCustomerEdge: (String, String, String, String) =
+  private[graft] val eventsCustomerEdge: (String, String, String, String) =
     ("events", "user_id", "customer", "c_custkey")
 
   /** Table loader for generated builds — the engine's normalized view of
@@ -645,6 +719,29 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 17) {
+      // v17 mode byte: NULL-injection — a deterministic nullable derived
+      // view ([[drawNullOverride]]) under the dedicated NULL-semantics
+      // mode, the shared body, or the window generator. The decorated
+      // queries keep ONE SQL text (shared dialect), so sparkSqlOpt is
+      // cleared: the Some(...) marker stays reserved for genuinely
+      // dual-dialect grammars (v16). Versions ≤ 16 never take this draw;
+      // fall-through continues into the v16 dispatch.
+      val m17 = rnd.nextInt(10)
+      if (m17 < 8) {
+        val (tov, chain, victims) = drawNullOverride(rnd)
+        if (m17 < 4)
+          return nullPredQuery(seed, rnd, version, chain, tov, victims)
+        else if (m17 < 6) {
+          val q = bodyQuery(seed, rnd, version, chain, Some(tov))
+          return q.copy(sparkSqlOpt = None, mode = s"null:${q.mode}")
+        } else {
+          val q = windowQuery(seed, rnd, version, Some(chain), Some(tov))
+          return q.copy(sparkSqlOpt = None, mode = s"null:${q.mode}")
+        }
+      }
+      // else: fall through to the v16 dispatch with the advanced rnd state
+    }
     if (version >= 16) {
       // v16 mode byte: the embeddings table — its ARRAY<FLOAT> column has
       // no portable scalar grammar, so each seed draws a DERIVED TABLE of
@@ -1134,7 +1231,7 @@ object FuzzGen {
     * derived-table mode aggregates the outer (fact) side BY the FK and joins
     * the aggregate to the inner (dimension) side.
     */
-  private val fkEdges: Seq[(String, String, String, String)] = Seq(
+  private[graft] val fkEdges: Seq[(String, String, String, String)] = Seq(
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),
     ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
@@ -2335,8 +2432,21 @@ object FuzzGen {
       case 1 => "dense_rank()"
       case _ => "row_number()"
     }
-    val items = keyItems ++ Seq(measure,
-      Item("r", s"CAST($fnSql OVER ($overSql) AS BIGINT)", lit(0)))
+    // the real window Column (over the post-aggregate aliases a0/k*, which
+    // resolve where the build applies it) — ADVICE r11: a lit(0) placeholder
+    // here would silently render a constant if the Item were ever consumed
+    // as a Column by a future refactor
+    val w0 = Window.orderBy(
+      col("a0").desc_nulls_last +:
+        keys.indices.map(i => col(s"k$i").asc_nulls_first): _*)
+    val fnCol0 = fnDraw match {
+      case 0 => rank()
+      case 1 => dense_rank()
+      case _ => row_number()
+    }
+    val rankItem = Item("r", s"CAST($fnSql OVER ($overSql) AS BIGINT)",
+      fnCol0.over(w0).cast(org.apache.spark.sql.types.LongType))
+    val items = keyItems ++ Seq(measure, rankItem)
 
     val sb = new StringBuilder("SELECT ")
     sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
@@ -2358,19 +2468,10 @@ object FuzzGen {
           if (joinKinds(i) == "LEFT") "left" else "inner")
       }
       preds.foreach(p => j = j.where(p.col))
-      val w = Window.orderBy(
-        col("a0").desc_nulls_last +:
-          keyItems.map(i => col(i.alias).asc_nulls_first): _*)
-      val fnCol = fnDraw match {
-        case 0 => rank()
-        case 1 => dense_rank()
-        case _ => row_number()
-      }
       j.groupBy(keys.map(c => col(c.name)): _*)
         .agg(measure.col.as("a0"))
         .select(keyItems.map(i => col(i.sql).as(i.alias)) :+ col("a0"): _*)
-        .withColumn("r", fnCol.over(w)
-          .cast(org.apache.spark.sql.types.LongType))
+        .withColumn("r", rankItem.col)
         .orderBy(keyItems.map(i => col(i.alias).asc_nulls_first): _*)
     }
     GenQuery(seed, sb.result(), build, mode = "aggrank")
@@ -2470,5 +2571,129 @@ object FuzzGen {
         .limit(1000)
     }
     GenQuery(seed, sb.result(), build, mode = "nullscalar")
+  }
+
+  /** v17 dedicated NULL-semantics mode over the nullable derived view:
+    * the predicate families whose three-valued logic only shows up on
+    * genuinely-NULL operands. Five shapes:
+    *   0  NOT IN — the all-rows-vanish trap: `NULL NOT IN (a, b)` is NULL,
+    *      so every NULL row is dropped in both engines (and a NOT IN whose
+    *      list CONTAINED a NULL would drop everything — that list shape is
+    *      drawn in shape 1 under plain IN, where it is merely weird, not
+    *      vacuous);
+    *   1  IN with a NULL literal in the list — true on match, NULL (drop)
+    *      otherwise; the DF rendering is the expansion `c = a OR c = b OR
+    *      c = NULL`, which is exactly IN's defined semantics;
+    *   2  IS [NOT] DISTINCT FROM — the null-safe comparison: IS DISTINCT
+    *      FROM keeps NULL rows a plain <> would drop, so the survivors
+    *      flow into the ORDER BY NULLS placement;
+    *   3  IS NULL / IS NOT NULL over a column with real NULLs;
+    *   4  NULL-skipping aggregate contrast — count(*) vs count(c) vs
+    *      count(DISTINCT c) vs sum/min + max over the partially-NULL
+    *      victim, grouped by a non-victim key (or globally on tables
+    *      without one).
+    * Projection shapes carry the victim itself plus a COALESCE repair, so
+    * NULL output values cross the ORDER BY (per-key ASC NULLS FIRST /
+    * DESC NULLS LAST draw, explicit in both renderings) and the driver's
+    * value canonicalization.
+    */
+  private def nullPredQuery(seed: Int, rnd: Random, version: Int,
+                            chain: Chain, tov: TableOverride,
+                            victims: Seq[FCol]): GenQuery = {
+    val t = chain.tables.head
+    val cols = catalog(t)
+    val vc = victims(rnd.nextInt(victims.length))
+    val l1 = vc.lits(rnd.nextInt(vc.lits.length))
+    val l2 = vc.lits(rnd.nextInt(vc.lits.length))
+    val shape = rnd.nextInt(5)
+    val extra = if (rnd.nextBoolean()) Some(genPred(rnd, cols, version)) else None
+
+    if (shape == 4) {
+      val groupables = cols.filter(c => c.groupable && c.name != vc.name)
+      val keyOpt =
+        if (groupables.nonEmpty && rnd.nextInt(10) < 8)
+          Some(groupables(rnd.nextInt(groupables.length)))
+        else None
+      val aggItems = Seq(
+        Item("n_all", "count(*)", count(lit(1))),
+        Item("n_vc", s"count(${vc.name})", count(col(vc.name))),
+        Item("n_d", s"count(DISTINCT ${vc.name})", countDistinct(col(vc.name))),
+        if (vc.kind == 'i')
+          Item("m0", s"CAST(sum(${vc.name}) AS BIGINT)", sum(col(vc.name)))
+        else Item("m0", s"min(${vc.name})", min(col(vc.name))),
+        Item("m1", s"max(${vc.name})", max(col(vc.name))))
+      val keyItems = keyOpt.toSeq.map(c => Item("k0", c.name, col(c.name)))
+      val items = keyItems ++ aggItems
+      val sb = new StringBuilder("SELECT ")
+      sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+      sb ++= s" FROM ${tov.fromDuck}"
+      extra.foreach(p => sb ++= s" WHERE ${p.sql}")
+      keyOpt.foreach(c => sb ++= s" GROUP BY ${c.name}")
+      if (keyItems.nonEmpty) sb ++= " ORDER BY k0 ASC NULLS FIRST"
+      val build = (s: SparkSession, d: String) => {
+        var df = tov.load(s, d)
+        extra.foreach(p => df = df.where(p.col))
+        val aggCols = aggItems.map(i => i.col.as(i.alias))
+        val out = keyOpt match {
+          case Some(c) =>
+            df.groupBy(col(c.name).as("k0"))
+              .agg(aggCols.head, aggCols.tail: _*)
+              .orderBy(col("k0").asc_nulls_first)
+          case None => df.agg(aggCols.head, aggCols.tail: _*)
+        }
+        out
+      }
+      GenQuery(seed, sb.result(), build, mode = "nullfz:agg")
+    } else {
+      val (pSql, pCol, tag) = shape match {
+        case 0 =>
+          (s"${vc.name} NOT IN (${l1.sql}, ${l2.sql})",
+            !col(vc.name).isin(l1.col, l2.col), "nullfz:notin")
+        case 1 =>
+          (s"${vc.name} IN (${l1.sql}, ${l2.sql}, NULL)",
+            col(vc.name) === l1.col || col(vc.name) === l2.col ||
+              col(vc.name) === lit(null), "nullfz:innull")
+        case 2 =>
+          if (rnd.nextBoolean())
+            (s"${vc.name} IS DISTINCT FROM ${l1.sql}",
+              !(col(vc.name) <=> l1.col), "nullfz:distinct")
+          else
+            (s"${vc.name} IS NOT DISTINCT FROM ${l1.sql}",
+              col(vc.name) <=> l1.col, "nullfz:distinct")
+        case _ =>
+          if (rnd.nextBoolean())
+            (s"${vc.name} IS NULL", col(vc.name).isNull, "nullfz:isnull")
+          else
+            (s"${vc.name} IS NOT NULL", col(vc.name).isNotNull, "nullfz:isnull")
+      }
+      val raw = rnd.shuffle(cols.filterNot(_.name == vc.name).toVector)
+        .take(1 + rnd.nextInt(2)).zipWithIndex
+        .map { case (c, i) => Item(s"c$i", c.name, col(c.name)) }
+      val items = raw ++ Seq(
+        Item("v0", vc.name, col(vc.name)),
+        Item("cx", s"COALESCE(${vc.name}, ${l1.sql})",
+          coalesce(col(vc.name), l1.col)))
+      val orderAsc = items.map(_ => rnd.nextBoolean())
+      val whereSql = (extra.map(_.sql).toSeq :+ pSql).mkString(" AND ")
+      val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+        s" FROM ${tov.fromDuck} WHERE $whereSql" +
+        " ORDER BY " + items.zip(orderAsc).map {
+          case (i, true)  => s"${i.alias} ASC NULLS FIRST"
+          case (i, false) => s"${i.alias} DESC NULLS LAST"
+        }.mkString(", ") +
+        " LIMIT 1000"
+      val build = (s: SparkSession, d: String) => {
+        var df = tov.load(s, d)
+        extra.foreach(p => df = df.where(p.col))
+        df.where(pCol)
+          .select(items.map(i => i.col.as(i.alias)): _*)
+          .orderBy(items.zip(orderAsc).map {
+            case (i, true)  => col(i.alias).asc_nulls_first
+            case (i, false) => col(i.alias).desc_nulls_last
+          }: _*)
+          .limit(1000)
+      }
+      GenQuery(seed, sql, build, mode = tag)
+    }
   }
 }

@@ -289,6 +289,34 @@ object FuzzQueries {
       8091, 8098, 8107, 8124, 8125, 8126, 8130, 8142, 8144, 8170, 8174,
       8188)
 
+  // Grammar-v17 slice (NULL-injection: a deterministic nullable derived
+  // view — CASE WHEN (pk % m) = r THEN NULL — under dedicated
+  // NULL-semantics predicates, the shared body, and the window generator;
+  // the round-11 verdict's top coverage asymmetry, since base-table columns
+  // are never NULL). Whole 9001-9200 range verified against DuckDB at
+  // sf0.001, sf0.01 AND sf0.1 (200/200 pass at each, r12, zero divergence
+  // first sweep); picks non-empty at sf0.001 and sf0.01, seed range 9001+
+  // disjoint from every older slice by construction. NOT IN over the
+  // nullable column — the all-rows-vanish trap (9019 orders, 9027 part,
+  // 9037 documents with BOTH text+n_chars NULLed, 9050 two-victim
+  // customer). IN-lists containing NULL (9023 orders, 9028 documents,
+  // 9073 events with user_id+props NULLed). IS [NOT] DISTINCT FROM (9010
+  // events, 9032 documents, 9063 orders). IS [NOT] NULL filters (9014
+  // events props, 9034 customer, 9039 part two-victim). NULL-skipping
+  // aggregate contrast count(*)/count(c)/count(DISTINCT c)/sum|min/max
+  // (9003 part, 9013 supplier doubles, 9040 documents text, 9085 global
+  // sum over nullable int). Shared body over the nullable view: CASE proj
+  // (9002), grouped with NULL group keys (9025 two-key documents, 9041
+  // customer, 9054 sum+avg over ints), DESC NULLS LAST projection (9113).
+  // Windows over the nullable view: ntile (9006), rank ORDER BY a NULLed
+  // value column (9011), lag over a NULL-bearing partition column (9029),
+  // first_value (9056), whole-partition sum of a NULLed int (9134).
+  // Rendered with query(seed, 17).
+  val declaredSeedsV17: Seq[Int] =
+    Seq(9002, 9003, 9006, 9010, 9011, 9013, 9014, 9019, 9023, 9025, 9027,
+      9028, 9029, 9032, 9034, 9037, 9039, 9040, 9041, 9050, 9054, 9056,
+      9063, 9073, 9085, 9113, 9134)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -305,7 +333,8 @@ object FuzzQueries {
       declaredSeedsV13.map(s => s -> FuzzGen.query(s, 13)) ++
       declaredSeedsV14.map(s => s -> FuzzGen.query(s, 14)) ++
       declaredSeedsV15.map(s => s -> FuzzGen.query(s, 15)) ++
-      declaredSeedsV16.map(s => s -> FuzzGen.query(s, 16))).map { case (seed, g) =>
+      declaredSeedsV16.map(s => s -> FuzzGen.query(s, 16)) ++
+      declaredSeedsV17.map(s => s -> FuzzGen.query(s, 17))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -409,6 +409,71 @@ class FuzzSpec extends AnyFunSuite {
     assert(dual == emb, s"every emb query must render dual dialects: $dual != $emb")
   }
 
+  test("grammar v17 (NULL-injection: NOT IN / IN-with-NULL / DISTINCT FROM / null-skipping aggs): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var notIn = 0; var inNull = 0; var distinctFrom = 0; var isNull = 0
+    var aggC = 0; var body = 0; var win = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 17)
+      q.mode match {
+        case "nullfz:notin"    => notIn += 1
+        case "nullfz:innull"   => inNull += 1
+        case "nullfz:distinct" => distinctFrom += 1
+        case "nullfz:isnull"   => isNull += 1
+        case "nullfz:agg"      => aggC += 1
+        case m if m.startsWith("null:body:")   => body += 1
+        case m if m.startsWith("null:window:") => win += 1
+        case _ =>
+      }
+      // decorated queries are shared-dialect: one SQL text only
+      if (q.mode.startsWith("null")) assert(q.sparkSqlOpt.isEmpty,
+        s"v17 seed $seed: NULL-injected query should carry one SQL text")
+      val a = q.build(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v17 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v17 seeds matched; $notIn NOT-IN, $inNull IN-with-NULL, " +
+      s"$distinctFrom DISTINCT-FROM, $isNull IS-NULL, $aggC agg-contrast, " +
+      s"$body nullable-body, $win nullable-window")
+    assert(notIn >= 3, s"NOT IN shape under-drawn: $notIn")
+    assert(inNull >= 3, s"IN-with-NULL shape under-drawn: $inNull")
+    assert(distinctFrom >= 3, s"DISTINCT FROM shape under-drawn: $distinctFrom")
+    assert(aggC >= 3, s"aggregate-contrast shape under-drawn: $aggC")
+    assert(body >= 10, s"nullable body mode under-drawn: $body")
+    assert(win >= 5, s"nullable window mode under-drawn: $win")
+  }
+
+  test("corpus preconditions the generators assume: 64-wide NULL-free embeddings, NULL-free join-edge keys") {
+    views
+    import org.apache.spark.sql.functions._
+    // v16's element-index draws go 1..EmbeddingDim; under ANSI Spark throws
+    // on an out-of-bounds element while DuckDB returns NULL — the two
+    // renderings would fail DIFFERENTLY on a regenerated narrower corpus
+    // (ADVICE r11). Pin the corpus fact loudly here instead.
+    val dims = spark.table("embeddings")
+      .agg(min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi"),
+        count(when(col("embedding").isNull, 1)).as("nulls"))
+      .collect()(0)
+    assert(dims.getInt(0) == FuzzGen.EmbeddingDim && dims.getInt(1) == FuzzGen.EmbeddingDim,
+      s"embedding dim drifted from FuzzGen.EmbeddingDim=${FuzzGen.EmbeddingDim}: $dims")
+    assert(dims.getLong(2) == 0L, s"embeddings carry NULL vectors: $dims")
+    // fullOuterQuery derives its source tag from `fk IS NULL` / `pk IS
+    // NULL`, which misclassifies a matched row if a corpus edge column were
+    // ever naturally NULL (ADVICE r11). The v12 pinned SQL is frozen, so
+    // enforce the precondition instead of re-rendering the tag.
+    (FuzzGen.fkEdges :+ FuzzGen.eventsCustomerEdge).foreach {
+      case (factT, fk, dimT, pk) =>
+        val fNulls = spark.table(factT).where(col(fk).isNull).count()
+        val dNulls = spark.table(dimT).where(col(pk).isNull).count()
+        assert(fNulls == 0 && dNulls == 0,
+          s"edge $factT.$fk -> $dimT.$pk carries NULL keys ($fNulls/$dNulls) — " +
+            "fullOuterQuery's source-tag derivation would misclassify")
+    }
+  }
+
   test("v1 seeds are frozen: v2 dispatch never perturbs version-1 draws") {
     // the fz2xx catalog entries render from v1; a change here would silently
     // re-point their oracle SQL
@@ -524,7 +589,16 @@ class FuzzSpec extends AnyFunSuite {
       "fz8098" -> "bb5f26db", "fz8107" -> "8793070f", "fz8124" -> "479e318a",
       "fz8125" -> "716253f5", "fz8126" -> "d0e560f8", "fz8130" -> "e299220c",
       "fz8142" -> "081aae6b", "fz8144" -> "7c975943", "fz8170" -> "fdf09f0b",
-      "fz8174" -> "546cfd99", "fz8188" -> "4dba7850")
+      "fz8174" -> "546cfd99", "fz8188" -> "4dba7850",
+      "fz9002" -> "ece4feb1", "fz9003" -> "bf764e35", "fz9006" -> "4089e55c",
+      "fz9010" -> "2b15811e", "fz9011" -> "005e511c", "fz9013" -> "666f5829",
+      "fz9014" -> "252dfcf7", "fz9019" -> "e6a25046", "fz9023" -> "bcbf7fd8",
+      "fz9025" -> "ce107b39", "fz9027" -> "35530202", "fz9028" -> "0f64008d",
+      "fz9029" -> "9ec28f1f", "fz9032" -> "24f4e0ec", "fz9034" -> "480a726c",
+      "fz9037" -> "f2c028af", "fz9039" -> "0e6b8eb3", "fz9040" -> "f45c7d35",
+      "fz9041" -> "4b63d8aa", "fz9050" -> "71944807", "fz9054" -> "29db2d67",
+      "fz9056" -> "1a34ee1e", "fz9063" -> "ef40fc61", "fz9073" -> "dac134b0",
+      "fz9085" -> "b8d37986", "fz9113" -> "9d0128ed", "fz9134" -> "629af908")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
