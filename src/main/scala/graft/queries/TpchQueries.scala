@@ -232,6 +232,108 @@ object TpchQueries {
        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
        |      AND l_quantity BETWEEN 10 AND 40))""".stripMargin
 
+  /** Derived partsupp (round-11 verdict item #2): the corpus ships no
+    * partsupp table, which blocked q2/q9/q11/q16/q20. This CTE derives one
+    * DETERMINISTICALLY from the tables both engines already read — 4
+    * suppliers per part assigned by integer hash of the keys (s_suppkey is
+    * verified dense 0..S-1 at every sf, so `hash % count(supplier)` is a
+    * valid FK without a row_number), ps_supplycost / ps_availqty as pure
+    * integer-hash functions of (partkey, i) / (partkey, suppkey-slot). All
+    * values are integer-exact (supplycost is an integer-valued DOUBLE, so
+    * products/sums stay exact in IEEE and in DECIMAL), and the within-part
+    * supplier slots are distinct (17·Δi mod S ≠ 0 for Δi ≤ 3 at every
+    * corpus S ∈ {10,100,1000}), so q2's min-cost equality selects exactly
+    * one supplier per part. One SQL string for both engines, per this
+    * file's discipline — the CTE name `partsupp` contains no standalone
+    * corpus table token, so the temp-view rewrite leaves it alone.
+    */
+  private val psCte: String =
+    s"""partsupp AS (
+       |  SELECT p_partkey AS ps_partkey,
+       |    (p_partkey * 31 + gen.i * 17 + 7) % sc.s_cnt AS ps_suppkey,
+       |    CAST((p_partkey * 37 + gen.i * 13) % 9000 + 100 AS DOUBLE) AS ps_supplycost,
+       |    (p_partkey * 7 + gen.i * 11) % 9999 + 1 AS ps_availqty
+       |  FROM part
+       |  CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1
+       |              UNION ALL SELECT 2 UNION ALL SELECT 3) gen
+       |  CROSS JOIN (SELECT count(*) AS s_cnt FROM supplier) sc
+       |)""".stripMargin
+
+  val q2Sql: String =
+    s"""WITH $psCte
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+       |FROM part, supplier, partsupp, nation, region
+       |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+       |  AND p_size = 16
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'EUROPE'
+       |  AND ps_supplycost = (
+       |    SELECT min(ps_supplycost) FROM partsupp, supplier, nation, region
+       |    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+       |      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |      AND r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  val q9Sql: String =
+    s"""WITH $psCte
+       |SELECT nation_name, l_year, ${r4("sum(amount)")} AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation_name,
+       |    CAST(extract(year FROM o_orderdate) AS BIGINT) AS l_year,
+       |    CAST(l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity
+       |      AS DECIMAL(38,6)) AS amount
+       |  FROM part, supplier, lineitem, partsupp, orders, nation
+       |  WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+       |    AND ps_partkey = l_partkey AND p_partkey = l_partkey
+       |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+       |    AND p_name LIKE '%rod%') profit
+       |GROUP BY nation_name, l_year
+       |ORDER BY nation_name, l_year DESC""".stripMargin
+
+  val q11Sql: String =
+    s"""WITH $psCte
+       |SELECT ps_partkey,
+       |  ${r4("sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6)))")} AS value
+       |FROM partsupp, supplier, nation
+       |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |  AND n_name = 'NATION_15'
+       |GROUP BY ps_partkey
+       |HAVING sum(CAST(ps_supplycost * ps_availqty AS BIGINT)) * 2 * (
+       |    SELECT count(DISTINCT ps_partkey) FROM partsupp, supplier, nation
+       |    WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |      AND n_name = 'NATION_15')
+       |  > (
+       |    SELECT sum(CAST(ps_supplycost * ps_availqty AS BIGINT)) * 3
+       |    FROM partsupp, supplier, nation
+       |    WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |      AND n_name = 'NATION_15')
+       |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  val q16Sql: String =
+    s"""WITH $psCte
+       |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+       |FROM partsupp, part
+       |WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#13'
+       |  AND p_type <> 'PROMO'
+       |  AND p_size IN (1, 4, 7, 10, 16, 25, 36, 49)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  val q20Sql: String =
+    s"""WITH $psCte
+       |SELECT s_name, s_suppkey, n_name
+       |FROM supplier, nation
+       |WHERE s_suppkey IN (
+       |  SELECT ps_suppkey FROM partsupp
+       |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+       |    AND ps_availqty > 0.5 * (
+       |      SELECT sum(CAST(l_quantity AS DECIMAL(38,6))) FROM lineitem
+       |      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |        AND l_shipdate >= DATE '1996-01-01'
+       |        AND l_shipdate < DATE '1997-01-01'))
+       |  AND s_nationkey = n_nationkey
+       |ORDER BY s_name, s_suppkey""".stripMargin
+
   val defs: Seq[Q] = Seq(
     tpch("tpch_q1", "TPC-H Q1 pricing summary: full-scan groupBy over 4 " +
       "decimal-exact sums + 3 averages — partial aggregation does almost " +
@@ -278,6 +380,28 @@ object TpchQueries {
     tpch("tpch_q19", "TPC-H Q19 discounted revenue, brand/size/quantity " +
       "band form (no container/shipmode columns): the OR-of-ANDs " +
       "disjunction — only p_partkey = l_partkey is pushable into the " +
-      "join; the bands evaluate post-join as one codegen'd predicate.", q19Sql)
+      "join; the bands evaluate post-join as one codegen'd predicate.", q19Sql),
+    tpch("tpch_q2", "TPC-H Q2 minimum-cost supplier over the DERIVED " +
+      "partsupp (the corpus ships none — see psCte): correlated min-cost " +
+      "scalar subquery re-reading the same 5-way dim join, decorrelated by " +
+      "both engines; within-part costs are hash-distinct so the equality " +
+      "picks one supplier per part.", q2Sql),
+    tpch("tpch_q9", "TPC-H Q9 product-type profit: the 6-way " +
+      "part ⋈ supplier ⋈ lineitem ⋈ partsupp ⋈ orders ⋈ nation star over " +
+      "the derived partsupp, profit in DECIMAL, grouped by nation × year.", q9Sql),
+    tpch("tpch_q11", "TPC-H Q11 important stock: group-filter-by-global-" +
+      "scalar over the derived partsupp — the mean-×1.5 threshold is " +
+      "rendered as integer cross-multiplication (sum·2·cnt > total·3), " +
+      "scale-free where the classic 0.0001 fraction would empty out at " +
+      "larger SFs.", q11Sql),
+    tpch("tpch_q16", "TPC-H Q16 part-supplier relationship count over the " +
+      "derived partsupp: anti-filtered brand/type, IN-list sizes, " +
+      "count(DISTINCT ps_suppkey) per (brand, type, size) (minus the " +
+      "s_comment complaint exclusion the corpus cannot express).", q16Sql),
+    tpch("tpch_q20", "TPC-H Q20 excess-stock suppliers over the derived " +
+      "partsupp: IN-subquery whose body carries a CORRELATED half-year-" +
+      "quantity scalar (the deepest decorrelation shape in the suite); " +
+      "nation kept as a join + projection — any fixed-nation filter would " +
+      "empty at some corpus SF.", q20Sql)
   )
 }

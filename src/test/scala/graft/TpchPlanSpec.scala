@@ -49,4 +49,26 @@ class TpchPlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"IN-subquery must decorrelate:\n$p")
   }
+
+  test("tpch_q2: correlated min-cost subquery decorrelates to an aggregate join") {
+    val p = plan("tpch_q2")
+    assert(!p.contains("CartesianProduct"),
+      s"correlated min-cost scalar must decorrelate, never re-scan per row:\n$p")
+    assert(p.contains("HashAggregate"), s"expected the per-part min aggregate:\n$p")
+  }
+
+  test("tpch_q20: nested IN + correlated availqty scalar decorrelates to joins") {
+    val p = plan("tpch_q20")
+    assert(!p.contains("CartesianProduct"),
+      s"the deepest decorrelation shape in the suite must stay a join plan:\n$p")
+    // the quantity scalar becomes a per-(part,supp) aggregate joined back
+    assert(p.contains("HashAggregate"), s"expected the half-year quantity aggregate:\n$p")
+  }
+
+  test("tpch_q9: the 6-way star stays equi-join (no nested loop on the fact path)") {
+    val p = plan("tpch_q9")
+    assert(!p.contains("CartesianProduct"),
+      s"q9's fact joins must stay equi (the partsupp generator's tiny " +
+        s"cross-joined literals are fine, a fact-side cartesian is not):\n$p")
+  }
 }
