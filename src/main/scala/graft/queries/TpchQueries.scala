@@ -5,10 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
 
 /** TPC-H on the corpus — the standard analytic suite, adapted to the
-  * driver's slimmed schema: 14 of 22 classics declared (q4 and q19 in
-  * column-adapted forms). The remaining 8 (q2/q9/q11/q16/q20 need
-  * partsupp; q12/q21 need commit/receipt/shipmode; q22 needs c_phone)
-  * are genuinely out of corpus reach.
+  * driver's slimmed schema: ALL 22 classics declared (q4 and q19 in
+  * column-adapted forms). Columns the corpus lacks are DERIVED
+  * deterministically inside the shared SQL text: q2/q9/q11/q16/q20 over
+  * the partsupp CTE (psCte), q12/q21 over the lineitemx CTE (lxCte),
+  * q22 over a nationkey-derived cntrycode.
   * Adaptations beyond column availability: literals re-anchored to the
   * corpus's 1995-2001 date span and synthetic domains (p_type is a plain
   * category so q14 matches 'PROMO' by equality; q7 aggregates region
@@ -334,6 +335,100 @@ object TpchQueries {
        |  AND s_nationkey = n_nationkey
        |ORDER BY s_name, s_suppkey""".stripMargin
 
+  /** Derived lineitem extension (round-12, completing the suite): the
+    * corpus lineitem carries no commitdate/receiptdate/shipmode, which
+    * blocked q12/q21. This CTE derives all three DETERMINISTICALLY from
+    * the key columns both engines already read — commitdate at
+    * shipdate + (hash % 60 − 29) days (so ship < commit holds for about
+    * half the lines, q12's early-commit filter), receiptdate at
+    * shipdate + (hash % 30 + 1) days (always after ship; late vs commit
+    * for about half, q21's waiting predicate), shipmode as a 7-way CASE
+    * over an independent key hash. Day offsets are integer-exact BIGINT
+    * arithmetic times INTERVAL '1' DAY — both engines implement
+    * numeric × day-interval and timestamp + interval with exact-day
+    * semantics, so the derived timestamps are bit-identical. The CTE
+    * name `lineitemx` shares no standalone `lineitem` token (`x` is a
+    * word character), so the temp-view rewrite touches only the real
+    * table reference in the CTE body. One SQL string for both engines.
+    */
+  private val lxCte: String =
+    s"""lineitemx AS (
+       |  SELECT lineitem.*,
+       |    l_shipdate + ((l_orderkey * 31 + l_linenumber * 17) % 60 - 29)
+       |      * INTERVAL '1' DAY AS l_commitdate,
+       |    l_shipdate + ((l_orderkey * 13 + l_linenumber * 7) % 30 + 1)
+       |      * INTERVAL '1' DAY AS l_receiptdate,
+       |    CASE (l_orderkey * 23 + l_linenumber * 5) % 7
+       |      WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'AIR' WHEN 2 THEN 'RAIL'
+       |      WHEN 3 THEN 'SHIP' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'MAIL'
+       |      ELSE 'FOB' END AS l_shipmode
+       |  FROM lineitem
+       |)""".stripMargin
+
+  val q12Sql: String =
+    s"""WITH $lxCte
+       |SELECT l_shipmode,
+       |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |      THEN 1 ELSE 0 END) AS high_line_count,
+       |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       |      THEN 1 ELSE 0 END) AS low_line_count
+       |FROM orders, lineitemx
+       |WHERE o_orderkey = l_orderkey
+       |  AND l_shipmode IN ('MAIL', 'SHIP')
+       |  AND l_commitdate < l_receiptdate AND l_shipdate < l_commitdate
+       |  AND l_receiptdate >= DATE '1996-01-01'
+       |  AND l_receiptdate < DATE '1997-01-01'
+       |GROUP BY l_shipmode
+       |ORDER BY l_shipmode""".stripMargin
+
+  val q21Sql: String =
+    s"""WITH $lxCte
+       |SELECT s_name, n_name, count(*) AS numwait
+       |FROM supplier, lineitemx l1, orders, nation
+       |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+       |  AND o_orderstatus = 'F' AND l1.l_receiptdate > l1.l_commitdate
+       |  AND EXISTS (SELECT * FROM lineitemx l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT * FROM lineitemx l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_suppkey <> l1.l_suppkey
+       |      AND l3.l_receiptdate > l3.l_commitdate)
+       |  AND s_nationkey = n_nationkey
+       |GROUP BY s_name, n_name
+       |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  /** q22 adaptations: cntrycode is derived from c_nationkey (the corpus
+    * has no c_phone — `10 + nationkey % 15` keeps 25 nations → 15 codes,
+    * half in the 7-code IN-list); "has no orders" is degenerate here
+    * (every customer has orders at every corpus SF — dense generated FK),
+    * so the anti-join condition becomes "has no order above 400000"
+    * (~11% of customers at every SF: per-customer order count is a
+    * constant 10 and totalprice is uniform to 500k). The average-balance
+    * threshold goes through the DECIMAL-sum / count division — a bare
+    * avg(DOUBLE) would make the cut depend on accumulation order.
+    */
+  val q22Sql: String =
+    s"""WITH custx AS (
+       |  SELECT c_custkey, c_acctbal,
+       |    CAST(10 + (c_nationkey % 15) AS STRING) AS cntrycode
+       |  FROM customer
+       |)
+       |SELECT cntrycode, count(*) AS numcust,
+       |  ${r4(dsum("c_acctbal"))} AS totacctbal
+       |FROM custx
+       |WHERE cntrycode IN ('10', '12', '14', '16', '18', '20', '22')
+       |  AND c_acctbal > (
+       |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+       |      / count(*)
+       |    FROM custx
+       |    WHERE c_acctbal > 0.0
+       |      AND cntrycode IN ('10', '12', '14', '16', '18', '20', '22'))
+       |  AND NOT EXISTS (SELECT * FROM orders
+       |    WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+       |GROUP BY cntrycode
+       |ORDER BY cntrycode""".stripMargin
+
   val defs: Seq[Q] = Seq(
     tpch("tpch_q1", "TPC-H Q1 pricing summary: full-scan groupBy over 4 " +
       "decimal-exact sums + 3 averages — partial aggregation does almost " +
@@ -402,6 +497,20 @@ object TpchQueries {
       "partsupp: IN-subquery whose body carries a CORRELATED half-year-" +
       "quantity scalar (the deepest decorrelation shape in the suite); " +
       "nation kept as a join + projection — any fixed-nation filter would " +
-      "empty at some corpus SF.", q20Sql)
+      "empty at some corpus SF.", q20Sql),
+    tpch("tpch_q12", "TPC-H Q12 shipping-mode priority over the DERIVED " +
+      "lineitemx commit/receipt/shipmode columns (see lxCte): late-line " +
+      "filter (ship < commit < receipt), 2-mode IN, conditional-sum " +
+      "priority split.", q12Sql),
+    tpch("tpch_q21", "TPC-H Q21 suppliers-who-kept-orders-waiting over " +
+      "the derived lineitemx: the suite's hardest decorrelation — a " +
+      "correlated EXISTS (another supplier on the order) AND a correlated " +
+      "NOT EXISTS (no OTHER supplier was also late) against the same " +
+      "derived fact; nation kept as join + group key per the q20 rule.", q21Sql),
+    tpch("tpch_q22", "TPC-H Q22 global-sales-opportunity, corpus-adapted: " +
+      "nationkey-derived cntrycode (no c_phone), scalar avg-balance " +
+      "threshold via exact DECIMAL division, and an anti-join on 'no " +
+      "order above 400000' ('no orders at all' is empty at every SF — " +
+      "the generated FK is dense).", q22Sql)
   )
 }

@@ -71,4 +71,31 @@ class TpchPlanSpec extends AnyFunSuite {
       s"q9's fact joins must stay equi (the partsupp generator's tiny " +
         s"cross-joined literals are fine, a fact-side cartesian is not):\n$p")
   }
+
+  test("tpch_q12: derived-column filters stay above an equi join with map-side partial agg") {
+    val p = plan("tpch_q12")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the orders⋈lineitemx join must stay equi:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the priority split must partial-aggregate map-side:\n$p")
+  }
+
+  test("tpch_q21: EXISTS/NOT EXISTS decorrelate to semi + anti joins, never a per-row re-scan") {
+    val p = plan("tpch_q21")
+    assert(p.contains("LeftSemi"),
+      s"the other-supplier EXISTS must become a semi join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"the no-other-late-supplier NOT EXISTS must become an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q21's double correlation must stay hash-joinable (the supplier " +
+        s"inequality rides as a join condition, not a nested loop):\n$p")
+  }
+
+  test("tpch_q22: the no-large-order anti-join and one shared scalar threshold") {
+    val p = plan("tpch_q22")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS over orders must become an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q22 must stay a join plan:\n$p")
+  }
 }
