@@ -222,6 +222,27 @@ import graft.Tables
   *   - the window generator over the nullable view — rank/value windows
   *     whose partition or order columns carry real NULLs (the unique head
   *     key is never a victim, so order-dependent draws stay total).
+  * Grammar v18 pushes the NULLs into JOIN KEYS — the semantics v17 cannot
+  * reach because its victims never participate in a join: a NULL key
+  * matches NOTHING under `=` (inner joins silently drop the row, LEFT
+  * joins NULL-extend it exactly like a miss), while `IS NOT DISTINCT
+  * FROM` makes NULL meet NULL (the null-safe join both engines must plan
+  * as an equi hash join, never a nested loop). Four mode families:
+  *   - the shared body over a 2-table FK chain whose FACT-side key is
+  *     NULL-injected ([[drawJoinNullOverride]]) — INNER joins lose the
+  *     1-in-m NULL-key rows, LEFT joins push NULL-extended dim columns
+  *     into group keys / aggregates / projections;
+  *   - the window generator over the same chain — partition/order columns
+  *     from a dim side that genuinely missed;
+  *   - `[NOT] IN (SELECT …)` whose subquery projection is NULL-poisoned
+  *     ([[notInSubqQuery]]) — one NULL in the subquery makes NOT IN drop
+  *     EVERY row (the all-rows-vanish trap at the subquery level; v17
+  *     only drew it over literal lists), and the DataFrame rendering
+  *     builds the three-valued plan Spark's own rewrite produces: anti
+  *     join on `fk = v OR fk IS NULL OR v IS NULL`;
+  *   - the null-safe join itself ([[nullSafeJoinQuery]]): both sides
+  *     NULL-injected, joined ON `fk IS NOT DISTINCT FROM pk` — the
+  *     NULL⋈NULL cross-match bounded by the tiny nation dim.
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -564,6 +585,56 @@ object FuzzGen {
     (TableOverride(frag, frag, load), Chain(Seq(t), Nil), victims)
   }
 
+  /** v18's NULL-join pool: FK edges whose FACT side has a verified-unique
+    * int key to drive the injection modulo (lineitem's edges are absent —
+    * no unique key — and nation→region is absent because 25/m rows leave
+    * too few NULL keys to exercise anything). Every edge is many-to-one
+    * onto a unique dim PK, so a LEFT join preserves the fact head key's
+    * uniqueness and the window generator's order-dependent draws stay
+    * total over the joined relation.
+    */
+  private val njoinEdges: Vector[(String, String, String, String)] =
+    Vector(
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("events", "user_id", "customer", "c_custkey"))
+
+  /** v18's join-key injection: like [[drawNullOverride]] but the victim IS
+    * the fact's FK column (plus sometimes one more non-key column), and
+    * the returned chain carries the fact⋈dim edge so the body/window
+    * generators draw dim columns — NULL-extended under LEFT, absent under
+    * INNER — alongside the nullable key itself.
+    */
+  private def drawJoinNullOverride(rnd: Random)
+      : (TableOverride, Chain, (String, String, String, String)) = {
+    val edge @ (factT, fk, dimT, pk) = njoinEdges(rnd.nextInt(njoinEdges.length))
+    val key = uniqueKeys(factT).head
+    val m = 5 + rnd.nextInt(5)
+    val r = rnd.nextInt(m)
+    val extra: Option[String] =
+      if (rnd.nextBoolean()) {
+        val cands = catalog(factT).map(_.name).filterNot(n => n == key || n == fk)
+        Some(cands(rnd.nextInt(cands.length)))
+      } else None
+    val victimNames = Set(fk) ++ extra
+    val colSqls = catalog(factT).map { c =>
+      if (victimNames(c.name))
+        s"CASE WHEN ($key % $m) = $r THEN NULL ELSE ${c.name} END AS ${c.name}"
+      else c.name
+    }
+    val frag = s"(SELECT ${colSqls.mkString(", ")} FROM $factT) $factT"
+    val load = (s: SparkSession, d: String) => {
+      loadFuzzTable(s, d, factT).select(catalog(factT).map { c =>
+        if (victimNames(c.name))
+          when((col(key) % m) === r, lit(null)).otherwise(col(c.name)).as(c.name)
+        else col(c.name)
+      }: _*)
+    }
+    (TableOverride(frag, frag, load),
+      Chain(Seq(factT, dimT), Seq(fk -> pk)), edge)
+  }
+
   /** v9's cross-family chains: `events.user_id → customer.c_custkey` is a
     * verified FK containment at every sf (every user_id has a matching
     * customer; max user_id ≈ custkeys/10), extending into the usual
@@ -719,6 +790,29 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 18) {
+      // v18 mode byte: NULLs in JOIN KEYS — a NULL-injected fact FK under
+      // the body/window generators (inner joins drop the NULL-key rows,
+      // LEFT joins NULL-extend them), [NOT] IN against a NULL-poisoned
+      // subquery, and the null-safe IS NOT DISTINCT FROM join. The
+      // decorated queries keep ONE SQL text (shared dialect). Versions
+      // ≤ 17 never take this draw; fall-through continues into the v17
+      // dispatch with the advanced rnd state.
+      val m18 = rnd.nextInt(10)
+      if (m18 < 8) {
+        if (m18 < 3) {
+          val (tov, chain, _) = drawJoinNullOverride(rnd)
+          val q = bodyQuery(seed, rnd, version, chain, Some(tov))
+          return q.copy(sparkSqlOpt = None, mode = s"njoin:${q.mode}")
+        } else if (m18 < 4) {
+          val (tov, chain, _) = drawJoinNullOverride(rnd)
+          val q = windowQuery(seed, rnd, version, Some(chain), Some(tov))
+          return q.copy(sparkSqlOpt = None, mode = s"njoin:${q.mode}")
+        } else if (m18 < 6) return notInSubqQuery(seed, rnd, version)
+        else return nullSafeJoinQuery(seed, rnd, version)
+      }
+      // else: fall through to the v17 dispatch with the advanced rnd state
+    }
     if (version >= 17) {
       // v17 mode byte: NULL-injection — a deterministic nullable derived
       // view ([[drawNullOverride]]) under the dedicated NULL-semantics
@@ -2695,5 +2789,156 @@ object FuzzGen {
       }
       GenQuery(seed, sql, build, mode = tag)
     }
+  }
+
+  /** v18 subquery-membership mode under NULL poisoning: `fk [NOT] IN
+    * (SELECT v FROM dim [WHERE …])` where v is the dim PK with 1-in-m
+    * values replaced by NULL. NOT IN against a subquery CONTAINING a NULL
+    * is never true — every fact row vanishes in both engines — and
+    * against a NULL-free subquery it is the plain anti-membership; which
+    * of the two a seed lands on depends on the dim predicate draw, and
+    * the differential holds either way. The DataFrame rendering is the
+    * decorrelated three-valued plan (the same shape Spark's own NOT IN
+    * rewrite produces): LEFT ANTI on `fk = v OR fk IS NULL OR v IS NULL`
+    * — a NULL fk matches any subquery row (unknown ⇒ dropped), a NULL v
+    * matches every fact row (list-with-NULL ⇒ nothing survives), and an
+    * EMPTY subquery keeps all rows, NULL fk included (SQL defines [NOT]
+    * IN over zero comparisons as FALSE/TRUE regardless of operand). Plain
+    * IN is the LEFT SEMI on `fk = v` (unknown and false both filter).
+    */
+  private def notInSubqQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val (factT, fk, dimT, pk) = njoinEdges(rnd.nextInt(njoinEdges.length))
+    val fCols = catalog(factT)
+    val m = 5 + rnd.nextInt(5)
+    val r = rnd.nextInt(m)
+    val vSql = s"CASE WHEN ($pk % $m) = $r THEN NULL ELSE $pk END"
+    val vCol = when((col(pk) % m) === r, lit(null)).otherwise(col(pk)).as("_v")
+    val dimPred = if (rnd.nextBoolean()) Some(genPred(rnd, catalog(dimT), version)) else None
+    val factPred = if (rnd.nextBoolean()) Some(genPred(rnd, fCols, version)) else None
+    val negated = rnd.nextInt(10) < 6
+    val picked = rnd.shuffle(fCols.filterNot(_.name == fk).toVector)
+      .take(1 + rnd.nextInt(2))
+    val items = picked.zipWithIndex.map { case (c, i) =>
+      Item(s"c$i", c.name, col(c.name))
+    } :+ Item("v0", fk, col(fk))
+    val orderAsc = items.map(_ => rnd.nextBoolean())
+
+    val subSql = s"SELECT $vSql FROM $dimT" +
+      dimPred.map(p => s" WHERE ${p.sql}").getOrElse("")
+    val inSql = s"$fk ${if (negated) "NOT IN" else "IN"} ($subSql)"
+    val whereSql = (factPred.map(_.sql).toSeq :+ inSql).mkString(" AND ")
+    val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+      s" FROM $factT WHERE $whereSql" +
+      " ORDER BY " + items.zip(orderAsc).map {
+        case (i, true)  => s"${i.alias} ASC NULLS FIRST"
+        case (i, false) => s"${i.alias} DESC NULLS LAST"
+      }.mkString(", ") +
+      " LIMIT 1000"
+
+    val build = (s: SparkSession, d: String) => {
+      var sub = loadFuzzTable(s, d, dimT)
+      dimPred.foreach(p => sub = sub.where(p.col))
+      val subV = sub.select(vCol)
+      var fact = loadFuzzTable(s, d, factT)
+      factPred.foreach(p => fact = fact.where(p.col))
+      val joined =
+        if (negated)
+          fact.join(subV,
+            col(fk) === col("_v") || col(fk).isNull || col("_v").isNull,
+            "left_anti")
+        else fact.join(subV, col(fk) === col("_v"), "left_semi")
+      joined.select(items.map(i => i.col.as(i.alias)): _*)
+        .orderBy(items.zip(orderAsc).map {
+          case (i, true)  => col(i.alias).asc_nulls_first
+          case (i, false) => col(i.alias).desc_nulls_last
+        }: _*)
+        .limit(1000)
+    }
+    GenQuery(seed, sql, build,
+      mode = if (negated) "nsubq:notin" else "nsubq:in")
+  }
+
+  /** v18 null-safe join mode: fact FK and dim PK BOTH 1-in-m NULL-injected,
+    * joined ON `fk IS NOT DISTINCT FROM pkx` — NULL meets NULL, so the
+    * matched relation contains the (nullFacts × nullDims) cross block that
+    * a plain `=` join annihilates. Both engines must still plan it as an
+    * equi hash join (Spark extracts EqualNullSafe join keys via the
+    * coalesce-wrap; a nested loop here would be a scale bug — FuzzSpec
+    * pins the plan class). Cardinality: dims are restricted to nation
+    * (25 rows ⇒ ≤5 NULL PKs), so the cross block is ≤ 5 × facts/5 — same
+    * order as the fact table itself at every sf. Consumed aggregated:
+    * globally, or grouped by the dim payload / the nullable key itself
+    * (one NULL group in both engines).
+    */
+  private def nullSafeJoinQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val edges = Vector(
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey"))
+    val (factT, fk, dimT, pk) = edges(rnd.nextInt(edges.length))
+    val key = uniqueKeys(factT).head
+    val mF = 5 + rnd.nextInt(5)
+    val rF = rnd.nextInt(mF)
+    val mD = 5 + rnd.nextInt(5)
+    val rD = rnd.nextInt(mD)
+    val fCols = catalog(factT)
+    val dCols = catalog(dimT)
+
+    val factColSqls = fCols.map { c =>
+      if (c.name == fk)
+        s"CASE WHEN ($key % $mF) = $rF THEN NULL ELSE ${c.name} END AS ${c.name}"
+      else c.name
+    }
+    val factFrag = s"(SELECT ${factColSqls.mkString(", ")} FROM $factT) $factT"
+    val payload = dCols.filterNot(_.name == pk) match {
+      case Seq() => dCols.head
+      case rest  => rest(rnd.nextInt(rest.length))
+    }
+    val dimFrag = s"(SELECT CASE WHEN ($pk % $mD) = $rD THEN NULL ELSE $pk END" +
+      s" AS pkx, ${payload.name} FROM $dimT) dimx"
+    val loadFact = (s: SparkSession, d: String) =>
+      loadFuzzTable(s, d, factT).select(fCols.map { c =>
+        if (c.name == fk)
+          when((col(key) % mF) === rF, lit(null)).otherwise(col(c.name)).as(c.name)
+        else col(c.name)
+      }: _*)
+    val loadDim = (s: SparkSession, d: String) =>
+      loadFuzzTable(s, d, dimT).select(
+        when((col(pk) % mD) === rD, lit(null)).otherwise(col(pk)).as("pkx"),
+        col(payload.name))
+
+    val intCols = fCols.filter(_.kind == 'i')
+    val sumC = intCols(rnd.nextInt(intCols.length))
+    val aggItems = Seq(
+      Item("n_all", "count(*)", count(lit(1))),
+      Item("n_pk", "CAST(count(pkx) AS BIGINT)", count(col("pkx"))),
+      Item("a0", s"CAST(sum(${sumC.name}) AS BIGINT)", sum(col(sumC.name))),
+      Item("a1", s"max(${payload.name})", max(col(payload.name))))
+    // group key: the dim payload, the nullable join key itself, or global
+    val keyOpt: Option[(String, Column)] = rnd.nextInt(3) match {
+      case 0 => Some(payload.name -> col(payload.name))
+      case 1 => Some(fk -> col(fk))
+      case _ => None
+    }
+    val keyItems = keyOpt.toSeq.map { case (n, c) => Item("k0", n, c) }
+    val items = keyItems ++ aggItems
+    val onSql = s"$fk IS NOT DISTINCT FROM pkx"
+
+    val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+      s" FROM $factFrag JOIN $dimFrag ON ($onSql)" +
+      keyOpt.map { case (n, _) => s" GROUP BY $n" }.getOrElse("") +
+      (if (keyItems.nonEmpty) " ORDER BY k0 ASC NULLS FIRST" else "")
+
+    val build = (s: SparkSession, d: String) => {
+      val j = loadFact(s, d).join(loadDim(s, d), col(fk) <=> col("pkx"), "inner")
+      val aggCols = aggItems.map(i => i.col.as(i.alias))
+      keyOpt match {
+        case Some((_, c)) =>
+          j.groupBy(c.as("k0")).agg(aggCols.head, aggCols.tail: _*)
+            .orderBy(col("k0").asc_nulls_first)
+        case None => j.agg(aggCols.head, aggCols.tail: _*)
+      }
+    }
+    GenQuery(seed, sql, build,
+      mode = if (keyOpt.isDefined) "nsafe:group" else "nsafe:global")
   }
 }

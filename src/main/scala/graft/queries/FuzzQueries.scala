@@ -317,6 +317,40 @@ object FuzzQueries {
       9028, 9029, 9032, 9034, 9037, 9039, 9040, 9041, 9050, 9054, 9056,
       9063, 9073, 9085, 9113, 9134)
 
+  // Grammar-v18 slice (NULL JOIN KEYS — the semantics v17's single-table
+  // victims cannot reach: a NULL key matches nothing under `=`, while
+  // IS NOT DISTINCT FROM makes NULL meet NULL). Whole 10001-10200 range
+  // verified against DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200 pass at
+  // each, r12, zero divergence first sweep); picks non-empty at sf0.001
+  // and sf0.01 EXCEPT fz10012 — the deliberate subquery-level
+  // all-rows-vanish pin (`o_custkey NOT IN (SELECT <NULL-poisoned pk>
+  // FROM customer)` with no dim predicate: the subquery always contains a
+  // NULL, so both engines must return ZERO rows forever); seed range
+  // 10001+ disjoint from every older slice by construction.
+  // Injected-FK windows: first_value over orders⋈customer (10001),
+  // row_number partitioned by a LEFT-missed n_name (10014), supplier
+  // first_value (10027), dense_rank PARTITIONED BY the NULL-injected
+  // user_id itself — the NULL partition group (10037), running sum over a
+  // 2-key dim partition (10054), orders row_number by c_mktsegment
+  // (10064). Injected-FK body: INNER proj losing the 1-in-m NULL-key rows
+  // (10010, 10013 with a modulo computed column), SELECT DISTINCT over
+  // dim-extended columns (10066), grouped with the NULLed key in the
+  // group keys (10028 events 2-key, 10035 count-DISTINCT, 10069, 10071
+  // count of the nullable user_id), global LEFT-join aggregate contrast
+  // count(value) vs count(c_acctbal) (10008) and NULL-skipping
+  // sum/min/count (10040, 10048). NULL-poisoned membership subqueries:
+  // the vanish pin (10012), the dim-predicate-saved NOT IN that keeps 135
+  // rows (10043), plain IN dropping only the NULL-fk rows (10031 supplier,
+  // 10034 events, 10068 orders). Null-safe joins (both sides injected, ON
+  // fk IS NOT DISTINCT FROM pkx, plan-pinned hash join): grouped by dim
+  // payload (10002, 10049), by the NULLABLE key itself — one NULL group
+  // (10011, 10029), and global with the count(*)/count(pkx) contrast
+  // (10047). Rendered with query(seed, 18).
+  val declaredSeedsV18: Seq[Int] =
+    Seq(10001, 10002, 10008, 10010, 10011, 10012, 10013, 10014, 10027,
+      10028, 10029, 10031, 10034, 10035, 10037, 10040, 10043, 10047,
+      10048, 10049, 10054, 10064, 10066, 10068, 10069, 10071)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -334,7 +368,8 @@ object FuzzQueries {
       declaredSeedsV14.map(s => s -> FuzzGen.query(s, 14)) ++
       declaredSeedsV15.map(s => s -> FuzzGen.query(s, 15)) ++
       declaredSeedsV16.map(s => s -> FuzzGen.query(s, 16)) ++
-      declaredSeedsV17.map(s => s -> FuzzGen.query(s, 17))).map { case (seed, g) =>
+      declaredSeedsV17.map(s => s -> FuzzGen.query(s, 17)) ++
+      declaredSeedsV18.map(s => s -> FuzzGen.query(s, 18))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

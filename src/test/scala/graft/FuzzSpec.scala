@@ -446,6 +446,49 @@ class FuzzSpec extends AnyFunSuite {
     assert(win >= 5, s"nullable window mode under-drawn: $win")
   }
 
+  test("grammar v18 (NULL join keys: injected-FK joins / NULL-poisoned [NOT] IN subqueries / null-safe joins): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var njBody = 0; var njWin = 0; var sqNotIn = 0; var sqIn = 0; var nsafe = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 18)
+      q.mode match {
+        case m if m.startsWith("njoin:body:")   => njBody += 1
+        case m if m.startsWith("njoin:window:") => njWin += 1
+        case "nsubq:notin"                      => sqNotIn += 1
+        case "nsubq:in"                         => sqIn += 1
+        case m if m.startsWith("nsafe:")        => nsafe += 1
+        case _ =>
+      }
+      // every v18 decoration is shared-dialect: one SQL text only
+      if (q.mode.startsWith("njoin") || q.mode.startsWith("nsubq") ||
+          q.mode.startsWith("nsafe"))
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v18 seed $seed: NULL-join query should carry one SQL text")
+      val df = q.build(spark, TestSpark.sf0001)
+      if (q.mode.startsWith("nsafe")) {
+        // IS NOT DISTINCT FROM must extract as an equi hash join (Spark
+        // wraps EqualNullSafe keys in coalesce) — a nested loop here is
+        // the scale bug this mode exists to catch
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"v18 seed $seed: null-safe join fell off the hash-join path:\n$p")
+      }
+      val a = df.collect().map(_.toString).toSeq
+      val b = spark.sql(q.sparkSql).collect().map(_.toString).toSeq
+      assert(a == b,
+        s"v18 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v18 seeds matched; $njBody njoin-body, $njWin njoin-window, " +
+      s"$sqNotIn subq-NOT-IN, $sqIn subq-IN, $nsafe null-safe-join")
+    assert(njBody >= 20, s"njoin body mode under-drawn: $njBody")
+    assert(njWin >= 8, s"njoin window mode under-drawn: $njWin")
+    assert(sqNotIn >= 8, s"subquery NOT IN shape under-drawn: $sqNotIn")
+    assert(sqIn >= 5, s"subquery IN shape under-drawn: $sqIn")
+    assert(nsafe >= 12, s"null-safe join mode under-drawn: $nsafe")
+  }
+
   test("corpus preconditions the generators assume: 64-wide NULL-free embeddings, NULL-free join-edge keys") {
     views
     import org.apache.spark.sql.functions._
@@ -598,7 +641,16 @@ class FuzzSpec extends AnyFunSuite {
       "fz9037" -> "f2c028af", "fz9039" -> "0e6b8eb3", "fz9040" -> "f45c7d35",
       "fz9041" -> "4b63d8aa", "fz9050" -> "71944807", "fz9054" -> "29db2d67",
       "fz9056" -> "1a34ee1e", "fz9063" -> "ef40fc61", "fz9073" -> "dac134b0",
-      "fz9085" -> "b8d37986", "fz9113" -> "9d0128ed", "fz9134" -> "629af908")
+      "fz9085" -> "b8d37986", "fz9113" -> "9d0128ed", "fz9134" -> "629af908",
+      "fz10001" -> "0dafbaa3", "fz10002" -> "9850edaa", "fz10008" -> "745153cb",
+      "fz10010" -> "bba41192", "fz10011" -> "98938260", "fz10012" -> "d8bdc9cf",
+      "fz10013" -> "238ef48d", "fz10014" -> "589b3a34", "fz10027" -> "723c91ce",
+      "fz10028" -> "cb3f5fa4", "fz10029" -> "69413022", "fz10031" -> "6de8b10c",
+      "fz10034" -> "18cbbd77", "fz10035" -> "52561967", "fz10037" -> "cd9b7826",
+      "fz10040" -> "40b2708e", "fz10043" -> "bd728a32", "fz10047" -> "a8ab5499",
+      "fz10048" -> "69e23470", "fz10049" -> "10642050", "fz10054" -> "5c536b1c",
+      "fz10064" -> "873e3c7f", "fz10066" -> "1448521a", "fz10068" -> "3c9afaae",
+      "fz10069" -> "19e3fd8d", "fz10071" -> "6236cfeb")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>

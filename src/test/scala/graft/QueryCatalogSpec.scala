@@ -24,11 +24,26 @@ class QueryCatalogSpec extends AnyFunSuite {
       "x11_cms_heavy_hitters", "a18_approx_percentile"))
   }
 
+  /** Frozen entries whose CORRECT result is zero rows — currently only
+    * fz10012, the v18 subquery-level all-rows-vanish pin (`NOT IN` against
+    * a subquery that always contains a NULL). The rows>0 rule guards
+    * against accidentally-empty frozen picks; these are empty BY DESIGN
+    * and the emptiness itself is the pinned semantics.
+    */
+  private val emptyByDesign = Set("fz10012")
+
   QueryCatalog.all.foreach { q =>
-    test(s"${q.name} runs on sf0.001 and returns rows") {
-      val n = q.build(spark, TestSpark.sf0001).count()
-      assert(n > 0, s"${q.name} returned no rows")
-    }
+    if (emptyByDesign(q.name))
+      test(s"${q.name} runs on sf0.001 and returns ZERO rows (vanish pin)") {
+        assert(q.build(spark, TestSpark.sf0001).count() == 0,
+          s"${q.name} is the all-rows-vanish pin; rows appearing means the " +
+            "NOT IN three-valued semantics broke")
+      }
+    else
+      test(s"${q.name} runs on sf0.001 and returns rows") {
+        val n = q.build(spark, TestSpark.sf0001).count()
+        assert(n > 0, s"${q.name} returned no rows")
+      }
   }
 
   test("SparkEntry.entry returns rows (driver smoke contract)") {
