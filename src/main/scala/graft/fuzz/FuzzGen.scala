@@ -243,6 +243,15 @@ import graft.Tables
   *   - the null-safe join itself ([[nullSafeJoinQuery]]): both sides
   *     NULL-injected, joined ON `fk IS NOT DISTINCT FROM pk` — the
   *     NULL⋈NULL cross-match bounded by the tiny nation dim.
+  * Grammar v19 pins the one NULL-key contrast v18 leaves implicit: the
+  * SAME membership question asked four ways over a NULL-injected FK —
+  * correlated `[NOT] EXISTS (SELECT 1 FROM dim WHERE pk = fk)` vs
+  * uncorrelated `fk [NOT] IN (SELECT pk FROM dim)`. EXISTS is two-valued
+  * (a NULL fk simply never correlates), so NOT EXISTS KEEPS the NULL-key
+  * rows; NOT IN is three-valued (NULL fk ⇒ unknown ⇒ dropped), so the
+  * same rows vanish — the classic anti-join-vs-NOT-IN trap every engine
+  * migration hits, here frozen as a differential with per-quantifier
+  * survivor counts ([[existsNullQuery]]).
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -790,6 +799,14 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 19) {
+      // v19 mode byte: the EXISTS-vs-IN quantifier contrast over a
+      // NULL-injected FK. Versions ≤ 18 never take this draw;
+      // fall-through continues into the v18 dispatch.
+      val m19 = rnd.nextInt(10)
+      if (m19 < 7) return existsNullQuery(seed, rnd, version)
+      // else: fall through to the v18 dispatch with the advanced rnd state
+    }
     if (version >= 18) {
       // v18 mode byte: NULLs in JOIN KEYS — a NULL-injected fact FK under
       // the body/window generators (inner joins drop the NULL-key rows,
@@ -2856,6 +2873,111 @@ object FuzzGen {
     }
     GenQuery(seed, sql, build,
       mode = if (negated) "nsubq:notin" else "nsubq:in")
+  }
+
+  /** v19 dedicated mode: the four membership quantifiers over a
+    * NULL-injected FK — `EXISTS` / `NOT EXISTS` (correlated `pk = fk`;
+    * two-valued, so a NULL fk never correlates and NOT EXISTS KEEPS the
+    * NULL-key rows) vs `IN` / `NOT IN` (uncorrelated subquery on the
+    * clean dim PK; three-valued, so a NULL fk is unknown and BOTH IN and
+    * NOT IN drop it). Two consuming shapes: the projection (survivors
+    * cross the ORDER BY with explicit NULLS placement — under NOT EXISTS
+    * the output genuinely contains NULL fks, under NOT IN it never does)
+    * and the count contrast (count(*) vs count(fk) over the survivors —
+    * equal exactly when the quantifier dropped the NULL rows). DataFrame
+    * renderings are the decorrelated plans Spark's own rewrites produce:
+    * LEFT SEMI on `fk = pk` for EXISTS and IN, LEFT ANTI on `fk = pk`
+    * for NOT EXISTS, LEFT ANTI on `fk = pk OR fk IS NULL OR pk IS NULL`
+    * for NOT IN (pk is never NULL on the corpus dims — pinned by the
+    * corpus-preconditions test — but the rendering keeps the full
+    * three-valued condition so it is correct by construction, not by
+    * precondition).
+    */
+  private def existsNullQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val (factT, fk, dimT, pk) = njoinEdges(rnd.nextInt(njoinEdges.length))
+    val key = uniqueKeys(factT).head
+    val fCols = catalog(factT)
+    val m = 5 + rnd.nextInt(5)
+    val r = rnd.nextInt(m)
+    val factColSqls = fCols.map { c =>
+      if (c.name == fk)
+        s"CASE WHEN ($key % $m) = $r THEN NULL ELSE ${c.name} END AS ${c.name}"
+      else c.name
+    }
+    val factFrag = s"(SELECT ${factColSqls.mkString(", ")} FROM $factT) $factT"
+    val loadFact = (s: SparkSession, d: String) =>
+      loadFuzzTable(s, d, factT).select(fCols.map { c =>
+        if (c.name == fk)
+          when((col(key) % m) === r, lit(null)).otherwise(col(c.name)).as(c.name)
+        else col(c.name)
+      }: _*)
+
+    val quant = rnd.nextInt(4) // 0 EXISTS, 1 NOT EXISTS, 2 IN, 3 NOT IN
+    val dimPred = if (rnd.nextBoolean()) Some(genPred(rnd, catalog(dimT), version)) else None
+    val factPred = if (rnd.nextBoolean()) Some(genPred(rnd, fCols, version)) else None
+    val dimWhereTail = dimPred.map(p => s" AND ${p.sql}").getOrElse("")
+    val dimWhere = dimPred.map(p => s" WHERE ${p.sql}").getOrElse("")
+    val memberSql = quant match {
+      case 0 => s"EXISTS (SELECT 1 FROM $dimT WHERE $pk = $fk$dimWhereTail)"
+      case 1 => s"NOT EXISTS (SELECT 1 FROM $dimT WHERE $pk = $fk$dimWhereTail)"
+      case 2 => s"$fk IN (SELECT $pk FROM $dimT$dimWhere)"
+      case _ => s"$fk NOT IN (SELECT $pk FROM $dimT$dimWhere)"
+    }
+    val whereSql = (factPred.map(_.sql).toSeq :+ memberSql).mkString(" AND ")
+    val tag = quant match {
+      case 0 => "nexists:exists"
+      case 1 => "nexists:notexists"
+      case 2 => "nexists:in"
+      case _ => "nexists:notin"
+    }
+
+    def survivors(s: SparkSession, d: String): DataFrame = {
+      var sub = loadFuzzTable(s, d, dimT)
+      dimPred.foreach(p => sub = sub.where(p.col))
+      val subV = sub.select(col(pk).as("_v"))
+      var fact = loadFact(s, d)
+      factPred.foreach(p => fact = fact.where(p.col))
+      quant match {
+        case 0 | 2 => fact.join(subV, col(fk) === col("_v"), "left_semi")
+        case 1     => fact.join(subV, col(fk) === col("_v"), "left_anti")
+        case _ => fact.join(subV,
+          col(fk) === col("_v") || col(fk).isNull || col("_v").isNull,
+          "left_anti")
+      }
+    }
+
+    if (rnd.nextInt(10) < 3) {
+      // count-contrast shape: count(*) == count(fk) exactly when the
+      // quantifier dropped the NULL-key rows
+      val sql = s"SELECT count(*) AS n_all, CAST(count($fk) AS BIGINT) AS n_fk" +
+        s" FROM $factFrag WHERE $whereSql"
+      val build = (s: SparkSession, d: String) =>
+        survivors(s, d).agg(count(lit(1)).as("n_all"),
+          count(col(fk)).as("n_fk"))
+      GenQuery(seed, sql, build, mode = s"$tag:agg")
+    } else {
+      val picked = rnd.shuffle(fCols.filterNot(_.name == fk).toVector)
+        .take(1 + rnd.nextInt(2))
+      val items = picked.zipWithIndex.map { case (c, i) =>
+        Item(s"c$i", c.name, col(c.name))
+      } :+ Item("v0", fk, col(fk))
+      val orderAsc = items.map(_ => rnd.nextBoolean())
+      val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+        s" FROM $factFrag WHERE $whereSql" +
+        " ORDER BY " + items.zip(orderAsc).map {
+          case (i, true)  => s"${i.alias} ASC NULLS FIRST"
+          case (i, false) => s"${i.alias} DESC NULLS LAST"
+        }.mkString(", ") +
+        " LIMIT 1000"
+      val build = (s: SparkSession, d: String) =>
+        survivors(s, d).select(items.map(i => i.col.as(i.alias)): _*)
+          .orderBy(items.zip(orderAsc).map {
+            case (i, true)  => col(i.alias).asc_nulls_first
+            case (i, false) => col(i.alias).desc_nulls_last
+          }: _*)
+          .limit(1000)
+      GenQuery(seed, sql, build, mode = tag)
+    }
   }
 
   /** v18 null-safe join mode: fact FK and dim PK BOTH 1-in-m NULL-injected,

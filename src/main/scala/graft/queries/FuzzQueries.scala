@@ -351,6 +351,27 @@ object FuzzQueries {
       10028, 10029, 10031, 10034, 10035, 10037, 10040, 10043, 10047,
       10048, 10049, 10054, 10064, 10066, 10068, 10069, 10071)
 
+  // Grammar-v19 slice (the EXISTS-vs-IN quantifier contrast over a
+  // NULL-injected FK: correlated [NOT] EXISTS is two-valued — a NULL key
+  // never correlates, so NOT EXISTS KEEPS the NULL-key rows — while
+  // uncorrelated [NOT] IN is three-valued and drops them; the classic
+  // anti-join-vs-NOT-IN migration trap, frozen as a differential). Whole
+  // 11001-11200 range verified against DuckDB at sf0.001, sf0.01 AND
+  // sf0.1 (200/200 pass at each, r12, zero divergence first sweep); picks
+  // non-empty at sf0.001 and sf0.01, seed range 11001+ disjoint from
+  // every older slice by construction. NOT EXISTS keeping genuine NULL-fk
+  // survivors through the ORDER BY (11015 — ALL 250 sf0.01 survivors are
+  // the NULL-key rows, 11024, 11048, 11054, 11063) + the count contrast
+  // count(*) > count(fk) (11007, 11041). EXISTS (11003, 11004, 11009,
+  // 11038) + contrast (11043). IN dropping only NULL-fk rows (11005,
+  // 11014, 11039) + contrast (11045). NOT IN with a clean dim subquery —
+  // drops the NULL-fk rows a NOT EXISTS would keep (11011, 11021, 11051)
+  // + contrast (11023). Rendered with query(seed, 19).
+  val declaredSeedsV19: Seq[Int] =
+    Seq(11003, 11004, 11005, 11007, 11009, 11011, 11014, 11015, 11021,
+      11023, 11024, 11038, 11039, 11041, 11043, 11045, 11048, 11051,
+      11054, 11063)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -369,7 +390,8 @@ object FuzzQueries {
       declaredSeedsV15.map(s => s -> FuzzGen.query(s, 15)) ++
       declaredSeedsV16.map(s => s -> FuzzGen.query(s, 16)) ++
       declaredSeedsV17.map(s => s -> FuzzGen.query(s, 17)) ++
-      declaredSeedsV18.map(s => s -> FuzzGen.query(s, 18))).map { case (seed, g) =>
+      declaredSeedsV18.map(s => s -> FuzzGen.query(s, 18)) ++
+      declaredSeedsV19.map(s => s -> FuzzGen.query(s, 19))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -489,6 +489,45 @@ class FuzzSpec extends AnyFunSuite {
     assert(nsafe >= 12, s"null-safe join mode under-drawn: $nsafe")
   }
 
+  test("grammar v19 (EXISTS-vs-IN quantifier contrast over a NULL-injected FK): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var ex = 0; var nex = 0; var in = 0; var nin = 0; var agg = 0
+    var nullSurvivorSeeds = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 19)
+      q.mode match {
+        case m if m.startsWith("nexists:exists")    => ex += 1
+        case m if m.startsWith("nexists:notexists") => nex += 1
+        case m if m.startsWith("nexists:in")        => in += 1
+        case m if m.startsWith("nexists:notin")     => nin += 1
+        case _ =>
+      }
+      if (q.mode.startsWith("nexists") && q.mode.endsWith(":agg")) agg += 1
+      if (q.mode.startsWith("nexists"))
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v19 seed $seed: quantifier query should carry one SQL text")
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v19 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+      // the semantics the grammar exists for: NOT EXISTS output may carry
+      // NULL keys (two-valued correlation) — count the seeds where it DID
+      if (q.mode == "nexists:notexists" && a.exists(_.anyNull)) nullSurvivorSeeds += 1
+    }
+    info(s"120 v19 seeds matched; $ex EXISTS, $nex NOT-EXISTS, $in IN, " +
+      s"$nin NOT-IN, $agg count-contrast; $nullSurvivorSeeds NOT-EXISTS " +
+      "seeds with genuine NULL-key survivors")
+    assert(ex >= 8, s"EXISTS under-drawn: $ex")
+    assert(nex >= 8, s"NOT EXISTS under-drawn: $nex")
+    assert(in >= 8, s"IN under-drawn: $in")
+    assert(nin >= 8, s"NOT IN under-drawn: $nin")
+    assert(agg >= 5, s"count-contrast shape under-drawn: $agg")
+    assert(nullSurvivorSeeds >= 3,
+      s"NOT EXISTS must keep NULL-key rows somewhere: $nullSurvivorSeeds")
+  }
+
   test("corpus preconditions the generators assume: 64-wide NULL-free embeddings, NULL-free join-edge keys") {
     views
     import org.apache.spark.sql.functions._
@@ -650,7 +689,14 @@ class FuzzSpec extends AnyFunSuite {
       "fz10040" -> "40b2708e", "fz10043" -> "bd728a32", "fz10047" -> "a8ab5499",
       "fz10048" -> "69e23470", "fz10049" -> "10642050", "fz10054" -> "5c536b1c",
       "fz10064" -> "873e3c7f", "fz10066" -> "1448521a", "fz10068" -> "3c9afaae",
-      "fz10069" -> "19e3fd8d", "fz10071" -> "6236cfeb")
+      "fz10069" -> "19e3fd8d", "fz10071" -> "6236cfeb",
+      "fz11003" -> "58c05845", "fz11004" -> "409d68ef", "fz11005" -> "4d3cb4f8",
+      "fz11007" -> "49dd91c6", "fz11009" -> "0e96049f", "fz11011" -> "7a106e6c",
+      "fz11014" -> "bb6eba77", "fz11015" -> "1e100bff", "fz11021" -> "4d2a24ae",
+      "fz11023" -> "32936dac", "fz11024" -> "156d9fe6", "fz11038" -> "0c6fd330",
+      "fz11039" -> "e82220b3", "fz11041" -> "62450364", "fz11043" -> "9011de6a",
+      "fz11045" -> "cad4fe77", "fz11048" -> "154f3c5b", "fz11051" -> "faf73f64",
+      "fz11054" -> "ca943fe5", "fz11063" -> "f170b5e3")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
