@@ -243,6 +243,15 @@ import graft.Tables
   *   - the null-safe join itself ([[nullSafeJoinQuery]]): both sides
   *     NULL-injected, joined ON `fk IS NOT DISTINCT FROM pk` — the
   *     NULL⋈NULL cross-match bounded by the tiny nation dim.
+  * Grammar v20 collides the two NULL species: GROUP BY ROLLUP/CUBE over a
+  * NULL-INJECTED group key produces rows where k IS NULL for two
+  * different reasons — the real NULL group (the injected rows aggregate
+  * together) and the super-aggregate rows (the engine pins k to NULL for
+  * the rolled-up sets) — distinguishable ONLY by GROUPING(). Both engines
+  * must produce the same flag-disambiguated row set, the same NULL-group
+  * aggregates (NULL-skipping sums/counts over the NULL group), and the
+  * same ORDER BY placement when real and synthetic NULLs sort side by
+  * side ([[rollupNullQuery]]).
   * Grammar v19 pins the one NULL-key contrast v18 leaves implicit: the
   * SAME membership question asked four ways over a NULL-injected FK —
   * correlated `[NOT] EXISTS (SELECT 1 FROM dim WHERE pk = fk)` vs
@@ -799,6 +808,15 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 20) {
+      // v20 mode byte: ROLLUP/CUBE over a NULL-injected group key — real
+      // NULL groups vs super-aggregate NULLs, disambiguated by GROUPING().
+      // Versions ≤ 19 never take this draw; fall-through continues into
+      // the v19 dispatch.
+      val m20 = rnd.nextInt(10)
+      if (m20 < 7) return rollupNullQuery(seed, rnd, version)
+      // else: fall through to the v19 dispatch with the advanced rnd state
+    }
     if (version >= 19) {
       // v19 mode byte: the EXISTS-vs-IN quantifier contrast over a
       // NULL-injected FK. Versions ≤ 18 never take this draw;
@@ -2873,6 +2891,89 @@ object FuzzGen {
     }
     GenQuery(seed, sql, build,
       mode = if (negated) "nsubq:notin" else "nsubq:in")
+  }
+
+  /** v20 dedicated mode: ROLLUP/CUBE where a group key is NULL-INJECTED —
+    * the collision of the two NULL species. For `ROLLUP(k)` over a key
+    * with real NULLs the output contains BOTH (k=NULL, GROUPING(k)=0)
+    * — the genuine NULL group, aggregating the injected rows — and
+    * (k=NULL, GROUPING(k)=1) — the grand total; only the flag separates
+    * them, and the ORDER BY (flags, keys) prefix stays total exactly
+    * because the flag column precedes the key. Carries v11's
+    * `HAVING count(*) > 0` guard (the empty-input grand-total divergence)
+    * and genAgg's cross-engine-exact aggregate rules; aggregates may draw
+    * the victim itself, exercising NULL-skipping sums inside the NULL
+    * group. Single-key ROLLUP when the drawn table has one groupable
+    * non-key column (supplier); two-key ROLLUP/CUBE otherwise, with the
+    * victim always first.
+    */
+  private def rollupNullQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val t = nullablePool(rnd.nextInt(nullablePool.length))
+    val key = uniqueKeys(t).head
+    val groupables = catalog(t).filter(c => c.groupable && c.name != key)
+    val victim = groupables(rnd.nextInt(groupables.length))
+    val rest = groupables.filterNot(_.name == victim.name)
+    val second: Option[FCol] =
+      if (rest.nonEmpty && rnd.nextBoolean()) Some(rest(rnd.nextInt(rest.length)))
+      else None
+    val m = 5 + rnd.nextInt(5)
+    val r = rnd.nextInt(m)
+    val colSqls = catalog(t).map { c =>
+      if (c.name == victim.name)
+        s"CASE WHEN ($key % $m) = $r THEN NULL ELSE ${c.name} END AS ${c.name}"
+      else c.name
+    }
+    val frag = s"(SELECT ${colSqls.mkString(", ")} FROM $t) $t"
+    val load = (s: SparkSession, d: String) =>
+      loadFuzzTable(s, d, t).select(catalog(t).map { c =>
+        if (c.name == victim.name)
+          when((col(key) % m) === r, lit(null)).otherwise(col(c.name)).as(c.name)
+        else col(c.name)
+      }: _*)
+
+    val keys = victim +: second.toSeq
+    val isCube = second.isDefined && rnd.nextBoolean()
+    val op = if (isCube) "CUBE" else "ROLLUP"
+    val pred = if (rnd.nextBoolean()) Some(genPred(rnd, catalog(t), version)) else None
+    val aggs = (0 until 1 + rnd.nextInt(2))
+      .map(i => genAgg(rnd, catalog(t), s"a$i", version))
+
+    val flagItems = keys.zipWithIndex.map { case (c, i) =>
+      Item(s"g$i", s"CAST(grouping(${c.name}) AS BIGINT)",
+        grouping(col(c.name)).cast("long"))
+    }
+    val keyItems = keys.zipWithIndex.map { case (c, i) =>
+      Item(s"k$i", c.name, col(c.name))
+    }
+    val items = flagItems ++ keyItems ++ aggs
+
+    val sb = new StringBuilder("SELECT ")
+    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    sb ++= s" FROM $frag"
+    pred.foreach(p => sb ++= s" WHERE ${p.sql}")
+    sb ++= s" GROUP BY $op (${keys.map(_.name).mkString(", ")})"
+    sb ++= " HAVING count(*) > 0"
+    sb ++= " ORDER BY " + (flagItems ++ keyItems)
+      .map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+
+    val build = (s: SparkSession, d: String) => {
+      var df = load(s, d)
+      pred.foreach(p => df = df.where(p.col))
+      val gb =
+        if (isCube) df.cube(keys.map(c => col(c.name)): _*)
+        else df.rollup(keys.map(c => col(c.name)): _*)
+      val aggCols = (flagItems ++ aggs).map(i => i.col.as(i.alias)) :+
+        count(lit(1)).as("_hv")
+      gb.agg(aggCols.head, aggCols.tail: _*)
+        .where(col("_hv") > 0)
+        .select(items.map(i =>
+          (if (i.alias.startsWith("k"))
+            col(keys(i.alias.drop(1).toInt).name)
+          else col(i.alias)).as(i.alias)): _*)
+        .orderBy((flagItems ++ keyItems).map(i => col(i.alias).asc_nulls_first): _*)
+    }
+    GenQuery(seed, sb.result(), build,
+      mode = s"nrollup:${op.toLowerCase}:${keys.length}key")
   }
 
   /** v19 dedicated mode: the four membership quantifiers over a

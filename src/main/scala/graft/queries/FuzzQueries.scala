@@ -372,6 +372,26 @@ object FuzzQueries {
       11023, 11024, 11038, 11039, 11041, 11043, 11045, 11048, 11051,
       11054, 11063)
 
+  // Grammar-v20 slice (the two NULL species collide: ROLLUP/CUBE over a
+  // NULL-INJECTED group key, where k IS NULL for two different reasons —
+  // the genuine NULL group aggregating the injected rows, and the
+  // super-aggregate rows the engine pins to NULL — distinguishable ONLY
+  // by the GROUPING() flag; both species verified PRESENT side-by-side in
+  // every pick below at sf0.01 except noted). Whole 12001-12200 range
+  // verified against DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200 pass at
+  // each, r12, zero divergence first sweep); picks non-empty at sf0.001
+  // and sf0.01, seed range 12001+ disjoint from every older slice by
+  // construction. Single-key ROLLUP — one real-NULL-group row beside the
+  // grand total (12005 sum over the victim itself, 12009, 12014, 12017,
+  // 12027, 12034, 12048 orders, 12057). Two-key ROLLUP with the victim
+  // first — per-(NULL,k1) sub-rows (12002 events 151 real-NULL rows,
+  // 12019, 12023 26 real-NULL rows, 12042, 12054). CUBE — the victim
+  // NULLed in every grouping-set combination (12003 events 142+151,
+  // 12007, 12018, 12032, 12055). Rendered with query(seed, 20).
+  val declaredSeedsV20: Seq[Int] =
+    Seq(12002, 12003, 12005, 12007, 12009, 12014, 12017, 12018, 12019,
+      12023, 12027, 12032, 12034, 12042, 12048, 12054, 12055, 12057)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -391,7 +411,8 @@ object FuzzQueries {
       declaredSeedsV16.map(s => s -> FuzzGen.query(s, 16)) ++
       declaredSeedsV17.map(s => s -> FuzzGen.query(s, 17)) ++
       declaredSeedsV18.map(s => s -> FuzzGen.query(s, 18)) ++
-      declaredSeedsV19.map(s => s -> FuzzGen.query(s, 19))).map { case (seed, g) =>
+      declaredSeedsV19.map(s => s -> FuzzGen.query(s, 19)) ++
+      declaredSeedsV20.map(s => s -> FuzzGen.query(s, 20))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

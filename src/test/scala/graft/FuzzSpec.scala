@@ -528,6 +528,45 @@ class FuzzSpec extends AnyFunSuite {
       s"NOT EXISTS must keep NULL-key rows somewhere: $nullSurvivorSeeds")
   }
 
+  test("grammar v20 (ROLLUP/CUBE over a NULL-injected group key, GROUPING() disambiguation): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var r1 = 0; var r2 = 0; var cu = 0; var bothSpecies = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 20)
+      q.mode match {
+        case "nrollup:rollup:1key" => r1 += 1
+        case "nrollup:rollup:2key" => r2 += 1
+        case "nrollup:cube:2key"   => cu += 1
+        case _ =>
+      }
+      if (q.mode.startsWith("nrollup"))
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v20 seed $seed: rollup-null query should carry one SQL text")
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v20 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+      // the collision the grammar exists for: k0 IS NULL rows of BOTH
+      // species — the real NULL group (g0=0) and a super-aggregate (g0=1)
+      if (q.mode.startsWith("nrollup")) {
+        val gi = 0
+        val ki = q.mode.split(":").last match { case "1key" => 1; case _ => 2 }
+        val real = a.exists(row => row.getLong(gi) == 0L && row.isNullAt(ki))
+        val synth = a.exists(row => row.getLong(gi) == 1L && row.isNullAt(ki))
+        if (real && synth) bothSpecies += 1
+      }
+    }
+    info(s"120 v20 seeds matched; $r1 rollup-1key, $r2 rollup-2key, $cu cube; " +
+      s"$bothSpecies seeds with BOTH NULL species (real group + super-aggregate)")
+    assert(r1 >= 20, s"1-key rollup under-drawn: $r1")
+    assert(r2 >= 10, s"2-key rollup under-drawn: $r2")
+    assert(cu >= 10, s"cube under-drawn: $cu")
+    assert(bothSpecies >= 3,
+      s"the NULL-species collision must actually occur: $bothSpecies")
+  }
+
   test("corpus preconditions the generators assume: 64-wide NULL-free embeddings, NULL-free join-edge keys") {
     views
     import org.apache.spark.sql.functions._
@@ -696,7 +735,13 @@ class FuzzSpec extends AnyFunSuite {
       "fz11023" -> "32936dac", "fz11024" -> "156d9fe6", "fz11038" -> "0c6fd330",
       "fz11039" -> "e82220b3", "fz11041" -> "62450364", "fz11043" -> "9011de6a",
       "fz11045" -> "cad4fe77", "fz11048" -> "154f3c5b", "fz11051" -> "faf73f64",
-      "fz11054" -> "ca943fe5", "fz11063" -> "f170b5e3")
+      "fz11054" -> "ca943fe5", "fz11063" -> "f170b5e3",
+      "fz12002" -> "44e76fa0", "fz12003" -> "76449105", "fz12005" -> "091630c2",
+      "fz12007" -> "c36cea80", "fz12009" -> "63859f1f", "fz12014" -> "b2678546",
+      "fz12017" -> "e64e9c3c", "fz12018" -> "2b1fa312", "fz12019" -> "45340d43",
+      "fz12023" -> "86091fb8", "fz12027" -> "4c592ac1", "fz12032" -> "33cb1ec0",
+      "fz12034" -> "23333293", "fz12042" -> "a54f7988", "fz12048" -> "f83f6440",
+      "fz12054" -> "e005b32b", "fz12055" -> "2982818b", "fz12057" -> "6c20eb60")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
