@@ -261,6 +261,22 @@ import graft.Tables
   * same rows vanish — the classic anti-join-vs-NOT-IN trap every engine
   * migration hits, here frozen as a differential with per-quantifier
   * survivor counts ([[existsNullQuery]]).
+  * Grammar v21 draws the frame semantics every older window mode avoids:
+  * RANGE-valued frames. The ROWS frames of v2 (running sum) and v13
+  * (sliding) count physical rows, so every one of them orders by the
+  * unique head key precisely to keep peer order out of the result. A
+  * RANGE frame is defined by VALUE distance — the frame of a row with
+  * order value v is every row of the partition whose value lies within
+  * [v-kPre, v+kFol] — so ties are harmless (peers share one frame) and
+  * the grammar deliberately orders by NON-unique integer columns where
+  * peer groups are real and value GAPS make RANGE diverge from ROWS on
+  * nearly every draw. Four frame shapes (bounded-preceding, bounded both
+  * sides, bounded-following, and the SQL-standard DEFAULT frame — ORDER
+  * BY with no frame clause, which the standard defines as RANGE UNBOUNDED
+  * PRECEDING..CURRENT ROW with peers INCLUDED; the DF rendering spells
+  * that default explicitly, so the differential pins that both engines'
+  * implicit frame really is the standard's RANGE one), plus a DESC coin
+  * that flips the frame direction ([[rangeWindowQuery]]).
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -808,6 +824,15 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 21) {
+      // v21 mode byte: RANGE-valued window frames — value-distance frames
+      // over non-unique order columns (peers are the point; every older
+      // frame is ROWS-based over a unique ordering). Versions ≤ 20 never
+      // take this draw; fall-through continues into the v20 dispatch.
+      val m21 = rnd.nextInt(10)
+      if (m21 < 7) return rangeWindowQuery(seed, rnd, version)
+      // else: fall through to the v20 dispatch with the advanced rnd state
+    }
     if (version >= 20) {
       // v20 mode byte: ROLLUP/CUBE over a NULL-injected group key — real
       // NULL groups vs super-aggregate NULLs, disambiguated by GROUPING().
@@ -3163,5 +3188,109 @@ object FuzzGen {
     }
     GenQuery(seed, sql, build,
       mode = if (keyOpt.isDefined) "nsafe:group" else "nsafe:global")
+  }
+
+  /** v21 RANGE-valued window frames — see the class doc. The order column
+    * is drawn from the HEAD table only: head columns survive LEFT joins
+    * non-NULL, keeping the null-peer-group frame semantics deliberately
+    * out of scope (v17/v18 own NULL windows). lineitem-headed chains are
+    * allowed — uniquely among order-sensitive modes — because a range
+    * frame assigns each row a result independent of peer order: the
+    * corpus's duplicate (l_orderkey, l_linenumber) pairs yield identical
+    * output rows, which the sorted compare cannot distinguish.
+    */
+  private def rangeWindowQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = chains :+ eventsChain :+ documentsChain :+ eventsCustomerChain
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val nPred = rnd.nextInt(3)
+    val preds = Vector.fill(nPred)(genPred(rnd, cols, version))
+    val uk = headOrderCols(chain.tables.head)
+    val groupables = cols.filter(_.groupable)
+    val g = groupables(rnd.nextInt(groupables.length))
+    // Order column: a head-table integer, never the partition key itself
+    // (region-headed draws may leave nothing else — there the degenerate
+    // order-by-the-partition-key is legal and still deterministic: all
+    // rows of a partition are peers, so every frame is the whole set).
+    val headIntsAll = catalog(chain.tables.head).filter(_.kind == 'i')
+    val headIntsPref = headIntsAll.filterNot(_.name == g.name)
+    val headInts = if (headIntsPref.nonEmpty) headIntsPref else headIntsAll
+    val o = headInts(rnd.nextInt(headInts.length))
+    val desc = rnd.nextInt(4) == 0
+    // Value offsets span the corpus key ranges: small ones leave most
+    // frames at just the peer group (value gaps >> offset — the sharpest
+    // RANGE-vs-ROWS contrast), large ones pull real neighbors in.
+    val offsets = Vector(1, 2, 3, 5, 10, 100, 1000, 20000)
+    val kPre = offsets(rnd.nextInt(offsets.length))
+    val kFol = offsets(rnd.nextInt(offsets.length))
+    val frameDraw = rnd.nextInt(4)
+    val frameSql = frameDraw match {
+      case 0 => s" RANGE BETWEEN $kPre PRECEDING AND CURRENT ROW"
+      case 1 => s" RANGE BETWEEN $kPre PRECEDING AND $kFol FOLLOWING"
+      case 2 => s" RANGE BETWEEN CURRENT ROW AND $kFol FOLLOWING"
+      case _ => "" // the implicit SQL-standard default frame
+    }
+    val ordSql =
+      if (desc) s"${o.name} DESC NULLS LAST" else s"${o.name} ASC NULLS FIRST"
+    def base = Window.partitionBy(col(g.name)).orderBy(
+      if (desc) col(o.name).desc_nulls_last else col(o.name).asc_nulls_first)
+    def w = frameDraw match {
+      case 0 => base.rangeBetween(-kPre, 0)
+      case 1 => base.rangeBetween(-kPre, kFol)
+      case 2 => base.rangeBetween(0, kFol)
+      // the DF side spells the standard's implicit frame explicitly — the
+      // differential pins that the SQL side's bare ORDER BY means this
+      case _ => base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    val intCols = cols.filter(_.kind == 'i')
+    val sumCol = intCols(rnd.nextInt(intCols.length))
+    val anyCol = cols(rnd.nextInt(cols.length))
+    val over = s" OVER (PARTITION BY ${g.name} ORDER BY $ordSql$frameSql)"
+    val (wSql, wCol) = rnd.nextInt(4) match {
+      case 0 => // CAST for the same HUGEINT reason as genAgg's sum
+        (s"CAST(sum(${sumCol.name})$over AS BIGINT)",
+          sum(col(sumCol.name)).over(w))
+      case 1 => (s"min(${anyCol.name})$over", min(col(anyCol.name)).over(w))
+      case 2 => (s"max(${anyCol.name})$over", max(col(anyCol.name)).over(w))
+      case _ => (s"count(${anyCol.name})$over", count(col(anyCol.name)).over(w))
+    }
+    val items =
+      uk.zipWithIndex.map { case (kc, i) => Item(s"u$i", kc, col(kc)) } ++
+        Seq(Item("k0", g.name, col(g.name)), Item("o0", o.name, col(o.name)),
+          Item("w0", wSql, wCol))
+
+    val sb = new StringBuilder("SELECT ")
+    sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+    sb ++= s" FROM ${chain.tables.head}"
+    chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+      val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+      sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+    }
+    if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    sb ++= " ORDER BY " +
+      items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+    sb ++= " LIMIT 1000"
+
+    val build = (s: SparkSession, d: String) => {
+      val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      j.select(items.map(i => i.col.as(i.alias)): _*)
+        .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+        .limit(1000)
+    }
+    val shape = frameDraw match {
+      case 0 => "pre"
+      case 1 => "both"
+      case 2 => "fol"
+      case _ => "default"
+    }
+    GenQuery(seed, sb.result(), build,
+      mode = s"range:$shape${if (desc) ":desc" else ""}:${chain.tables.head}")
   }
 }

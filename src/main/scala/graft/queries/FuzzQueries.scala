@@ -392,6 +392,41 @@ object FuzzQueries {
     Seq(12002, 12003, 12005, 12007, 12009, 12014, 12017, 12018, 12019,
       12023, 12027, 12032, 12034, 12042, 12048, 12054, 12055, 12057)
 
+  // Grammar-v21 slice (RANGE-valued window frames — value-distance frames
+  // over NON-unique integer orderings, where ties form real peer groups
+  // and the result stays deterministic because the frame depends on the
+  // ORDER VALUE, not the peer order; every older frame mode is ROWS-based
+  // over the unique head key for exactly that reason). Whole 13001-13200
+  // range verified against DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200
+  // pass at each, r12, zero divergence first sweep); picks non-empty at
+  // sf0.001 and sf0.01, seed range 13001+ disjoint from every older slice
+  // by construction. Bounded-preceding: 1-PRECEDING max-string DESC over
+  // customer (13004), lineitem-headed min(ts) ordered by the non-unique
+  // l_suppkey — the head the order-sensitive modes must exclude, legal
+  // here (13007), adjacent-nationkey sum k=1 (13012), events⋈customer
+  // min(ts) at 20000-offset (13006). Both-sides: lineitem min(quantity)
+  // by suppkey (13011), 3-chain supplier partitioned by r_name (13016),
+  // orders⋈customer⋈nation sum (13102), documents count over doc_id ±1000
+  // (13149). Bounded-following: part running-ahead sum at value-gap 1
+  // (13002), DESC min over part (13005), customer ordered by the
+  // 25-value c_nationkey — maximal peer groups (13024), selective
+  // lineitem⋈part count (13041), lineitem max ordered by the duplicated
+  // l_orderkey (13097), per-user event sum at 1000-following (13108),
+  // documents sum over tied n_chars (13127). Default frame (bare ORDER
+  // BY = the standard's RANGE UNBOUNDED..CURRENT with peers INCLUDED —
+  // the DF side spells it explicitly, pinning both engines' implicit
+  // frame): nation⋈region DESC count (13022), events⋈customer max by
+  // tied user_id (13029), customer⋈nation min-string (13047), modulo-
+  // filtered part (13063), events LEFT customer min over NULL-extended
+  // dim strings (13066), selective lineitem⋈part DESC count (13081),
+  // customer LEFT nation DESC sum (13117). DESC frame direction: 13004,
+  // 13005, 13022, 13036 (20000-FOLLOWING events sum), 13081, 13117.
+  // Rendered with query(seed, 21).
+  val declaredSeedsV21: Seq[Int] =
+    Seq(13002, 13004, 13005, 13006, 13007, 13011, 13012, 13016, 13022,
+      13024, 13029, 13036, 13041, 13047, 13063, 13066, 13081, 13097,
+      13102, 13108, 13117, 13127, 13149)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -412,7 +447,8 @@ object FuzzQueries {
       declaredSeedsV17.map(s => s -> FuzzGen.query(s, 17)) ++
       declaredSeedsV18.map(s => s -> FuzzGen.query(s, 18)) ++
       declaredSeedsV19.map(s => s -> FuzzGen.query(s, 19)) ++
-      declaredSeedsV20.map(s => s -> FuzzGen.query(s, 20))).map { case (seed, g) =>
+      declaredSeedsV20.map(s => s -> FuzzGen.query(s, 20)) ++
+      declaredSeedsV21.map(s => s -> FuzzGen.query(s, 21))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

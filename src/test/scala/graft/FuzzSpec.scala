@@ -567,6 +567,54 @@ class FuzzSpec extends AnyFunSuite {
       s"the NULL-species collision must actually occur: $bothSpecies")
   }
 
+  test("grammar v21 (RANGE-valued window frames over non-unique orderings): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var pre = 0; var both = 0; var fol = 0; var dflt = 0; var descN = 0
+    var tieSeeds = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 21)
+      if (q.mode.startsWith("range")) {
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v21 seed $seed: range-frame query should carry one SQL text")
+        q.mode.split(":")(1) match {
+          case "pre"     => pre += 1
+          case "both"    => both += 1
+          case "fol"     => fol += 1
+          case "default" => dflt += 1
+          case other     => fail(s"v21 seed $seed: unknown frame shape $other")
+        }
+        if (q.mode.contains(":desc")) descN += 1
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v21 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+      // the semantics the grammar exists for: peer groups must be REAL —
+      // count the seeds whose output carries tied order values inside one
+      // partition (a grammar drifting onto unique orderings would pass the
+      // differential while testing nothing new)
+      if (q.mode.startsWith("range") && a.nonEmpty) {
+        val ki = a.head.fieldIndex("k0")
+        val oi = a.head.fieldIndex("o0")
+        val tied = a.groupBy(r =>
+            (String.valueOf(r.get(ki)), String.valueOf(r.get(oi))))
+          .exists(_._2.size >= 2)
+        if (tied) tieSeeds += 1
+      }
+    }
+    info(s"120 v21 seeds matched; $pre pre, $both both-sides, $fol following, " +
+      s"$dflt default-frame, $descN DESC; $tieSeeds seeds with real peer groups")
+    assert(pre >= 10, s"bounded-preceding frame under-drawn: $pre")
+    assert(both >= 10, s"both-sides frame under-drawn: $both")
+    assert(fol >= 10, s"bounded-following frame under-drawn: $fol")
+    assert(dflt >= 10, s"default frame under-drawn: $dflt")
+    assert(descN >= 8, s"DESC direction under-drawn: $descN")
+    assert(tieSeeds >= 20,
+      s"range frames must see real peer groups: $tieSeeds")
+  }
+
   test("corpus preconditions the generators assume: 64-wide NULL-free embeddings, NULL-free join-edge keys") {
     views
     import org.apache.spark.sql.functions._
@@ -741,7 +789,15 @@ class FuzzSpec extends AnyFunSuite {
       "fz12017" -> "e64e9c3c", "fz12018" -> "2b1fa312", "fz12019" -> "45340d43",
       "fz12023" -> "86091fb8", "fz12027" -> "4c592ac1", "fz12032" -> "33cb1ec0",
       "fz12034" -> "23333293", "fz12042" -> "a54f7988", "fz12048" -> "f83f6440",
-      "fz12054" -> "e005b32b", "fz12055" -> "2982818b", "fz12057" -> "6c20eb60")
+      "fz12054" -> "e005b32b", "fz12055" -> "2982818b", "fz12057" -> "6c20eb60",
+      "fz13002" -> "3d13c680", "fz13004" -> "2263481f", "fz13005" -> "50dbff64",
+      "fz13006" -> "2a065656", "fz13007" -> "bb9eec49", "fz13011" -> "389daffd",
+      "fz13012" -> "3f752e84", "fz13016" -> "dcc80a23", "fz13022" -> "1543b3a9",
+      "fz13024" -> "5a65bc22", "fz13029" -> "564809f4", "fz13036" -> "42231592",
+      "fz13041" -> "d83d108d", "fz13047" -> "cbafd576", "fz13063" -> "0d980422",
+      "fz13066" -> "804ee803", "fz13081" -> "8c8362f8", "fz13097" -> "b5eac00e",
+      "fz13102" -> "236a9b7f", "fz13108" -> "c38bb6b4", "fz13117" -> "886e30e8",
+      "fz13127" -> "ec99f912", "fz13149" -> "42ad73e4")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
