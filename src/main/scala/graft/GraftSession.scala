@@ -43,6 +43,16 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Spark 4 SQL scripting (BEGIN…END control flow) — r11_sql_script
       .config("spark.sql.scripting.enabled", "true")
+      // NOT IN (subquery) plans as a null-aware anti join; by default Spark
+      // executes that as BroadcastNestedLoopJoin — O(fact × dim) looping
+      // lookup, the one quadratic plan in the engine (fz11051: 2.7 s at
+      // sf0.1 against a 15k-row dim; unusable against a real dimension at
+      // 100 TB). This flag re-plans single-column NAAJ into
+      // BroadcastHashJoin with isNullAwareAntiJoin=true — O(fact) hash
+      // lookups, same three-valued semantics. Validated by the v18/v19
+      // NOT-IN fuzz slices' oracle pins (the grammar exists precisely to
+      // catch a semantic drift here) and re-pinned in plan_signatures.tsv.
+      .config("spark.sql.optimizeNullAwareAntiJoin", "true")
       .config("spark.ui.enabled", "false")
   }
 

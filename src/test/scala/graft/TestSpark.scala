@@ -13,6 +13,9 @@ object TestSpark {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.sizeOfNull", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep in sync with GraftSession: NOT IN plans as hash-based NAAJ,
+      // not BroadcastNestedLoopJoin — plan_signatures.tsv pins the result
+      .config("spark.sql.optimizeNullAwareAntiJoin", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
