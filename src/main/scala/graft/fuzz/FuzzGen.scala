@@ -277,6 +277,18 @@ import graft.Tables
   * that default explicitly, so the differential pins that both engines'
   * implicit frame really is the standard's RANGE one), plus a DESC coin
   * that flips the frame direction ([[rangeWindowQuery]]).
+  * Grammar v22 moves the differential onto TEMPORAL semantics — the
+  * calendar arithmetic no older mode computes (they only compare and
+  * min/max raw timestamps): date_trunc bucketing as GROUP BY keys and
+  * window PARTITION keys (every truncation unit year..hour/minute;
+  * DuckDB returns DATE for day-and-coarser units while Spark returns
+  * TIMESTAMP, so the shared SQL wraps CAST(.. AS TIMESTAMP) — itself a
+  * portability fact the grammar pins), EXTRACT field projections and
+  * predicates (YEAR..MINUTE, CAST BIGINT — the engines' native EXTRACT
+  * types differ), and timestamp ± INTERVAL shifts (shared unquoted
+  * `INTERVAL k unit` syntax; month arithmetic must CLAMP identically —
+  * Jan 31 + 1 MONTH = Feb 29 in both engines) under shifted comparisons
+  * and BETWEEN ([[temporalQuery]]).
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -824,6 +836,14 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 22) {
+      // v22 mode byte: temporal semantics — date_trunc group/window keys,
+      // EXTRACT projections/predicates, ± INTERVAL shifts. Versions ≤ 21
+      // never take this draw; fall-through continues into the v21 dispatch.
+      val m22 = rnd.nextInt(10)
+      if (m22 < 7) return temporalQuery(seed, rnd, version)
+      // else: fall through to the v21 dispatch with the advanced rnd state
+    }
     if (version >= 21) {
       // v21 mode byte: RANGE-valued window frames — value-distance frames
       // over non-unique order columns (peers are the point; every older
@@ -3292,5 +3312,219 @@ object FuzzGen {
     }
     GenQuery(seed, sb.result(), build,
       mode = s"range:$shape${if (desc) ":desc" else ""}:${chain.tables.head}")
+  }
+
+  /** v22 temporal semantics — see the class doc. Every shape computes from
+    * the HEAD table's timestamp column (non-NULL under LEFT joins). The
+    * portability rules the probe established, pinned by every seed:
+    * date_trunc must be CAST AS TIMESTAMP in the shared SQL (DuckDB
+    * returns DATE for day-and-coarser units, Spark always TIMESTAMP);
+    * EXTRACT must be CAST AS BIGINT (DuckDB BIGINT vs Spark INT); the
+    * unquoted `INTERVAL k unit` literal parses in both dialects; and
+    * month arithmetic clamps identically (Jan 31 + 1 MONTH = Feb 29).
+    */
+  private def temporalQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = (chains :+ eventsChain :+ eventsCustomerChain)
+      .filter(c => catalog(c.tables.head).exists(_.kind == 't'))
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val nPred = rnd.nextInt(3)
+    val preds = Vector.fill(nPred)(genPred(rnd, cols, version))
+    val tc = catalog(chain.tables.head).filter(_.kind == 't').head
+    val t = tc.name
+    val uk = headOrderCols(chain.tables.head)
+    val headUnique = uniqueKeys.contains(chain.tables.head)
+    val groupables = cols.filter(_.groupable)
+    val intCols = cols.filter(_.kind == 'i')
+
+    def joinTail(sb: StringBuilder): Unit = {
+      sb ++= s" FROM ${chain.tables.head}"
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+        sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+      }
+      if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    }
+    def joined(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      val dfs = chain.tables.map(tb => loadFuzzTable(s, d, tb))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      j
+    }
+    def extractCol(part: String): Column = (part match {
+      case "YEAR"  => year(col(t))
+      case "MONTH" => month(col(t))
+      case "DAY"   => dayofmonth(col(t))
+      case "HOUR"  => hour(col(t))
+      case _       => minute(col(t))
+    }).cast("long")
+
+    rnd.nextInt(4) match {
+      case 0 => // calendar-bucket GROUP BY: date_trunc as the group key
+        val unit = Vector("year", "quarter", "month", "week", "day",
+          "hour")(rnd.nextInt(6))
+        val keySql = s"CAST(date_trunc('$unit', $t) AS TIMESTAMP)"
+        val keyCol = date_trunc(unit, col(t)).cast("timestamp")
+        val g2: Option[FCol] =
+          if (rnd.nextInt(3) == 0) Some(groupables(rnd.nextInt(groupables.length)))
+          else None
+        val aggs = (0 until 1 + rnd.nextInt(2))
+          .map(i => genAgg(rnd, cols, s"a$i", version))
+        val keyItems = Item("k0", keySql, keyCol) +:
+          g2.map(c => Item("k1", c.name, col(c.name))).toSeq
+        val items = keyItems ++ aggs
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        joinTail(sb)
+        sb ++= s" GROUP BY $keySql" + g2.map(c => s", ${c.name}").getOrElse("")
+        sb ++= " ORDER BY " +
+          keyItems.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+        val build = (s: SparkSession, d: String) => {
+          val gCols = keyCol.as("k0") +: g2.map(c => col(c.name).as("k1")).toSeq
+          val aggCols = aggs.map(i => i.col.as(i.alias))
+          joined(s, d).groupBy(gCols: _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+            .orderBy(keyItems.map(i => col(i.alias).asc_nulls_first): _*)
+        }
+        GenQuery(seed, sb.result(), build,
+          mode = s"temporal:trunc:$unit:${chain.tables.head}")
+
+      case 1 => // EXTRACT projections: a drawn field + the YYYYMM bucket,
+        // optionally filtered on a day-of-month band (valid for every head)
+        val part = Vector("YEAR", "MONTH", "DAY", "HOUR",
+          "MINUTE")(rnd.nextInt(5))
+        val e0Sql = s"CAST(EXTRACT($part FROM $t) AS BIGINT)"
+        val e1Sql = s"CAST(EXTRACT(YEAR FROM $t) AS BIGINT) * 100 + " +
+          s"CAST(EXTRACT(MONTH FROM $t) AS BIGINT)"
+        val e1Col = year(col(t)).cast("long") * 100 + month(col(t)).cast("long")
+        val dayPred = rnd.nextInt(3) match {
+          case 0 => None
+          case _ =>
+            val a = 1 + rnd.nextInt(15)
+            val b = a + 1 + rnd.nextInt(14)
+            Some((s"CAST(EXTRACT(DAY FROM $t) AS BIGINT) BETWEEN $a AND $b",
+              dayofmonth(col(t)).cast("long").between(a, b)))
+        }
+        val items =
+          uk.zipWithIndex.map { case (kc, i) => Item(s"u$i", kc, col(kc)) } ++
+            Seq(Item("e0", e0Sql, extractCol(part)), Item("e1", e1Sql, e1Col))
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        joinTail(sb)
+        dayPred.foreach { case (psql, _) =>
+          sb ++= (if (preds.nonEmpty) s" AND $psql" else s" WHERE $psql")
+        }
+        sb ++= " ORDER BY " +
+          items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+        sb ++= " LIMIT 1000"
+        val build = (s: SparkSession, d: String) => {
+          var j = joined(s, d)
+          dayPred.foreach { case (_, pcol) => j = j.where(pcol) }
+          j.select(items.map(i => i.col.as(i.alias)): _*)
+            .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+            .limit(1000)
+        }
+        GenQuery(seed, sb.result(), build,
+          mode = s"temporal:extract:${chain.tables.head}")
+
+      case 2 => // ± INTERVAL shift, optionally under a shifted comparison
+        val k = 1 + rnd.nextInt(30)
+        val u2 = Vector("DAY", "HOUR", "MONTH")(rnd.nextInt(3))
+        val minus = rnd.nextBoolean()
+        val op = if (minus) "-" else "+"
+        val shiftSql = s"$t $op INTERVAL $k $u2"
+        val iv = expr(s"INTERVAL $k $u2")
+        val shiftCol = if (minus) col(t) - iv else col(t) + iv
+        val shiftPred: Option[(String, Column)] = rnd.nextInt(3) match {
+          case 0 => None
+          case 1 =>
+            val cmp = Vector("<", "<=", ">", ">=")(rnd.nextInt(4))
+            val l = tc.lits(rnd.nextInt(tc.lits.length))
+            Some((s"$shiftSql $cmp ${l.sql}", cmp match {
+              case "<"  => shiftCol < l.col
+              case "<=" => shiftCol <= l.col
+              case ">"  => shiftCol > l.col
+              case _    => shiftCol >= l.col
+            }))
+          case _ =>
+            val i1 = rnd.nextInt(tc.lits.length - 1)
+            val (lo, hi) = (tc.lits(i1), tc.lits(i1 + 1 + rnd.nextInt(tc.lits.length - i1 - 1)))
+            Some((s"$shiftSql BETWEEN ${lo.sql} AND ${hi.sql}",
+              shiftCol.between(lo.col, hi.col)))
+        }
+        val items =
+          uk.zipWithIndex.map { case (kc, i) => Item(s"u$i", kc, col(kc)) } ++
+            Seq(Item("t0", t, col(t)), Item("s0", shiftSql, shiftCol))
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        joinTail(sb)
+        shiftPred.foreach { case (psql, _) =>
+          sb ++= (if (preds.nonEmpty) s" AND $psql" else s" WHERE $psql")
+        }
+        sb ++= " ORDER BY " +
+          items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+        sb ++= " LIMIT 1000"
+        val build = (s: SparkSession, d: String) => {
+          var j = joined(s, d)
+          shiftPred.foreach { case (_, pcol) => j = j.where(pcol) }
+          j.select(items.map(i => i.col.as(i.alias)): _*)
+            .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+            .limit(1000)
+        }
+        GenQuery(seed, sb.result(), build,
+          mode = s"temporal:shift${if (minus) ":minus" else ""}:${chain.tables.head}")
+
+      case _ => // window PARTITIONED BY the calendar bucket
+        val unit = Vector("year", "quarter", "month", "week",
+          "day")(rnd.nextInt(5))
+        val partSql = s"CAST(date_trunc('$unit', $t) AS TIMESTAMP)"
+        val partCol = date_trunc(unit, col(t)).cast("timestamp")
+        val anyCol = cols(rnd.nextInt(cols.length))
+        val sumCol = intCols(rnd.nextInt(intCols.length))
+        val ukOrderSql = uk.map(kc => s"$kc ASC NULLS FIRST").mkString(", ")
+        def ukW = Window.partitionBy(partCol)
+          .orderBy(uk.map(col(_).asc_nulls_first): _*)
+        def valW = Window.partitionBy(partCol)
+          .orderBy(col(anyCol.name).asc_nulls_first)
+        val funcDraw0 = rnd.nextInt(4)
+        // row_number needs a total in-partition order: remap onto rank for
+        // the duplicate-PK lineitem head (the windowQuery convention)
+        val funcDraw = if (!headUnique && funcDraw0 == 0) 1 else funcDraw0
+        val (wSql, wCol) = funcDraw match {
+          case 0 =>
+            (s"row_number() OVER (PARTITION BY $partSql ORDER BY $ukOrderSql)",
+              row_number().over(ukW))
+          case 1 =>
+            (s"rank() OVER (PARTITION BY $partSql ORDER BY ${anyCol.name} ASC NULLS FIRST)",
+              rank().over(valW))
+          case 2 =>
+            (s"dense_rank() OVER (PARTITION BY $partSql ORDER BY ${anyCol.name} ASC NULLS FIRST)",
+              dense_rank().over(valW))
+          case _ =>
+            (s"CAST(sum(${sumCol.name}) OVER (PARTITION BY $partSql) AS BIGINT)",
+              sum(col(sumCol.name)).over(Window.partitionBy(partCol)))
+        }
+        val items =
+          uk.zipWithIndex.map { case (kc, i) => Item(s"u$i", kc, col(kc)) } ++
+            Seq(Item("k0", partSql, partCol), Item("w0", wSql, wCol))
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        joinTail(sb)
+        sb ++= " ORDER BY " +
+          items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+        sb ++= " LIMIT 1000"
+        val build = (s: SparkSession, d: String) => {
+          joined(s, d).select(items.map(i => i.col.as(i.alias)): _*)
+            .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+            .limit(1000)
+        }
+        GenQuery(seed, sb.result(), build,
+          mode = s"temporal:twin:$unit:${chain.tables.head}")
+    }
   }
 }

@@ -427,6 +427,36 @@ object FuzzQueries {
       13024, 13029, 13036, 13041, 13047, 13063, 13066, 13081, 13097,
       13102, 13108, 13117, 13127, 13149)
 
+  // Grammar-v22 slice (temporal semantics: date_trunc group/window keys,
+  // EXTRACT field projections, ± INTERVAL shifts — the calendar arithmetic
+  // no older mode computes; every seed also pins the portability rules the
+  // grammar is built on: CAST(date_trunc AS TIMESTAMP) against DuckDB's
+  // DATE return type for day-and-coarser units, CAST(EXTRACT AS BIGINT),
+  // shared unquoted `INTERVAL k unit`, identical month-end clamping).
+  // Whole 14001-14200 range verified against DuckDB at sf0.001, sf0.01 AND
+  // sf0.1 (200/200 pass at each, r12, zero divergence first sweep); picks
+  // non-empty at sf0.001 and sf0.01, seed range 14001+ disjoint from every
+  // older slice by construction. Calendar-bucket GROUP BY: month×flag over
+  // a lineitem join (14002), quarter×type over events (14003), year with a
+  // LEFT-joined dim key + count DISTINCT (14012), week min over a join
+  // (14024), quarter under LEFT join (14041), hour — orders carry real
+  // time components, 2399 sf0.01 buckets (14080), day×status avg (14082).
+  // EXTRACT projections: MONTH + YYYYMM under a day-band pred (14008),
+  // MINUTE over events (14015), YEAR beside YYYYMM (14026), MINUTE over
+  // lineitem with a day-band (14054), YEAR/YYYYMM over filtered events
+  // (14070). INTERVAL shifts: +26 MONTH over a lineitem join — the
+  // clamping path (14001), -15 HOUR over orders (14016), +12 HOUR over
+  // events under a shifted comparison (14018), +22 MONTH under LEFT join
+  // (14077), +6 HOUR at 2-row selectivity (14089), -2 HOUR with a shifted
+  // BETWEEN (14101). Windows PARTITIONED BY the calendar bucket: rank by
+  // value within week (14009), row_number within quarter (14042) and year
+  // (14098), whole-partition sum within day (14108), rank within quarter
+  // over events (14119). Rendered with query(seed, 22).
+  val declaredSeedsV22: Seq[Int] =
+    Seq(14001, 14002, 14003, 14008, 14009, 14012, 14015, 14016, 14018,
+      14024, 14026, 14041, 14042, 14054, 14070, 14077, 14080, 14082,
+      14089, 14098, 14101, 14108, 14119)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -448,7 +478,8 @@ object FuzzQueries {
       declaredSeedsV18.map(s => s -> FuzzGen.query(s, 18)) ++
       declaredSeedsV19.map(s => s -> FuzzGen.query(s, 19)) ++
       declaredSeedsV20.map(s => s -> FuzzGen.query(s, 20)) ++
-      declaredSeedsV21.map(s => s -> FuzzGen.query(s, 21))).map { case (seed, g) =>
+      declaredSeedsV21.map(s => s -> FuzzGen.query(s, 21)) ++
+      declaredSeedsV22.map(s => s -> FuzzGen.query(s, 22))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

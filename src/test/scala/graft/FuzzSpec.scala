@@ -615,6 +615,44 @@ class FuzzSpec extends AnyFunSuite {
       s"range frames must see real peer groups: $tieSeeds")
   }
 
+  test("grammar v22 (temporal semantics: date_trunc keys, EXTRACT fields, INTERVAL shifts): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var trunc = 0; var extr = 0; var shift = 0; var twin = 0
+    var minus = 0; var monthShift = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 22)
+      if (q.mode.startsWith("temporal")) {
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v22 seed $seed: temporal query should carry one SQL text")
+        q.mode.split(":")(1) match {
+          case "trunc"   => trunc += 1
+          case "extract" => extr += 1
+          case "shift"   => shift += 1
+          case "twin"    => twin += 1
+          case other     => fail(s"v22 seed $seed: unknown temporal shape $other")
+        }
+        if (q.mode.contains(":minus")) minus += 1
+        if (q.mode.split(":")(1) == "shift" && q.sql.contains("MONTH"))
+          monthShift += 1
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v22 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v22 seeds matched; $trunc trunc-group, $extr extract, " +
+      s"$shift shift ($minus minus, $monthShift month-arithmetic), $twin trunc-window")
+    assert(trunc >= 12, s"trunc-group shape under-drawn: $trunc")
+    assert(extr >= 12, s"extract shape under-drawn: $extr")
+    assert(shift >= 12, s"shift shape under-drawn: $shift")
+    assert(twin >= 12, s"trunc-window shape under-drawn: $twin")
+    assert(minus >= 5, s"minus-direction shifts under-drawn: $minus")
+    assert(monthShift >= 3,
+      s"month arithmetic (the clamping path) must be drawn: $monthShift")
+  }
+
   test("corpus preconditions the generators assume: 64-wide NULL-free embeddings, NULL-free join-edge keys") {
     views
     import org.apache.spark.sql.functions._
@@ -797,7 +835,15 @@ class FuzzSpec extends AnyFunSuite {
       "fz13041" -> "d83d108d", "fz13047" -> "cbafd576", "fz13063" -> "0d980422",
       "fz13066" -> "804ee803", "fz13081" -> "8c8362f8", "fz13097" -> "b5eac00e",
       "fz13102" -> "236a9b7f", "fz13108" -> "c38bb6b4", "fz13117" -> "886e30e8",
-      "fz13127" -> "ec99f912", "fz13149" -> "42ad73e4")
+      "fz13127" -> "ec99f912", "fz13149" -> "42ad73e4",
+      "fz14001" -> "91422c75", "fz14002" -> "18dc9c54", "fz14003" -> "07b13a3f",
+      "fz14008" -> "d3e10c3f", "fz14009" -> "17191cb9", "fz14012" -> "fbec5836",
+      "fz14015" -> "e275fa86", "fz14016" -> "ad262e9d", "fz14018" -> "d8e8c3cc",
+      "fz14024" -> "d650085e", "fz14026" -> "e358ea30", "fz14041" -> "f09d97c6",
+      "fz14042" -> "430d119c", "fz14054" -> "a75ff914", "fz14070" -> "c68dac9c",
+      "fz14077" -> "74dd6716", "fz14080" -> "0803b5a0", "fz14082" -> "ec4bc5cf",
+      "fz14089" -> "d4007a22", "fz14098" -> "d6216116", "fz14101" -> "562f48ea",
+      "fz14108" -> "8ef84d5a", "fz14119" -> "a6351710")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
