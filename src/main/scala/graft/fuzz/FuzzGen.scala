@@ -289,6 +289,15 @@ import graft.Tables
   * `INTERVAL k unit` syntax; month arithmetic must CLAMP identically —
   * Jan 31 + 1 MONTH = Feb 29 in both engines) under shifted comparisons
   * and BETWEEN ([[temporalQuery]]).
+  * Grammar v23 widens the STRING-scalar surface beyond v13's
+  * upper/substr/length: computed projections (lower, reverse, replace
+  * with corpus-profiled search literals, left/right prefixes, lpad/rpad
+  * incl. the truncate-when-longer path, || concatenation with its
+  * NULL-propagates-both-engines contract), split_part as a COMPUTED
+  * GROUP BY key (shared 1-based semantics, out-of-range part → empty
+  * string in both engines), and instr/length integer arithmetic
+  * (1-based find, 0 when absent, CAST BIGINT both sides)
+  * ([[strScalarQuery]]).
   * Every widened draw sits above the older version's range or behind a
   * version guard: v1/v2/v3/v4 seeds keep their DRAWS forever (pinned by
   * FuzzSpec's SQL-hash test). One deliberate rendering-only change
@@ -836,6 +845,14 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 23) {
+      // v23 mode byte: string-scalar semantics — computed projections,
+      // split_part group keys, instr/length arithmetic. Versions ≤ 22
+      // never take this draw; fall-through continues into the v22 dispatch.
+      val m23 = rnd.nextInt(10)
+      if (m23 < 7) return strScalarQuery(seed, rnd, version)
+      // else: fall through to the v22 dispatch with the advanced rnd state
+    }
     if (version >= 22) {
       // v22 mode byte: temporal semantics — date_trunc group/window keys,
       // EXTRACT projections/predicates, ± INTERVAL shifts. Versions ≤ 21
@@ -3525,6 +3542,172 @@ object FuzzGen {
         }
         GenQuery(seed, sb.result(), build,
           mode = s"temporal:twin:$unit:${chain.tables.head}")
+    }
+  }
+
+  /** v23 string-scalar semantics — see the class doc. String inputs may
+    * come from a LEFT-joined dim side (NULL in → NULL out is part of the
+    * contract under test: replace/lower/||/split_part/instr all propagate
+    * NULL identically in both engines). Search/find literals are drawn
+    * from the column's own corpus-profiled literal pool, so replace and
+    * instr genuinely hit.
+    */
+  private def strScalarQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = chains :+ eventsChain :+ documentsChain :+ eventsCustomerChain
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val nPred = rnd.nextInt(3)
+    val preds = Vector.fill(nPred)(genPred(rnd, cols, version))
+    val uk = headOrderCols(chain.tables.head)
+    val sCols = cols.filter(_.kind == 's')
+    val s1 = sCols(rnd.nextInt(sCols.length))
+    val s2 = sCols(rnd.nextInt(sCols.length))
+    /** A literal's raw text (sLit stores the quoted SQL form). */
+    def raw(c: FCol): String = {
+      val q = c.lits(rnd.nextInt(c.lits.length)).sql
+      q.substring(1, q.length - 1)
+    }
+
+    rnd.nextInt(3) match {
+      case 0 => // computed projections + || concatenation
+        val k = 1 + rnd.nextInt(6)
+        val (c0Sql, c0Col) = rnd.nextInt(6) match {
+          case 0 => (s"lower(${s1.name})", lower(col(s1.name)))
+          case 1 => (s"reverse(${s1.name})", reverse(col(s1.name)))
+          case 2 =>
+            val f = raw(s1)
+            (s"replace(${s1.name}, '$f', '@')",
+              replace(col(s1.name), lit(f), lit("@")))
+          case 3 => (s"left(${s1.name}, $k)", left(col(s1.name), lit(k)))
+          case 4 => (s"right(${s1.name}, $k)", right(col(s1.name), lit(k)))
+          case _ =>
+            // k may be SHORTER than the input — the truncate path both
+            // engines share (lpad('abcd', 2, 'x') = 'ab')
+            (s"lpad(${s1.name}, ${k + 2}, '_')",
+              lpad(col(s1.name), k + 2, "_"))
+        }
+        val c1Sql = s"${s1.name} || '~' || ${s2.name}"
+        val c1Col = concat(col(s1.name), lit("~"), col(s2.name))
+        val items =
+          uk.zipWithIndex.map { case (kc, i) => Item(s"u$i", kc, col(kc)) } ++
+            Seq(Item("c0", c0Sql, c0Col), Item("c1", c1Sql, c1Col))
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        sb ++= s" FROM ${chain.tables.head}"
+        chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+          val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+          sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+        }
+        if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+        sb ++= " ORDER BY " +
+          items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+        sb ++= " LIMIT 1000"
+        val build = (s: SparkSession, d: String) => {
+          val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+          var j = dfs.head
+          chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+            j = j.join(dfs(i + 1), col(lk) === col(rk),
+              if (joinKinds(i) == "LEFT") "left" else "inner")
+          }
+          preds.foreach(p => j = j.where(p.col))
+          j.select(items.map(i => i.col.as(i.alias)): _*)
+            .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+            .limit(1000)
+        }
+        GenQuery(seed, sb.result(), build,
+          mode = s"str:proj:${chain.tables.head}")
+
+      case 1 => // split_part as a computed GROUP BY key
+        val sep = Vector(" ", "-", "#")(rnd.nextInt(3))
+        val n = 1 + rnd.nextInt(4)
+        val keySql = s"split_part(${s1.name}, '$sep', $n)"
+        val keyCol = split_part(col(s1.name), lit(sep), lit(n))
+        val g2: Option[FCol] = {
+          val groupables = cols.filter(_.groupable)
+          if (rnd.nextInt(3) == 0 && groupables.nonEmpty)
+            Some(groupables(rnd.nextInt(groupables.length)))
+          else None
+        }
+        val aggs = (0 until 1 + rnd.nextInt(2))
+          .map(i => genAgg(rnd, cols, s"a$i", version))
+        val keyItems = Item("k0", keySql, keyCol) +:
+          g2.map(c => Item("k1", c.name, col(c.name))).toSeq
+        val items = keyItems ++ aggs
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        sb ++= s" FROM ${chain.tables.head}"
+        chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+          val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+          sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+        }
+        if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+        sb ++= s" GROUP BY $keySql" + g2.map(c => s", ${c.name}").getOrElse("")
+        sb ++= " ORDER BY " +
+          keyItems.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+        val build = (s: SparkSession, d: String) => {
+          val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+          var j = dfs.head
+          chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+            j = j.join(dfs(i + 1), col(lk) === col(rk),
+              if (joinKinds(i) == "LEFT") "left" else "inner")
+          }
+          preds.foreach(p => j = j.where(p.col))
+          val gCols = keyCol.as("k0") +: g2.map(c => col(c.name).as("k1")).toSeq
+          val aggCols = aggs.map(i => i.col.as(i.alias))
+          j.groupBy(gCols: _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+            .orderBy(keyItems.map(i => col(i.alias).asc_nulls_first): _*)
+        }
+        GenQuery(seed, sb.result(), build,
+          mode = s"str:splitkey:${chain.tables.head}")
+
+      case _ => // instr find + length arithmetic (1-based, 0 when absent)
+        val f = raw(s1)
+        val e0Sql = s"CAST(instr(${s1.name}, '$f') AS BIGINT)"
+        val e0Col = instr(col(s1.name), f).cast("long")
+        val e1Sql = s"CAST(length(${s1.name}) AS BIGINT)"
+        val e1Col = length(col(s1.name)).cast("long")
+        val findPred: Option[(String, Column)] = rnd.nextInt(3) match {
+          case 0 => None
+          case 1 => Some((s"instr(${s1.name}, '$f') > 0",
+            instr(col(s1.name), f) > 0))
+          case _ => Some((s"instr(${s1.name}, '$f') = 0",
+            instr(col(s1.name), f) === 0))
+        }
+        val items =
+          uk.zipWithIndex.map { case (kc, i) => Item(s"u$i", kc, col(kc)) } ++
+            Seq(Item("e0", e0Sql, e0Col), Item("e1", e1Sql, e1Col),
+              Item("e2", s"$e1Sql - $e0Sql", e1Col - e0Col))
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        sb ++= s" FROM ${chain.tables.head}"
+        chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+          val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+          sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+        }
+        if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+        findPred.foreach { case (psql, _) =>
+          sb ++= (if (preds.nonEmpty) s" AND $psql" else s" WHERE $psql")
+        }
+        sb ++= " ORDER BY " +
+          items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+        sb ++= " LIMIT 1000"
+        val build = (s: SparkSession, d: String) => {
+          val dfs = chain.tables.map(t => loadFuzzTable(s, d, t))
+          var j = dfs.head
+          chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+            j = j.join(dfs(i + 1), col(lk) === col(rk),
+              if (joinKinds(i) == "LEFT") "left" else "inner")
+          }
+          preds.foreach(p => j = j.where(p.col))
+          findPred.foreach { case (_, pcol) => j = j.where(pcol) }
+          j.select(items.map(i => i.col.as(i.alias)): _*)
+            .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+            .limit(1000)
+        }
+        GenQuery(seed, sb.result(), build,
+          mode = s"str:poslen:${chain.tables.head}")
     }
   }
 }

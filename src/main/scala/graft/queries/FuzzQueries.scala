@@ -457,6 +457,34 @@ object FuzzQueries {
       14024, 14026, 14041, 14042, 14054, 14070, 14077, 14080, 14082,
       14089, 14098, 14101, 14108, 14119)
 
+  // Grammar-v23 slice (string scalars beyond v13's upper/substr/length:
+  // computed projections with corpus-profiled search literals, split_part
+  // as a computed GROUP BY key, instr/length integer arithmetic — each
+  // seed pins shared 1-based/0-when-absent/empty-when-out-of-range/
+  // truncate-when-longer/NULL-propagating semantics across the engines).
+  // Whole 15001-15200 range verified against DuckDB at sf0.001, sf0.01
+  // AND sf0.1 (200/200 pass at each, r12, zero divergence first sweep);
+  // picks non-empty at sf0.001 and sf0.01, seed range 15001+ disjoint
+  // from every older slice by construction. Projections: reverse (15014),
+  // lpad truncate-when-longer over lineitem (15019) and pad-when-shorter
+  // over customer (15022), right (15023), left over nation (15049) and
+  // JSON-shaped props (15060), replace hitting a full c_name under a join
+  // (15092) and an event_type under preds (15098). split_part keys:
+  // dim name by ' ' through the events⋈customer edge (15002), no-space
+  // inputs collapsing to one part-1 group (15026 part-3 → '', 15027,
+  // 15044 under LEFT join, 15102-like shapes dropped as duplicates),
+  // o_orderpriority by '#' — separator absent, whole-string key (15051),
+  // s_name by ' ' → 10-then-25 real groups (15084), props by '-' (15091,
+  // 15106 part-4 under IS NOT NULL). instr/length arithmetic: source hit
+  // at varying positions over documents (15005), full-string match over
+  // part types (15006), JSON props literal (15020), single-char flags
+  // (15038, 15053), dim-side name through a join (15079), miss→0 pins
+  // (15042 instr=0 band, 15114). Rendered with query(seed, 23).
+  val declaredSeedsV23: Seq[Int] =
+    Seq(15002, 15005, 15006, 15014, 15019, 15020, 15022, 15023, 15026,
+      15027, 15038, 15042, 15044, 15049, 15051, 15053, 15060, 15079,
+      15084, 15091, 15092, 15098, 15106, 15114)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -479,7 +507,8 @@ object FuzzQueries {
       declaredSeedsV19.map(s => s -> FuzzGen.query(s, 19)) ++
       declaredSeedsV20.map(s => s -> FuzzGen.query(s, 20)) ++
       declaredSeedsV21.map(s => s -> FuzzGen.query(s, 21)) ++
-      declaredSeedsV22.map(s => s -> FuzzGen.query(s, 22))).map { case (seed, g) =>
+      declaredSeedsV22.map(s => s -> FuzzGen.query(s, 22)) ++
+      declaredSeedsV23.map(s => s -> FuzzGen.query(s, 23))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -653,6 +653,34 @@ class FuzzSpec extends AnyFunSuite {
       s"month arithmetic (the clamping path) must be drawn: $monthShift")
   }
 
+  test("grammar v23 (string scalars: computed projections, split_part keys, instr/length arithmetic): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var proj = 0; var splitk = 0; var poslen = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 23)
+      if (q.mode.startsWith("str")) {
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v23 seed $seed: string query should carry one SQL text")
+        q.mode.split(":")(1) match {
+          case "proj"     => proj += 1
+          case "splitkey" => splitk += 1
+          case "poslen"   => poslen += 1
+          case other      => fail(s"v23 seed $seed: unknown string shape $other")
+        }
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v23 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v23 seeds matched; $proj proj, $splitk split-key, $poslen pos/len")
+    assert(proj >= 18, s"computed-projection shape under-drawn: $proj")
+    assert(splitk >= 18, s"split_part-key shape under-drawn: $splitk")
+    assert(poslen >= 18, s"instr/length shape under-drawn: $poslen")
+  }
+
   test("corpus preconditions the generators assume: 64-wide NULL-free embeddings, NULL-free join-edge keys") {
     views
     import org.apache.spark.sql.functions._
@@ -843,7 +871,15 @@ class FuzzSpec extends AnyFunSuite {
       "fz14042" -> "430d119c", "fz14054" -> "a75ff914", "fz14070" -> "c68dac9c",
       "fz14077" -> "74dd6716", "fz14080" -> "0803b5a0", "fz14082" -> "ec4bc5cf",
       "fz14089" -> "d4007a22", "fz14098" -> "d6216116", "fz14101" -> "562f48ea",
-      "fz14108" -> "8ef84d5a", "fz14119" -> "a6351710")
+      "fz14108" -> "8ef84d5a", "fz14119" -> "a6351710",
+      "fz15002" -> "ecef6a7b", "fz15005" -> "585c32de", "fz15006" -> "53e0014d",
+      "fz15014" -> "512bde47", "fz15019" -> "df335c88", "fz15020" -> "95f226a7",
+      "fz15022" -> "85dbf3b7", "fz15023" -> "7d20d332", "fz15026" -> "47b7d52d",
+      "fz15027" -> "c6fae824", "fz15038" -> "caf2de05", "fz15042" -> "6b4157d8",
+      "fz15044" -> "a005bea6", "fz15049" -> "9e523940", "fz15051" -> "8753459a",
+      "fz15053" -> "ad533d20", "fz15060" -> "beb17ed1", "fz15079" -> "130dfe86",
+      "fz15084" -> "92208e1f", "fz15091" -> "7f04bd19", "fz15092" -> "6f774923",
+      "fz15098" -> "01156975", "fz15106" -> "e7e043c7", "fz15114" -> "78ffa34e")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
