@@ -242,8 +242,8 @@ object AdvancedQueries {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |islands AS (
              |  SELECT user_id, ts,
-             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+             |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
              |  FROM marked)
              |SELECT user_id, min(ts) AS session_start,
              |  max(ts) + INTERVAL '30 minutes' AS session_end,

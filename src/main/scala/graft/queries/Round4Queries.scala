@@ -317,7 +317,7 @@ object Round4Queries {
       },
       Some("""WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS tok FROM documents),
              |c AS (SELECT doc_id, lang, tok,
-             |        sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ASC) AS cum FROM d)
+             |        CAST(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ASC) AS BIGINT) AS cum FROM d)
              |SELECT lang, CAST(floor((cum - tok) / 512) AS BIGINT) AS pack,
              |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
              |FROM c GROUP BY lang, pack ORDER BY lang, pack""".stripMargin)

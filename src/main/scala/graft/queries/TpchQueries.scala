@@ -342,8 +342,16 @@ object TpchQueries {
     * shipdate + (hash % 60 − 29) days (so ship < commit holds for about
     * half the lines, q12's early-commit filter), receiptdate at
     * shipdate + (hash % 30 + 1) days (always after ship; late vs commit
-    * for about half, q21's waiting predicate), shipmode as a 7-way CASE
-    * over an independent key hash. Day offsets are integer-exact BIGINT
+    * for 0.5 + 0.5·(435/900) ≈ 74.2% of lines, q21's waiting predicate),
+    * shipmode as a 7-way CASE over an independent key hash. Because these
+    * are hash-modulo derivations of (l_orderkey, l_linenumber), q12's
+    * counts and q21's waiting set are corpus-construction-dependent: a
+    * regenerated corpus with re-based or sparse keys would silently
+    * re-weight them. The exact weighting bands (early ≈ 30/60, late
+    * ≈ 0.742, MAIL|SHIP = 2/7, the full q12 filter band ≈ 0.242) are
+    * pinned in SchemaCanarySpec ("lineitemx derived-CTE weighting bands"),
+    * the same way partsupp's slot-distinctness proof is pinned — drift
+    * fails the canary, not the oracle. Day offsets are integer-exact BIGINT
     * arithmetic times INTERVAL '1' DAY — both engines implement
     * numeric × day-interval and timestamp + interval with exact-day
     * semantics, so the derived timestamps are bit-identical. The CTE
@@ -351,7 +359,7 @@ object TpchQueries {
     * word character), so the temp-view rewrite touches only the real
     * table reference in the CTE body. One SQL string for both engines.
     */
-  private val lxCte: String =
+  private[graft] val lxCte: String =
     s"""lineitemx AS (
        |  SELECT lineitem.*,
        |    l_shipdate + ((l_orderkey * 31 + l_linenumber * 17) % 60 - 29)
@@ -368,10 +376,10 @@ object TpchQueries {
   val q12Sql: String =
     s"""WITH $lxCte
        |SELECT l_shipmode,
-       |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-       |      THEN 1 ELSE 0 END) AS high_line_count,
-       |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-       |      THEN 1 ELSE 0 END) AS low_line_count
+       |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
        |FROM orders, lineitemx
        |WHERE o_orderkey = l_orderkey
        |  AND l_shipmode IN ('MAIL', 'SHIP')

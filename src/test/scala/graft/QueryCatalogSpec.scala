@@ -49,4 +49,47 @@ class QueryCatalogSpec extends AnyFunSuite {
   test("SparkEntry.entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  /** Dtype-parity lint (r12 tpch_q12 bug class): DuckDB types
+    * `sum(INTEGER)` as HUGEINT (int128) while Spark emits BIGINT, so the
+    * driver's typed hasher diverges even when every value is identical.
+    * Rule: every `sum(` in shared oracle SQL must either be wrapped
+    * `CAST(sum(…) AS …)` or carry an inner `CAST(…)` in its argument that
+    * fixes the aggregate's type identically in both engines. `count(*)` is
+    * BIGINT in both and needs no cast.
+    */
+  test("every sum() in oracle SQL is explicitly cast (HUGEINT-vs-BIGINT guard)") {
+    def sumSites(sql: String): Seq[(String, Boolean)] = {
+      val up = sql.toUpperCase
+      val out = Seq.newBuilder[(String, Boolean)]
+      var i = up.indexOf("SUM(")
+      while (i >= 0) {
+        val wordBefore = i > 0 && (up(i - 1).isLetterOrDigit || up(i - 1) == '_')
+        if (!wordBefore) {
+          var depth = 0; var j = i + 3; var end = -1
+          while (end < 0 && j < sql.length) {
+            if (sql(j) == '(') depth += 1
+            else if (sql(j) == ')') { depth -= 1; if (depth == 0) end = j }
+            j += 1
+          }
+          val arg = if (end > 0) sql.substring(i + 4, end) else sql.substring(i + 4)
+          val before = up.substring(0, i).reverse.dropWhile(_.isWhitespace)
+          val wrapped = before.startsWith("(TSAC") // "CAST(" reversed
+          out += ((arg, wrapped))
+        }
+        i = up.indexOf("SUM(", i + 4)
+      }
+      out.result()
+    }
+    val bad = for {
+      q <- QueryCatalog.all
+      sql <- q.oracle.toSeq
+      (arg, wrapped) <- sumSites(sql)
+      if !wrapped && !arg.toUpperCase.contains("CAST(")
+    } yield s"${q.name}: sum(${arg.take(80)})"
+    assert(bad.isEmpty,
+      s"uncast sum() aggregates in shared oracle SQL (DuckDB would type " +
+        s"them HUGEINT, Spark BIGINT/DECIMAL — driver hash diverges):\n" +
+        bad.mkString("\n"))
+  }
 }

@@ -75,4 +75,40 @@ class SchemaCanarySpec extends AnyFunSuite {
           "deterministic; corpus regenerated?")
     }
   }
+
+  /** Derived-CTE invariants for tpch q12/q21 (r12 verdict item #8): the
+    * lineitemx CTE's commit/receipt/shipmode columns are hash-modulo
+    * derivations of (l_orderkey, l_linenumber), so q12's conditional
+    * counts and q21's waiting predicate are CORPUS-CONSTRUCTION-dependent.
+    * Under uniform key hashes the exact weights are: early-commit
+    * (ship < commit) = 30/60 = 0.500; late (receipt > commit) =
+    * 0.5 + 0.5·(435/900) ≈ 0.742; MAIL|SHIP = 2/7 ≈ 0.286; the q12 filter
+    * band (ship < commit < receipt) ≈ 0.242. Measured at sf0.001/0.01/0.1:
+    * 0.496-0.501 / 0.738-0.744 / 0.275-0.286 / 0.239-0.241. A corpus
+    * regeneration that shifts the key ranges (e.g. sparse or re-based
+    * orderkeys) would silently re-weight q12's output through these
+    * hashes — fail HERE with the drifted fraction named instead.
+    */
+  test("lineitemx derived-CTE weighting bands hold (q12/q21 canary)") {
+    Tables.load(spark, TestSpark.sf0001, "lineitem")
+      .createOrReplaceTempView("lineitem")
+    val r = spark.sql(
+      s"""WITH ${graft.queries.TpchQueries.lxCte}
+         |SELECT
+         |  avg(CASE WHEN l_shipdate < l_commitdate THEN 1.0 ELSE 0.0 END) AS early,
+         |  avg(CASE WHEN l_receiptdate > l_commitdate THEN 1.0 ELSE 0.0 END) AS late,
+         |  avg(CASE WHEN l_shipmode IN ('MAIL','SHIP') THEN 1.0 ELSE 0.0 END) AS mailship,
+         |  avg(CASE WHEN l_shipdate < l_commitdate
+         |       AND l_commitdate < l_receiptdate THEN 1.0 ELSE 0.0 END) AS q12band
+         |FROM lineitemx""".stripMargin).collect()(0)
+    def in(name: String, v: Double, lo: Double, hi: Double): Unit =
+      assert(v >= lo && v <= hi,
+        s"lineitemx $name fraction $v outside [$lo, $hi] — corpus key " +
+          "ranges shifted; q12/q21 weights silently changed (see " +
+          "TpchQueries.lxCte scaladoc)")
+    in("early-commit", r.getDecimal(0).doubleValue(), 0.45, 0.55)
+    in("late-receipt", r.getDecimal(1).doubleValue(), 0.69, 0.79)
+    in("MAIL|SHIP", r.getDecimal(2).doubleValue(), 0.24, 0.33)
+    in("q12-filter-band", r.getDecimal(3).doubleValue(), 0.19, 0.29)
+  }
 }

@@ -37,6 +37,36 @@ def rows_of(rel):
     return [tuple(canon(v) for v in row) for row in rel]
 
 
+def types_compatible(spark_t, duck_t):
+    """True when the Spark-parquet column type and the DuckDB oracle result
+    type render identically under the driver's typed hasher.
+
+    Buckets mirror what the driver's canonicalization can and cannot see
+    (calibrated against the r12 artifact): every <=64-bit integer width
+    lands in the same int bucket (Spark rank() is INT32, DuckDB's BIGINT —
+    25 such queries hash-passed in r12), but HUGEINT (int128, DuckDB's
+    sum(INTEGER) result type) overflows that bucket and renders differently
+    — that is the tpch_q12 bug class this gate exists to catch. DECIMAL is
+    bucketed by scale: precision widening renders identically, scale drift
+    does not. Everything else must match exactly.
+    """
+    def bucket(t):
+        if t in ("TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER"):
+            return "int64"
+        if t in ("FLOAT", "REAL", "DOUBLE"):
+            return "float"
+        if t.startswith("DECIMAL"):
+            scale = t.rstrip(")").split(",")[-1] if "," in t else "0"
+            return f"decimal(s={scale.strip()})"
+        if t in ("VARCHAR", "TEXT", "STRING"):
+            return "string"
+        if t.startswith("TIMESTAMP_") or t == "TIMESTAMP":
+            return "timestamp"  # precision variants render alike
+        return t  # HUGEINT, DATE, BOOLEAN, lists, … — exact match only
+    return bucket(spark_t) == bucket(duck_t)
+
+
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -64,6 +94,27 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: columns spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
             n_fail += 1
             continue
+        # dtype-parity gate (r12 verdict #2): the stringified-value compare
+        # below is blind to typed-rendering drift the driver's hasher sees
+        # (e.g. DuckDB typing sum(INTEGER) as HUGEINT where the Spark parquet
+        # carries BIGINT — tpch_q12, round 12). Both sides are DuckDB
+        # relations here, so compare their DuckDB-rendered column types
+        # name-by-name and fail on any class drift.
+        try:
+            s_types = dict(zip(con.sql(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").columns,
+                [str(t) for t in con.sql(
+                    f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").types]))
+            d_rel2 = con.sql(sql)
+            d_types = dict(zip(d_rel2.columns, [str(t) for t in d_rel2.types]))
+            drift = [(c, s_types[c], d_types[c]) for c in s_types
+                     if c in d_types and not types_compatible(s_types[c], d_types[c])]
+            if drift:
+                print(f"FAIL {name}: dtype drift {drift}")
+                n_fail += 1
+                continue
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"WARN {name}: dtype gate errored: {str(e)[:200]}")
         s_rows = [tuple(r[i] for i in s_idx) for r in spark_rows]
         d_rows = [tuple(r[i] for i in d_idx) for r in duck_rows]
         if len(s_rows) != len(d_rows):
