@@ -49,9 +49,14 @@ object GraftSession {
       // sf0.1 against a 15k-row dim; unusable against a real dimension at
       // 100 TB). This flag re-plans single-column NAAJ into
       // BroadcastHashJoin with isNullAwareAntiJoin=true — O(fact) hash
-      // lookups, same three-valued semantics. Validated by the v18/v19
-      // NOT-IN fuzz slices' oracle pins (the grammar exists precisely to
-      // catch a semantic drift here) and re-pinned in plan_signatures.tsv.
+      // lookups, same three-valued semantics. The extraction only fires on
+      // the exact shape Or(EqualTo(fk,v), IsNull(EqualTo(fk,v))): SQL-text
+      // NOT IN rewrites to it, and since r13 the fuzz DF renderings emit it
+      // too (FuzzGen.notInAntiCond) — except the one frozen
+      // expanded-condition contrast seed (fz10012), which deliberately
+      // keeps the un-extracted BNLJ form pinned in plan_signatures.tsv.
+      // Validated by the v18/v19 NOT-IN fuzz slices' oracle pins (the
+      // grammar exists precisely to catch a semantic drift here).
       .config("spark.sql.optimizeNullAwareAntiJoin", "true")
       .config("spark.ui.enabled", "false")
   }

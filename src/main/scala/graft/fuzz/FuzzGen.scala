@@ -655,6 +655,32 @@ object FuzzGen {
       ("supplier", "s_nationkey", "nation", "n_nationkey"),
       ("events", "user_id", "customer", "c_custkey"))
 
+  /** The three-valued NOT-IN anti-join condition, rendered in the EXACT
+    * shape Spark's single-column null-aware-anti-join extraction
+    * recognizes: `Or(EqualTo(fk, v), IsNull(EqualTo(fk, v)))`.
+    * Semantically identical to the expanded
+    * `fk = v OR fk IS NULL OR v IS NULL` (an equality is NULL exactly when
+    * either operand is), but under `spark.sql.optimizeNullAwareAntiJoin`
+    * (on engine-wide, GraftSession) the LEFT ANTI on this shape plans as a
+    * null-aware BroadcastHashJoin — LINEAR in the fact side — where the
+    * expanded form defeats the pattern-match and falls back to the
+    * O(fact × dim) BroadcastNestedLoopJoin (the r12 bench's two slowest
+    * entries, fz11051 3.6 s / fz11021 1.9 s). One frozen seed,
+    * [[expandedNotInContrastSeeds]], deliberately keeps the expanded form
+    * as the pinned plan contrast.
+    */
+  private def notInAntiCond(fk: Column, v: Column): Column =
+    (fk === v) || (fk === v).isNull
+
+  /** Frozen seeds whose NOT-IN rendering keeps the EXPANDED three-valued
+    * condition — the documented BroadcastNestedLoopJoin contrast pinned in
+    * plan_signatures.tsv (fz10012: the all-rows-vanish pin, the cheapest
+    * of the six former BNLJ carriers at 0.21 s sf0.1 — its semantics, not
+    * its plan, are the point of the pin, so it pays the naive plan to keep
+    * one example of Spark's un-extracted NOT-IN shape in the suite).
+    */
+  private val expandedNotInContrastSeeds: Set[Int] = Set(10012)
+
   /** v18's join-key injection: like [[drawNullOverride]] but the victim IS
     * the fact's FK column (plus sometimes one more non-key column), and
     * the returned chain carries the fact⋈dim edge so the body/window
@@ -835,6 +861,14 @@ object FuzzGen {
     def sparkSql: String = sparkSqlOpt.getOrElse(sql)
   }
 
+  /** Highest grammar version [[query]] dispatches. Tools that sweep "all
+    * versions" (FuzzDump's default list) derive their range from THIS
+    * constant so a new grammar cannot silently miss the default sweep
+    * (r12 advice: the hand-maintained Seq in FuzzDump stopped at 20 while
+    * v21–v23 existed). Bump together with each new mode-byte branch below.
+    */
+  val maxVersion: Int = 24
+
   def query(seed: Int): GenQuery = query(seed, 1)
 
   /** Versioned entry point. v1 is the original grammar and its seeds are
@@ -845,6 +879,15 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 24) {
+      // v24 mode byte: two-sided NULL-injection — fact FK AND dim PK
+      // victims under ROLLUP / window / projection consumers. Versions
+      // ≤ 23 never take this draw; fall-through continues into the v23
+      // dispatch with the advanced rnd state.
+      val m24 = rnd.nextInt(10)
+      if (m24 < 7) return dualNullQuery(seed, rnd, version)
+      // else: fall through to the v23 dispatch with the advanced rnd state
+    }
     if (version >= 23) {
       // v23 mode byte: string-scalar semantics — computed projections,
       // split_part group keys, instr/length arithmetic. Versions ≤ 22
@@ -2896,12 +2939,16 @@ object FuzzGen {
     * of the two a seed lands on depends on the dim predicate draw, and
     * the differential holds either way. The DataFrame rendering is the
     * decorrelated three-valued plan (the same shape Spark's own NOT IN
-    * rewrite produces): LEFT ANTI on `fk = v OR fk IS NULL OR v IS NULL`
-    * — a NULL fk matches any subquery row (unknown ⇒ dropped), a NULL v
-    * matches every fact row (list-with-NULL ⇒ nothing survives), and an
-    * EMPTY subquery keeps all rows, NULL fk included (SQL defines [NOT]
-    * IN over zero comparisons as FALSE/TRUE regardless of operand). Plain
-    * IN is the LEFT SEMI on `fk = v` (unknown and false both filter).
+    * rewrite produces): LEFT ANTI on [[notInAntiCond]]'s
+    * `fk = v OR (fk = v) IS NULL` — a NULL fk matches any subquery row
+    * (unknown ⇒ dropped), a NULL v matches every fact row
+    * (list-with-NULL ⇒ nothing survives), and an EMPTY subquery keeps all
+    * rows, NULL fk included (SQL defines [NOT] IN over zero comparisons
+    * as FALSE/TRUE regardless of operand); the NAAJ-matching shape plans
+    * as a linear null-aware hash join, except the frozen
+    * [[expandedNotInContrastSeeds]] contrast which keeps the expanded
+    * BNLJ form. Plain IN is the LEFT SEMI on `fk = v` (unknown and false
+    * both filter).
     */
   private def notInSubqQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
     val (factT, fk, dimT, pk) = njoinEdges(rnd.nextInt(njoinEdges.length))
@@ -2939,11 +2986,13 @@ object FuzzGen {
       var fact = loadFuzzTable(s, d, factT)
       factPred.foreach(p => fact = fact.where(p.col))
       val joined =
-        if (negated)
-          fact.join(subV,
-            col(fk) === col("_v") || col(fk).isNull || col("_v").isNull,
-            "left_anti")
-        else fact.join(subV, col(fk) === col("_v"), "left_semi")
+        if (negated) {
+          val cond =
+            if (expandedNotInContrastSeeds(seed))
+              col(fk) === col("_v") || col(fk).isNull || col("_v").isNull
+            else notInAntiCond(col(fk), col("_v"))
+          fact.join(subV, cond, "left_anti")
+        } else fact.join(subV, col(fk) === col("_v"), "left_semi")
       joined.select(items.map(i => i.col.as(i.alias)): _*)
         .orderBy(items.zip(orderAsc).map {
           case (i, true)  => col(i.alias).asc_nulls_first
@@ -3038,6 +3087,168 @@ object FuzzGen {
       mode = s"nrollup:${op.toLowerCase}:${keys.length}key")
   }
 
+  /** v24 dedicated mode: TWO-SIDED NULL-injection — BOTH the fact FK and
+    * the dim PK carry injected NULLs. v18 injects the fact side only; the
+    * dim-PK victims are the remaining three-valued blind corner (r12
+    * verdict item #5): an injected dim PK makes 1-in-m2 dim rows
+    * unreachable under `=` — their fact children go ORPHAN (dropped by
+    * INNER, NULL-extended by LEFT) — while a NULL fk still matches
+    * nothing, and NULL never meets NULL. Optionally one more victim on
+    * EACH side: a fact value column (the NULL-injected AGGREGATE INPUT)
+    * and a dim payload column (so a group key can be NULL for two — under
+    * LEFT, three — different reasons: injected payload, LEFT-miss
+    * extension, and the ROLLUP super-aggregate, the last disambiguated by
+    * GROUPING()). Three consuming shapes over the dual-injected join:
+    *   0 ROLLUP over a dim group key with the GROUPING() flag (v20
+    *     discipline: flag precedes key in the ORDER BY, `HAVING
+    *     count(*) > 0` guards the empty-input grand total), aggregates
+    *     via genAgg over BOTH sides' columns — the grouping-set ×
+    *     NULL-injected-input composition;
+    *   1 window composition — partition by the (NULL-bearing) dim
+    *     payload, order by the fact head key (unique, never injected),
+    *     function over the possibly-injected fact int column; window sum
+    *     rendered `CAST(sum(…) OVER … AS BIGINT)` (DuckDB windows
+    *     sum(INTEGER) as HUGEINT — the q12 bug class, pre-empted);
+    *   2 projection of both sides' nullable columns plus the
+    *     orphan-classifier `CASE WHEN fk IS NULL … WHEN pk IS NULL …`
+    *     through the total ORDER BY.
+    * Both fragments are plain CASE derived tables — ONE shared SQL text.
+    */
+  private def dualNullQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val (factT, fk, dimT, pk) = njoinEdges(rnd.nextInt(njoinEdges.length))
+    val factKey = uniqueKeys(factT).head
+    val m1 = 5 + rnd.nextInt(5); val r1 = rnd.nextInt(m1)
+    val factExtra: Option[String] =
+      if (rnd.nextBoolean()) {
+        val cands = catalog(factT).map(_.name)
+          .filterNot(n => n == factKey || n == fk)
+        Some(cands(rnd.nextInt(cands.length)))
+      } else None
+    val factVictims = Set(fk) ++ factExtra
+    val m2 = 5 + rnd.nextInt(5); val r2 = rnd.nextInt(m2)
+    val dimExtra: Option[String] =
+      if (rnd.nextBoolean()) {
+        val cands = catalog(dimT).map(_.name).filterNot(_ == pk)
+        Some(cands(rnd.nextInt(cands.length)))
+      } else None
+    val dimVictims = Set(pk) ++ dimExtra
+
+    def frag(t: String, driver: String, victims: Set[String],
+             m: Int, r: Int): String =
+      s"(SELECT " + catalog(t).map { c =>
+        if (victims(c.name))
+          s"CASE WHEN ($driver % $m) = $r THEN NULL ELSE ${c.name} END AS ${c.name}"
+        else c.name
+      }.mkString(", ") + s" FROM $t) $t"
+    def loadInj(s: SparkSession, d: String, t: String, driver: String,
+                victims: Set[String], m: Int, r: Int): DataFrame =
+      loadFuzzTable(s, d, t).select(catalog(t).map { c =>
+        if (victims(c.name))
+          when((col(driver) % m) === r, lit(null)).otherwise(col(c.name))
+            .as(c.name)
+        else col(c.name)
+      }: _*)
+
+    val leftJoin = rnd.nextBoolean()
+    val joinSql = (if (leftJoin) "LEFT JOIN " else "JOIN ") +
+      frag(dimT, pk, dimVictims, m2, r2) + s" ON ($fk = $pk)"
+    val fromSql = "FROM " + frag(factT, factKey, factVictims, m1, r1) +
+      s" $joinSql"
+    val allCols = catalog(factT) ++ catalog(dimT)
+    val pred = if (rnd.nextBoolean()) Some(genPred(rnd, allCols, version)) else None
+    def joined(s: SparkSession, d: String): DataFrame = {
+      var j = loadInj(s, d, factT, factKey, factVictims, m1, r1)
+        .join(loadInj(s, d, dimT, pk, dimVictims, m2, r2),
+          col(fk) === col(pk), if (leftJoin) "left" else "inner")
+      pred.foreach(p => j = j.where(p.col))
+      j
+    }
+    val whereSql = pred.map(p => s" WHERE ${p.sql}").getOrElse("")
+    val kindTag = if (leftJoin) "left" else "inner"
+
+    rnd.nextInt(3) match {
+      case 0 => // ROLLUP over a dim group key, genAgg over both sides
+        val groupables = catalog(dimT).filter(c => c.groupable && c.name != pk)
+        val gkey = groupables(rnd.nextInt(groupables.length))
+        val aggs = (0 until 1 + rnd.nextInt(2))
+          .map(i => genAgg(rnd, allCols, s"a$i", version))
+        val flagItem = Item("g0", s"CAST(grouping(${gkey.name}) AS BIGINT)",
+          grouping(col(gkey.name)).cast("long"))
+        val keyItem = Item("k0", gkey.name, col(gkey.name))
+        val items = Seq(flagItem, keyItem) ++ aggs
+        val sql = "SELECT " +
+          items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ") +
+          s" $fromSql$whereSql GROUP BY ROLLUP (${gkey.name})" +
+          " HAVING count(*) > 0" +
+          " ORDER BY g0 ASC NULLS FIRST, k0 ASC NULLS FIRST"
+        val build = (s: SparkSession, d: String) => {
+          val aggCols = (flagItem +: aggs).map(i => i.col.as(i.alias)) :+
+            count(lit(1)).as("_hv")
+          joined(s, d).rollup(col(gkey.name))
+            .agg(aggCols.head, aggCols.tail: _*)
+            .where(col("_hv") > 0)
+            .select(items.map(i =>
+              (if (i.alias == "k0") col(gkey.name) else col(i.alias))
+                .as(i.alias)): _*)
+            .orderBy(col("g0").asc_nulls_first, col("k0").asc_nulls_first)
+        }
+        GenQuery(seed, sql, build, mode = s"dualnull:rollup:$kindTag")
+
+      case 1 => // window over the dual-injected join
+        val parts = catalog(dimT).filter(c => c.groupable && c.name != pk)
+        val part = parts(rnd.nextInt(parts.length))
+        val intCands = catalog(factT)
+          .filter(c => c.kind == 'i' && c.name != factKey)
+        val shape =
+          if (intCands.isEmpty) 0
+          else rnd.nextInt(3) // 0 row_number, 1 running sum, 2 lag
+        val vc = if (intCands.isEmpty) factKey
+          else intCands(rnd.nextInt(intCands.length)).name
+        val overSql = s"PARTITION BY ${part.name} ORDER BY $factKey ASC"
+        val w = Window.partitionBy(col(part.name)).orderBy(col(factKey).asc)
+        val (wSql, wCol) = shape match {
+          case 0 => (s"row_number() OVER ($overSql)",
+            row_number().over(w).cast("long"))
+          case 1 => (s"CAST(sum($vc) OVER ($overSql" +
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+            sum(col(vc)).over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).cast("long"))
+          case _ => (s"lag($vc) OVER ($overSql)", lag(col(vc), 1).over(w))
+        }
+        val items = Seq(Item("u0", factKey, col(factKey)),
+          Item("p0", part.name, col(part.name)), Item("w0", wSql, wCol))
+        val sql = "SELECT " +
+          items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ") +
+          s" $fromSql$whereSql" +
+          " ORDER BY u0 ASC NULLS FIRST LIMIT 1000"
+        val build = (s: SparkSession, d: String) =>
+          joined(s, d).select(items.map(i => i.col.as(i.alias)): _*)
+            .orderBy(col("u0").asc_nulls_first).limit(1000)
+        GenQuery(seed, sql, build,
+          mode = s"dualnull:window$shape:$kindTag")
+
+      case _ => // projection + orphan classifier
+        val picked = rnd.shuffle(
+          (catalog(factT).filterNot(_.name == factKey) ++
+            catalog(dimT)).toVector).take(2)
+        val classifier = Item("cx",
+          s"CASE WHEN $fk IS NULL THEN 0 WHEN $pk IS NULL THEN 1 ELSE 2 END",
+          when(col(fk).isNull, 0).when(col(pk).isNull, 1).otherwise(2))
+        val items = Item("u0", factKey, col(factKey)) +:
+          picked.zipWithIndex.map { case (c, i) =>
+            Item(s"c$i", c.name, col(c.name))
+          } :+ classifier
+        val sql = "SELECT " +
+          items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ") +
+          s" $fromSql$whereSql" +
+          " ORDER BY u0 ASC NULLS FIRST LIMIT 1000"
+        val build = (s: SparkSession, d: String) =>
+          joined(s, d).select(items.map(i => i.col.as(i.alias)): _*)
+            .orderBy(col("u0").asc_nulls_first).limit(1000)
+        GenQuery(seed, sql, build, mode = s"dualnull:proj:$kindTag")
+    }
+  }
+
   /** v19 dedicated mode: the four membership quantifiers over a
     * NULL-injected FK — `EXISTS` / `NOT EXISTS` (correlated `pk = fk`;
     * two-valued, so a NULL fk never correlates and NOT EXISTS KEEPS the
@@ -3050,11 +3261,12 @@ object FuzzGen {
     * equal exactly when the quantifier dropped the NULL rows). DataFrame
     * renderings are the decorrelated plans Spark's own rewrites produce:
     * LEFT SEMI on `fk = pk` for EXISTS and IN, LEFT ANTI on `fk = pk`
-    * for NOT EXISTS, LEFT ANTI on `fk = pk OR fk IS NULL OR pk IS NULL`
-    * for NOT IN (pk is never NULL on the corpus dims — pinned by the
-    * corpus-preconditions test — but the rendering keeps the full
-    * three-valued condition so it is correct by construction, not by
-    * precondition).
+    * for NOT EXISTS, LEFT ANTI on [[notInAntiCond]]'s NAAJ-matching
+    * three-valued shape for NOT IN (pk is never NULL on the corpus dims —
+    * pinned by the corpus-preconditions test — but the rendering keeps
+    * the full three-valued condition so it is correct by construction,
+    * not by precondition; it plans as a linear null-aware hash join, not
+    * the former BNLJ).
     */
   private def existsNullQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
     val (factT, fk, dimT, pk) = njoinEdges(rnd.nextInt(njoinEdges.length))
@@ -3103,9 +3315,12 @@ object FuzzGen {
       quant match {
         case 0 | 2 => fact.join(subV, col(fk) === col("_v"), "left_semi")
         case 1     => fact.join(subV, col(fk) === col("_v"), "left_anti")
-        case _ => fact.join(subV,
-          col(fk) === col("_v") || col(fk).isNull || col("_v").isNull,
-          "left_anti")
+        case _ =>
+          val cond =
+            if (expandedNotInContrastSeeds(seed))
+              col(fk) === col("_v") || col(fk).isNull || col("_v").isNull
+            else notInAntiCond(col(fk), col("_v"))
+          fact.join(subV, cond, "left_anti")
       }
     }
 
@@ -3563,10 +3778,20 @@ object FuzzGen {
     val sCols = cols.filter(_.kind == 's')
     val s1 = sCols(rnd.nextInt(sCols.length))
     val s2 = sCols(rnd.nextInt(sCols.length))
-    /** A literal's raw text (sLit stores the quoted SQL form). */
+    /** A literal's raw text (sLit stores the quoted SQL form). The result
+      * is spliced UNESCAPED into single-quoted shared SQL (replace/instr
+      * search strings below); today's sLit pools are quote-and-backslash
+      * free, and a future literal carrying either would generate broken or
+      * divergent shared SQL — fail loudly at generation time instead (r12
+      * advice).
+      */
     def raw(c: FCol): String = {
       val q = c.lits(rnd.nextInt(c.lits.length)).sql
-      q.substring(1, q.length - 1)
+      val r = q.substring(1, q.length - 1)
+      require(!r.contains('\'') && !r.contains('\\'),
+        s"strScalarQuery literal $q contains a quote/backslash — add " +
+          "escaping at this render site before adding such sLit values")
+      r
     }
 
     rnd.nextInt(3) match {

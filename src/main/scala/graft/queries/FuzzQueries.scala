@@ -485,6 +485,35 @@ object FuzzQueries {
       15027, 15038, 15042, 15044, 15049, 15051, 15053, 15060, 15079,
       15084, 15091, 15092, 15098, 15106, 15114)
 
+  // Grammar-v24 slice (TWO-SIDED NULL-injection — fact FK AND dim PK both
+  // carry injected NULLs, the r12 verdict's remaining three-valued blind
+  // corner: an injected dim PK orphans its fact children — dropped by
+  // INNER, NULL-extended by LEFT — while NULL never meets NULL; optional
+  // extra victims make a fact AGGREGATE INPUT and a dim GROUP KEY
+  // nullable too). Whole 16001-16200 range verified against DuckDB at
+  // sf0.001, sf0.01 AND sf0.1 (200/200 pass at each, r13, zero divergence
+  // first sweep); picks non-empty at sf0.001 and sf0.01, all verified
+  // genuine dual-injection draws (not v22/v23 fall-throughs), seed range
+  // 16001+ disjoint from every older slice by construction. Every shape ×
+  // join kind × all four FK edges covered: ROLLUP + GROUPING() flag over
+  // a dim key with genAgg over both sides — INNER (16016 customer⋈nation,
+  // 16001 events⋈customer, 16009 orders⋈customer, 16055 supplier⋈nation)
+  // and LEFT (16044, 16026, 16106, 16092 same edges, super-aggregate NULL
+  // vs injected NULL vs LEFT-miss NULL in one output); windows
+  // partitioned by the NULL-bearing dim payload ordered by the
+  // never-injected fact head key — row_number (16024, 16109 inner; 16003,
+  // 16165 left), running sum CAST BIGINT over a possibly-injected fact
+  // int (16010, 16046 inner; 16049, 16125 left), lag (16031, 16063 inner;
+  // 16013, 16136, 16081 left — 16081's events row count SHRINKS sf0.001→
+  // sf0.01, 210→201, a predicate-selectivity artifact worth pinning);
+  // projections with the orphan classifier CASE WHEN fk IS NULL / pk IS
+  // NULL (16018, 16019, 16062 inner; 16014, 16004, 16039 left). Rendered
+  // with query(seed, 24).
+  val declaredSeedsV24: Seq[Int] =
+    Seq(16001, 16003, 16004, 16009, 16010, 16013, 16014, 16016, 16018,
+      16019, 16024, 16026, 16031, 16039, 16044, 16046, 16049, 16055,
+      16062, 16063, 16081, 16092, 16106, 16109, 16125, 16136, 16165)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -508,7 +537,8 @@ object FuzzQueries {
       declaredSeedsV20.map(s => s -> FuzzGen.query(s, 20)) ++
       declaredSeedsV21.map(s => s -> FuzzGen.query(s, 21)) ++
       declaredSeedsV22.map(s => s -> FuzzGen.query(s, 22)) ++
-      declaredSeedsV23.map(s => s -> FuzzGen.query(s, 23))).map { case (seed, g) =>
+      declaredSeedsV23.map(s => s -> FuzzGen.query(s, 23)) ++
+      declaredSeedsV24.map(s => s -> FuzzGen.query(s, 24))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

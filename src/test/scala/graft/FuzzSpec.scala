@@ -681,6 +681,45 @@ class FuzzSpec extends AnyFunSuite {
     assert(poslen >= 18, s"instr/length shape under-drawn: $poslen")
   }
 
+  test("grammar v24 (two-sided NULL-injection: fact FK + dim PK victims under ROLLUP/window/projection): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var rollup = 0; var win = 0; var proj = 0
+    var left = 0; var inner = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 24)
+      if (q.mode.startsWith("dualnull")) {
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v24 seed $seed: dual-injection query should carry one SQL text")
+        val parts = q.mode.split(":")
+        parts(1) match {
+          case "rollup"                   => rollup += 1
+          case w if w.startsWith("window") => win += 1
+          case "proj"                     => proj += 1
+          case other => fail(s"v24 seed $seed: unknown dualnull shape $other")
+        }
+        if (parts(2) == "left") left += 1 else inner += 1
+        // the dual-injection signature itself: BOTH derived fragments
+        // carry a CASE … THEN NULL victim
+        assert(q.sql.sliding("THEN NULL ELSE".length)
+          .count(_ == "THEN NULL ELSE") >= 2,
+          s"v24 seed $seed: expected victims on both join sides: ${q.sql}")
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v24 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v24 seeds matched; $rollup rollup, $win window, $proj proj; " +
+      s"$inner inner / $left left")
+    assert(rollup >= 15, s"rollup shape under-drawn: $rollup")
+    assert(win >= 15, s"window shape under-drawn: $win")
+    assert(proj >= 15, s"projection shape under-drawn: $proj")
+    assert(left >= 15 && inner >= 15,
+      s"join-kind draw skewed: $inner inner / $left left")
+  }
+
   test("corpus preconditions the generators assume: 64-wide NULL-free embeddings, NULL-free join-edge keys") {
     views
     import org.apache.spark.sql.functions._
@@ -879,7 +918,16 @@ class FuzzSpec extends AnyFunSuite {
       "fz15044" -> "a005bea6", "fz15049" -> "9e523940", "fz15051" -> "8753459a",
       "fz15053" -> "ad533d20", "fz15060" -> "beb17ed1", "fz15079" -> "130dfe86",
       "fz15084" -> "92208e1f", "fz15091" -> "7f04bd19", "fz15092" -> "6f774923",
-      "fz15098" -> "01156975", "fz15106" -> "e7e043c7", "fz15114" -> "78ffa34e")
+      "fz15098" -> "01156975", "fz15106" -> "e7e043c7", "fz15114" -> "78ffa34e",
+      "fz16001" -> "1c53acdc", "fz16003" -> "bda5d11d", "fz16004" -> "3d8a27c3",
+      "fz16009" -> "acd7d9b3", "fz16010" -> "f93921fb", "fz16013" -> "2613695d",
+      "fz16014" -> "c85dce65", "fz16016" -> "440c397c", "fz16018" -> "b76578b8",
+      "fz16019" -> "ed312735", "fz16024" -> "e9fe6ee2", "fz16026" -> "52829c29",
+      "fz16031" -> "cf1e5552", "fz16039" -> "55d67ea1", "fz16044" -> "ce0f6e0b",
+      "fz16046" -> "d78929c5", "fz16049" -> "1bd6f7b5", "fz16055" -> "1f62a11b",
+      "fz16062" -> "0e3fd116", "fz16063" -> "f44715e6", "fz16081" -> "8bbc9a98",
+      "fz16092" -> "f61efbda", "fz16106" -> "3dfa5cb6", "fz16109" -> "67112fcf",
+      "fz16125" -> "8aef5e26", "fz16136" -> "7974c37c", "fz16165" -> "3f34c982")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>

@@ -24,7 +24,7 @@ object FuzzDump {
     val to = if (args.length > 3) args(3).toInt else 150
     val versions =
       if (args.length > 4) args(4).split(",").toSeq.map(_.trim.toInt)
-      else Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20)
+      else 1 to FuzzGen.maxVersion // derived, cannot drift (r12 advice)
     val spark = GraftSession.getOrCreate("fuzz-dump")
     val sqls = Seq.newBuilder[(String, String)]
     for (version <- versions; seed <- from to to) {
