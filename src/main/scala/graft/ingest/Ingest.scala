@@ -374,6 +374,77 @@ object Ingest {
     * fail is the file left in place (loudly), the one state that risks a
     * double ingest.
     */
+  /** Backfill NULL `Ingestion_date` stamps left by EXTERNAL writers — the
+    * reference's post-hoc `UPDATE … SET Ingestion_date = CURRENT_DATE()
+    * WHERE Ingestion_date IS NULL` (big_uery_handler.py:183-194). The
+    * engine's own ingests stamp at write time (R5) and never need this;
+    * this is the entry point for tables populated outside the engine
+    * (SURVEY §1.3's one remaining reference-semantics delta, closed r13).
+    *
+    * Cost posture: when the table is partitioned by `Ingestion_date` (the
+    * engine's create-path layout) the NULL-stamped rows live in EXACTLY one
+    * partition — the Hive default partition — so the rewrite scans only
+    * those rows (partition-pruned `IS NULL` filter), appends them re-stamped
+    * into the `asOf` partition, and drops the emptied NULL partition:
+    * O(null rows), never O(table), at any scale. When the table is NOT
+    * partitioned by the stamp column (an external layout), the honest cost
+    * of an unpartitioned UPDATE is a full rewrite, staged then overwritten.
+    * A missing `Ingestion_date` column is first ADDed (metadata-only ALTER;
+    * every row then reads NULL and takes the same backfill path).
+    *
+    * Returns the number of rows backfilled. The staged copy exists because
+    * Spark cannot read and append/overwrite the same table in one job; the
+    * stage directory is deleted on success.
+    */
+  def backfillStamp(spark: SparkSession, table: String, asOf: Date): Long = {
+    import org.apache.spark.sql.functions.col
+    if (!spark.table(table).columns.exists(_.equalsIgnoreCase("Ingestion_date")))
+      spark.sql(s"ALTER TABLE ${SchemaAlign.quoteIdent(table)} " +
+        "ADD COLUMNS (`Ingestion_date` DATE)")
+    val partitioned = spark.catalog.listColumns(table).collect()
+      .exists(c => c.isPartition && c.name.equalsIgnoreCase("Ingestion_date"))
+    val nulls = spark.table(table).where(col("Ingestion_date").isNull)
+    val stage = Files.createTempDirectory("graft_backfill_").toString
+    try {
+      if (partitioned) {
+        // partition-wise: stage only the NULL partition's rows, re-stamped
+        val staged = SchemaAlign.stampIngestionDate(nulls, asOf)
+        staged.write.mode(SaveMode.Overwrite).parquet(stage)
+        val back = spark.read.parquet(stage)
+        val n = back.count()
+        if (n > 0) {
+          back.write.mode(SaveMode.Append)
+            .partitionBy("Ingestion_date").saveAsTable(table)
+          spark.sql(s"ALTER TABLE ${SchemaAlign.quoteIdent(table)} " +
+            "DROP IF EXISTS PARTITION " +
+            "(Ingestion_date = '__HIVE_DEFAULT_PARTITION__')")
+          spark.catalog.refreshTable(table)
+        }
+        n
+      } else {
+        val n = nulls.count()
+        if (n > 0) {
+          // unpartitioned external layout: full rewrite through the stage
+          SchemaAlign.stampIngestionDate(spark.table(table), asOf)
+            .write.mode(SaveMode.Overwrite).parquet(stage)
+          val back = spark.read.parquet(stage)
+          back.write.mode(SaveMode.Overwrite).saveAsTable(table)
+          spark.catalog.refreshTable(table)
+        }
+        n
+      }
+    } finally {
+      // best-effort stage cleanup (the table's own data is never staged
+      // longer than the job)
+      try {
+        val walk = Files.walk(Paths.get(stage))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(Files.deleteIfExists(_))
+        finally walk.close()
+      } catch { case NonFatal(_) => () }
+    }
+  }
+
   private def removeIngested(p: java.nio.file.Path): Unit = {
     def tryDelete(): Boolean =
       try { Files.deleteIfExists(p); true } catch { case NonFatal(_) => false }

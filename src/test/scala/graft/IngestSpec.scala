@@ -465,4 +465,52 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.exceptAll(orders).isEmpty && orders.exceptAll(after).isEmpty)
     spark.sql(s"DROP TABLE $tbl")
   }
+
+  test("backfillStamp: NULL stamps from an external writer get the asOf date " +
+    "(partition-wise on the engine layout)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val tbl = "t_backfill_" + System.nanoTime()
+    // simulate an EXTERNAL writer into the engine's partitioned layout:
+    // half the rows carry a stamp, half are NULL (reference
+    // big_uery_handler.py:183-194 backfill semantic)
+    spark.range(0, 100)
+      .withColumn("Ingestion_date",
+        when(col("id") % 2 === 0, lit(Date.valueOf("2026-08-01")))
+          .otherwise(lit(null).cast("date")))
+      .write.partitionBy("Ingestion_date").saveAsTable(tbl)
+    assert(spark.table(tbl).where(col("Ingestion_date").isNull).count() == 50)
+    val asOf = Date.valueOf("2026-08-12")
+    val n = Ingest.backfillStamp(spark, tbl, asOf)
+    assert(n == 50, s"expected 50 backfilled rows, got $n")
+    val t = spark.table(tbl)
+    assert(t.count() == 100, "backfill must not lose or duplicate rows")
+    assert(t.where(col("Ingestion_date").isNull).count() == 0)
+    assert(t.where(col("Ingestion_date") === lit(asOf)).count() == 50)
+    // pre-existing stamps untouched
+    assert(t.where(col("Ingestion_date") === lit(Date.valueOf("2026-08-01")))
+      .count() == 50)
+    // idempotent: nothing left to backfill
+    assert(Ingest.backfillStamp(spark, tbl, asOf) == 0)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("backfillStamp: unpartitioned external table falls back to full " +
+    "rewrite; missing column is ADDed first") {
+    import org.apache.spark.sql.functions.col
+    val tbl = "t_backfill_ext_" + System.nanoTime()
+    // external layout: no Ingestion_date column at all, not partitioned
+    spark.range(0, 40).selectExpr("id", "CAST(id AS STRING) AS payload")
+      .write.saveAsTable(tbl)
+    val asOf = Date.valueOf("2026-08-12")
+    val n = Ingest.backfillStamp(spark, tbl, asOf)
+    assert(n == 40, s"every row lacked a stamp, got $n")
+    val t = spark.table(tbl)
+    assert(t.count() == 40)
+    assert(t.where(col("Ingestion_date").isNull).count() == 0)
+    assert(t.where(s"Ingestion_date = date'$asOf'").count() == 40)
+    // payload survives the staged rewrite
+    assert(t.where("CAST(id AS STRING) = payload").count() == 40)
+    assert(Ingest.backfillStamp(spark, tbl, asOf) == 0)
+    spark.sql(s"DROP TABLE $tbl")
+  }
 }
