@@ -867,7 +867,7 @@ object FuzzGen {
     * (r12 advice: the hand-maintained Seq in FuzzDump stopped at 20 while
     * v21–v23 existed). Bump together with each new mode-byte branch below.
     */
-  val maxVersion: Int = 24
+  val maxVersion: Int = 27
 
   def query(seed: Int): GenQuery = query(seed, 1)
 
@@ -879,6 +879,33 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 27) {
+      // v27 mode byte: exact DECIMAL semantics — typed derived view,
+      // pinned-scale arithmetic/aggregation, tie-rounding scalars.
+      // Versions ≤ 26 never take this draw; fall-through continues into
+      // the v26 dispatch with the advanced rnd state.
+      val m27 = rnd.nextInt(10)
+      if (m27 < 7) return decimalQuery(seed, rnd, version)
+      // else: fall through to the v26 dispatch with the advanced rnd state
+    }
+    if (version >= 26) {
+      // v26 mode byte: extended window family — percent_rank/cume_dist
+      // over tied orderings, nth_value under drawn frames. Versions ≤ 25
+      // never take this draw; fall-through continues into the v25
+      // dispatch with the advanced rnd state.
+      val m26 = rnd.nextInt(10)
+      if (m26 < 7) return extWindowQuery(seed, rnd, version)
+      // else: fall through to the v25 dispatch with the advanced rnd state
+    }
+    if (version >= 25) {
+      // v25 mode byte: explicit GROUPING SETS + multi-DISTINCT aggregates
+      // (+ FILTER clause forms). Versions ≤ 24 never take this draw;
+      // fall-through continues into the v24 dispatch with the advanced
+      // rnd state.
+      val m25 = rnd.nextInt(10)
+      if (m25 < 7) return groupingSetsQuery(seed, rnd, version)
+      // else: fall through to the v24 dispatch with the advanced rnd state
+    }
     if (version >= 24) {
       // v24 mode byte: two-sided NULL-injection — fact FK AND dim PK
       // victims under ROLLUP / window / projection consumers. Versions
@@ -3933,6 +3960,516 @@ object FuzzGen {
         }
         GenQuery(seed, sb.result(), build,
           mode = s"str:poslen:${chain.tables.head}")
+    }
+  }
+
+  /** v25 dedicated mode: explicit GROUPING SETS + multi-DISTINCT
+    * aggregates — the two grouping surfaces no older grammar draws.
+    * ROLLUP/CUBE (v11/v20/v24) always expand to the standard prefix /
+    * power-set lattices; an EXPLICIT set list can skip lattice levels or
+    * include only the grand total, and each output row is attributable to
+    * its set ONLY via the GROUPING() flags. Multi-DISTINCT aggregates over
+    * pairwise-DIFFERENT argument columns are the other un-drawn surface:
+    * Spark plans them with an Expand (one input replica per distinct
+    * group) — a physically different shape from single-distinct hash
+    * aggregation, cross-checked here against DuckDB's independent
+    * implementation. Three sub-shapes:
+    *   0 explicit GROUPING SETS: 2-3 keys, 2-4 distinct drawn subsets of
+    *     the key list (bitmask draw — may omit the full set, may include
+    *     the () grand total) over a possibly-LEFT join chain; aggregates =
+    *     genAgg + one DISTINCT agg; per-key GROUPING() flag precedes the
+    *     keys in the total ORDER BY (v20 discipline — flags ↔ sets are a
+    *     bijection, so flags+keys is a total order), HAVING count(*) > 0
+    *     guards the empty-input grand-total row;
+    *   1 multi-DISTINCT: GROUP BY one key (or global), 2-3 DISTINCT
+    *     aggregates over pairwise-different columns beside plain
+    *     aggregates — the Expand plan;
+    *   2 FILTER (WHERE …) aggregate clause (standard SQL; Spark parses it
+    *     on plain AND DISTINCT aggregates): count(*)/count(DISTINCT c)/
+    *     sum(int) each FILTERed beside their unfiltered contrasts. The DF
+    *     rendering uses the when()-NULL equivalence — count/sum skip
+    *     NULLs, and DISTINCT over the when-projection drops exactly the
+    *     filtered-out rows' values.
+    * Integer sum / sum(DISTINCT) are CAST BIGINT on the shared text
+    * (DuckDB HUGEINT — the q12 class). sum(DISTINCT) draws INT columns
+    * only: a double DISTINCT-set still sums in engine-chosen order, which
+    * is not order-free; count(DISTINCT) draws int/string/timestamp kinds
+    * (value equality, no arithmetic).
+    */
+  private def groupingSetsQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val shape = rnd.nextInt(3)
+    val basePool = chains :+ eventsChain :+ documentsChain :+ eventsCustomerChain
+    // shape 0 needs >= 2 groupable keys (the single-table supplier chain
+    // has exactly one); the filtered pool keeps the draw well-defined
+    val pool =
+      if (shape == 0) basePool.filter(c => c.tables.flatMap(catalog).count(_.groupable) >= 2)
+      else basePool
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val groupables = cols.filter(_.groupable)
+    val intCols = cols.filter(_.kind == 'i')
+
+    def joinTail(sb: StringBuilder, preds: Seq[P]): Unit = {
+      sb ++= s" FROM ${chain.tables.head}"
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+        sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+      }
+      if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    }
+    def joined(s: SparkSession, d: String, preds: Seq[P]): DataFrame = {
+      val dfs = chain.tables.map(tb => loadFuzzTable(s, d, tb))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      j
+    }
+    /** One DISTINCT aggregate over a column not already used by another
+      * distinct agg (pairwise-different arguments are what makes the plan
+      * multi-distinct). Returns the item and the drawn column's name.
+      */
+    def genDistinctAgg(alias: String, used: Set[String]): (Item, String) = {
+      val istPool = cols.filter(c => "ist".contains(c.kind) && !used(c.name))
+      val c = istPool(rnd.nextInt(istPool.length))
+      val item =
+        if (c.kind == 'i' && rnd.nextInt(3) == 0)
+          Item(alias, s"CAST(sum(DISTINCT ${c.name}) AS BIGINT)",
+            sum_distinct(col(c.name)))
+        else Item(alias, s"count(DISTINCT ${c.name})", countDistinct(col(c.name)))
+      (item, c.name)
+    }
+
+    shape match {
+      case 0 => // explicit GROUPING SETS
+        val nKeys = if (groupables.length >= 3 && rnd.nextBoolean()) 3 else 2
+        val drawn = rnd.shuffle(groupables.toVector).take(nKeys)
+        val allMasks = rnd.shuffle((0 until (1 << nKeys)).toVector)
+        val nSets = 2 + rnd.nextInt(3) // 2..4 distinct subsets (of 4 or 8)
+        val masks = allMasks.take(nSets)
+        // Spark rejects GROUPING(k) for a column in NO drawn set
+        // (GROUPING_COLUMN_MISMATCH) — and selecting such a key is
+        // meaningless anyway. Keep only the set-covered keys; ≥1 survives
+        // because masks are distinct and nSets ≥ 2 forces a nonzero mask.
+        val union = masks.foldLeft(0)(_ | _)
+        val keptIdx = (0 until nKeys).filter(i => ((union >> i) & 1) == 1)
+        val keys = keptIdx.map(drawn).toVector
+        def setCols(m: Int): Seq[FCol] =
+          keptIdx.collect { case i if ((m >> i) & 1) == 1 => drawn(i) }
+        val preds = Vector.fill(rnd.nextInt(2))(genPred(rnd, cols, version))
+        val aggs = Seq(genAgg(rnd, cols, "a0", version), genDistinctAgg("a1", Set.empty)._1)
+        val flagItems = keys.zipWithIndex.map { case (c, i) =>
+          Item(s"g$i", s"CAST(grouping(${c.name}) AS BIGINT)",
+            grouping(col(c.name)).cast("long"))
+        }
+        val keyItems = keys.zipWithIndex.map { case (c, i) =>
+          Item(s"k$i", c.name, col(c.name))
+        }
+        val items = flagItems ++ keyItems ++ aggs
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        joinTail(sb, preds)
+        sb ++= " GROUP BY GROUPING SETS " +
+          masks.map(m => setCols(m).map(_.name).mkString("(", ", ", ")"))
+            .mkString("(", ", ", ")")
+        sb ++= " HAVING count(*) > 0"
+        sb ++= " ORDER BY " + (flagItems ++ keyItems)
+          .map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+        val build = (s: SparkSession, d: String) => {
+          val df = joined(s, d, preds)
+          val sets = masks.map(m => setCols(m).map(c => col(c.name)))
+          val aggCols = (flagItems ++ aggs).map(i => i.col.as(i.alias)) :+
+            count(lit(1)).as("_hv")
+          df.groupingSets(sets, keys.map(c => col(c.name)): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+            .where(col("_hv") > 0)
+            .select(items.map(i =>
+              (if (i.alias.startsWith("k")) col(keys(i.alias.drop(1).toInt).name)
+               else col(i.alias)).as(i.alias)): _*)
+            .orderBy((flagItems ++ keyItems).map(i => col(i.alias).asc_nulls_first): _*)
+        }
+        GenQuery(seed, sb.result(), build,
+          mode = s"gsets:sets:${nKeys}key:${masks.length}set")
+
+      case 1 => // multi-DISTINCT aggregates (the Expand plan)
+        val keyOpt =
+          if (rnd.nextInt(4) > 0) Some(groupables(rnd.nextInt(groupables.length)))
+          else None
+        val preds = Vector.fill(rnd.nextInt(2))(genPred(rnd, cols, version))
+        val istAvail = cols.count(c => "ist".contains(c.kind) &&
+          !keyOpt.exists(_.name == c.name))
+        val nDist = math.min(2 + rnd.nextInt(2), istAvail)
+        var used = keyOpt.map(_.name).toSet
+        val distAggs = (0 until nDist).map { i =>
+          val (item, cn) = genDistinctAgg(s"d$i", used)
+          used += cn
+          item
+        }
+        val plainAggs = (0 until 1 + rnd.nextInt(2))
+          .map(i => genAgg(rnd, cols, s"a$i", version))
+        val keyItems = keyOpt.toSeq.map(c => Item("k0", c.name, col(c.name)))
+        val items = keyItems ++ distAggs ++ plainAggs
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        joinTail(sb, preds)
+        keyOpt.foreach(c => sb ++= s" GROUP BY ${c.name}")
+        keyOpt.foreach(_ => sb ++= " ORDER BY k0 ASC NULLS FIRST")
+        val build = (s: SparkSession, d: String) => {
+          val df = joined(s, d, preds)
+          val aggCols = (distAggs ++ plainAggs).map(i => i.col.as(i.alias))
+          val out = keyOpt match {
+            case Some(k) =>
+              df.groupBy(col(k.name)).agg(aggCols.head, aggCols.tail: _*)
+                .select((col(k.name).as("k0") +: (distAggs ++ plainAggs)
+                  .map(i => col(i.alias))): _*)
+                .orderBy(col("k0").asc_nulls_first)
+            case None => df.agg(aggCols.head, aggCols.tail: _*)
+          }
+          out
+        }
+        GenQuery(seed, sb.result(), build,
+          mode = s"gsets:multidistinct:${nDist}d${if (keyOpt.isEmpty) ":global" else ""}")
+
+      case _ => // FILTER (WHERE …) aggregates beside unfiltered contrasts
+        val key = groupables(rnd.nextInt(groupables.length))
+        val fp = genPred(rnd, cols.filterNot(_.name == key.name), version)
+        val preds = Vector.fill(rnd.nextInt(2))(genPred(rnd, cols, version))
+        val (dItem0, dCol) = genDistinctAgg("df0", Set(key.name))
+        // render the FILTERed distinct from the same drawn column
+        val dFiltered = dItem0.sql match {
+          case s if s.startsWith("CAST(sum(DISTINCT") =>
+            Item("df0", s"CAST(sum(DISTINCT $dCol) FILTER (WHERE ${fp.sql}) AS BIGINT)",
+              sum_distinct(when(fp.col, col(dCol))))
+          case _ =>
+            Item("df0", s"count(DISTINCT $dCol) FILTER (WHERE ${fp.sql})",
+              countDistinct(when(fp.col, col(dCol))))
+        }
+        val sc = intCols(rnd.nextInt(intCols.length))
+        val items = Seq(
+          Item("k0", key.name, col(key.name)),
+          Item("nf", s"count(*) FILTER (WHERE ${fp.sql})", count(when(fp.col, lit(1)))),
+          Item("n", "count(*)", count(lit(1))),
+          dFiltered,
+          Item("du", s"count(DISTINCT $dCol)", countDistinct(col(dCol))),
+          Item("sf", s"CAST(sum(${sc.name}) FILTER (WHERE ${fp.sql}) AS BIGINT)",
+            sum(when(fp.col, col(sc.name)))))
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        joinTail(sb, preds)
+        sb ++= s" GROUP BY ${key.name} ORDER BY k0 ASC NULLS FIRST"
+        val build = (s: SparkSession, d: String) => {
+          val df = joined(s, d, preds)
+          val aggCols = items.tail.map(i => i.col.as(i.alias))
+          df.groupBy(col(key.name)).agg(aggCols.head, aggCols.tail: _*)
+            .select((col(key.name).as("k0") +: items.tail.map(i => col(i.alias))): _*)
+            .orderBy(col("k0").asc_nulls_first)
+        }
+        GenQuery(seed, sb.result(), build, mode = "gsets:filter")
+    }
+  }
+
+  /** v26 dedicated mode: the extended window-function family no older
+    * grammar draws — percent_rank / cume_dist (relative-position over PEER
+    * GROUPS: their results depend only on the ORDER VALUE, so genuinely
+    * TIED orderings are legal and are the point) and nth_value (positional
+    * within the frame: requires the verified-unique head key as the
+    * ordering, v2's discipline). Portability rule every seed pins: window
+    * ORDER BY is rendered with an explicit `ASC NULLS FIRST` — Spark's
+    * default null ordering is NULLS FIRST, DuckDB's is NULLS LAST, so a
+    * bare `ORDER BY c` inside OVER() silently diverges the moment a
+    * LEFT-join NULL-extends the ordering column. Three sub-shapes:
+    *   0 percent_rank() / cume_dist() partitioned by a groupable dim,
+    *     ordered by a possibly-tied (and, under LEFT, possibly-NULL)
+    *     numeric column — (rank-1)/(n-1) and peers_cum/n are exact small
+    *     integer ratios in DOUBLE, one IEEE division, engine-identical;
+    *   1 nth_value(c, k) ordered by the unique head key under a drawn
+    *     frame: the standard default (RANGE UNBOUNDED PRECEDING..CURRENT
+    *     ROW — NULL until k rows accumulate; the DF side spells it
+    *     explicitly, pinning both engines' implicit frame), the explicit
+    *     ROWS equivalent, or the whole-partition frame (constant per
+    *     partition once k ≤ partition size);
+    *   2 the combo: one relative-position function and one nth_value with
+    *     DIFFERENT window specs in a single projection.
+    */
+  private def extWindowQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = (chains :+ eventsChain :+ documentsChain :+ eventsCustomerChain)
+      .filter(c => uniqueKeys.contains(c.tables.head))
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val preds = Vector.fill(rnd.nextInt(3))(genPred(rnd, cols, version))
+    val uk = uniqueKeys(chain.tables.head).head
+    val groupables = cols.filter(_.groupable)
+    val g = groupables(rnd.nextInt(groupables.length))
+
+    def joinTail(sb: StringBuilder): Unit = {
+      sb ++= s" FROM ${chain.tables.head}"
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+        sb ++= s" $kw ${chain.tables(i + 1)} ON ($lk = $rk)"
+      }
+      if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    }
+    def joined(s: SparkSession, d: String): DataFrame = {
+      val dfs = chain.tables.map(tb => loadFuzzTable(s, d, tb))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      j
+    }
+    def emit(items: Seq[Item], modeTag: String): GenQuery = {
+      val sb = new StringBuilder("SELECT ")
+      sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+      joinTail(sb)
+      sb ++= " ORDER BY " +
+        items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+      sb ++= " LIMIT 1000"
+      val build = (s: SparkSession, d: String) =>
+        joined(s, d)
+          .select(items.map(i => i.col.as(i.alias)): _*)
+          .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+          .limit(1000)
+      GenQuery(seed, sb.result(), build,
+        mode = s"extwin:$modeTag:${chain.tables.head}")
+    }
+    /** percent_rank or cume_dist over (PARTITION BY g ORDER BY oc NULLS
+      * FIRST) — oc possibly tied, possibly NULL under LEFT. */
+    def relPos(alias: String, partC: FCol): Item = {
+      val ocPool = cols.filter(c => c.kind == 'i' || c.kind == 'd')
+      val oc = ocPool(rnd.nextInt(ocPool.length))
+      val over = s"OVER (PARTITION BY ${partC.name} ORDER BY ${oc.name} ASC NULLS FIRST)"
+      val w = Window.partitionBy(col(partC.name)).orderBy(col(oc.name).asc_nulls_first)
+      if (rnd.nextBoolean())
+        Item(alias, s"percent_rank() $over", percent_rank().over(w))
+      else Item(alias, s"cume_dist() $over", cume_dist().over(w))
+    }
+    /** nth_value over the unique head key under a drawn frame. */
+    def nthItem(alias: String, partC: FCol): Item = {
+      val vc = cols(rnd.nextInt(cols.length))
+      val k = 1 + rnd.nextInt(3)
+      val base = Window.partitionBy(col(partC.name)).orderBy(col(uk).asc_nulls_first)
+      rnd.nextInt(3) match {
+        case 0 => // standard default frame; DF side spells it explicitly
+          Item(alias,
+            s"nth_value(${vc.name}, $k) OVER (PARTITION BY ${partC.name} " +
+              s"ORDER BY $uk ASC NULLS FIRST)",
+            nth_value(col(vc.name), k)
+              .over(base.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+        case 1 => // explicit ROWS UNBOUNDED PRECEDING..CURRENT ROW
+          Item(alias,
+            s"nth_value(${vc.name}, $k) OVER (PARTITION BY ${partC.name} " +
+              s"ORDER BY $uk ASC NULLS FIRST " +
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+            nth_value(col(vc.name), k)
+              .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        case _ => // whole-partition frame
+          Item(alias,
+            s"nth_value(${vc.name}, $k) OVER (PARTITION BY ${partC.name} " +
+              s"ORDER BY $uk ASC NULLS FIRST " +
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+            nth_value(col(vc.name), k)
+              .over(base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      }
+    }
+    val base = Seq(Item("k0", uk, col(uk)), Item("p0", g.name, col(g.name)))
+    rnd.nextInt(3) match {
+      case 0 => emit(base :+ relPos("w0", g), "relpos")
+      case 1 => emit(base :+ nthItem("w0", g), "nth")
+      case _ =>
+        val rest = groupables.filterNot(_.name == g.name)
+        val g2 = if (rest.isEmpty) g else rest(rnd.nextInt(rest.length))
+        emit(base ++ Seq(relPos("w0", g), nthItem("w1", g2)), "combo")
+    }
+  }
+
+  /** Per-column DECIMAL(p, s) target for the v27 decimal derived view.
+    * Every scale is ≥ the column's corpus generation scale (monetary and
+    * rate columns are generated at 2 decimals), so the double → DECIMAL
+    * cast never lands on an exact .5 tie: the binary double sits an
+    * epsilon off the decimal value and both engines round to the same
+    * nearest representable — the derived view is engine-identical by
+    * construction. Exact-decimal ties (where rounding MODE must agree)
+    * are then tested deliberately on the DECIMAL side by shape 3's
+    * round(x, s-1) over 2-decimal data.
+    */
+  private val decSpec: Map[String, (Int, Int)] = Map(
+    "c_acctbal" -> ((12, 2)), "s_acctbal" -> ((12, 2)),
+    "p_retailprice" -> ((12, 2)), "o_totalprice" -> ((14, 2)),
+    "l_quantity" -> ((10, 2)), "l_extendedprice" -> ((14, 2)),
+    "l_discount" -> ((8, 4)), "l_tax" -> ((8, 4)), "value" -> ((12, 4)))
+
+  /** v27 dedicated mode: EXACT DECIMAL semantics — the one numeric type
+    * the corpus doesn't carry (doubles everywhere), derived per seed by
+    * casting every double column of the drawn chain to its fixed
+    * [[decSpec]] DECIMAL target inside the FROM fragments (ONE shared SQL
+    * text: plain CASTs parse identically in both dialects). The engines'
+    * DECIMAL result-type rules differ (Spark sum(DECIMAL(14,2)) is
+    * DECIMAL(24,2), DuckDB's is DECIMAL(38,2); products add one precision
+    * digit in Spark only), so every aggregate/arithmetic output is CAST
+    * to an explicit DECIMAL(38, s) with s fixed by the operand scales —
+    * value-exact in both engines because widening casts never round.
+    * Four sub-shapes:
+    *   0 grouped decimal aggregation: CAST(sum AS DECIMAL(38,s)), min /
+    *     max (result type = input type in both engines), count(*);
+    *   1 arithmetic projection: a*b at scale sa+sb, a±b at max(sa,sb),
+    *     a*(1-d) — all exact integer arithmetic under the hood, outer
+    *     CASTs pin one rendered type;
+    *   2 sum-of-products (the TPC-H revenue shape on exact money): the
+    *     inner product CAST keeps scale 6 — a widening, so no rounding —
+    *     then the sum is pinned at DECIMAL(38,6);
+    *   3 decimal scalar functions: round(a, s-1) — REAL half-way ties on
+    *     2-decimal data, both engines must round half AWAY FROM ZERO
+    *     (c_acctbal goes negative: -0.x5 ties too); floor/ceil CAST
+    *     BIGINT; abs (type-preserving).
+    */
+  private def decimalQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = (chains :+ eventsChain)
+      .filter(c => c.tables.flatMap(catalog).exists(cc => decSpec.contains(cc.name)))
+    val chain = pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val preds = Vector.fill(rnd.nextInt(2))(genPred(rnd, cols, version))
+    val decCols = cols.filter(c => decSpec.contains(c.name))
+    val groupables = cols.filter(_.groupable)
+    val uk = headOrderCols(chain.tables.head)
+
+    def frag(t: String): String = {
+      val colSqls = catalog(t).map { c =>
+        decSpec.get(c.name) match {
+          case Some((p, s)) => s"CAST(${c.name} AS DECIMAL($p, $s)) AS ${c.name}"
+          case None         => c.name
+        }
+      }
+      s"(SELECT ${colSqls.mkString(", ")} FROM $t) $t"
+    }
+    def loadDec(s: SparkSession, d: String, t: String): DataFrame =
+      loadFuzzTable(s, d, t).select(catalog(t).map { c =>
+        decSpec.get(c.name) match {
+          case Some((p, s2)) => col(c.name).cast(s"decimal($p, $s2)").as(c.name)
+          case None          => col(c.name)
+        }
+      }: _*)
+    def joinTail(sb: StringBuilder): Unit = {
+      sb ++= s" FROM ${frag(chain.tables.head)}"
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+        sb ++= s" $kw ${frag(chain.tables(i + 1))} ON ($lk = $rk)"
+      }
+      if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    }
+    def joined(s: SparkSession, d: String): DataFrame = {
+      val dfs = chain.tables.map(tb => loadDec(s, d, tb))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        j = j.join(dfs(i + 1), col(lk) === col(rk),
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      j
+    }
+    def scaleOf(c: FCol): Int = decSpec(c.name)._2
+    def draw(): FCol = decCols(rnd.nextInt(decCols.length))
+
+    def emitProj(items: Seq[Item], modeTag: String): GenQuery = {
+      val keyItems = uk.zipWithIndex.map { case (k, i) => Item(s"k$i", k, col(k)) }
+      val all = keyItems ++ items
+      val sb = new StringBuilder("SELECT ")
+      sb ++= all.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+      joinTail(sb)
+      sb ++= " ORDER BY " + all.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+      sb ++= " LIMIT 1000"
+      val build = (s: SparkSession, d: String) =>
+        joined(s, d)
+          .select(all.map(i => i.col.as(i.alias)): _*)
+          .orderBy(all.map(i => col(i.alias).asc_nulls_first): _*)
+          .limit(1000)
+      GenQuery(seed, sb.result(), build, mode = s"dec:$modeTag:${chain.tables.head}")
+    }
+
+    rnd.nextInt(4) match {
+      case 0 => // grouped decimal aggregation
+        val g = groupables(rnd.nextInt(groupables.length))
+        val d1 = draw(); val d2 = draw()
+        val (_, s1) = decSpec(d1.name)
+        val (p2, s2) = decSpec(d2.name)
+        val items = Seq(
+          Item("k0", g.name, col(g.name)),
+          Item("s0", s"CAST(sum(${d1.name}) AS DECIMAL(38, $s1))",
+            sum(col(d1.name)).cast(s"decimal(38, $s1)")),
+          Item("m0", s"min(${d2.name})", min(col(d2.name))),
+          Item("m1", s"max(${d2.name})", max(col(d2.name))),
+          Item("n", "count(*)", count(lit(1))))
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        joinTail(sb)
+        sb ++= s" GROUP BY ${g.name} ORDER BY k0 ASC NULLS FIRST"
+        val build = (s: SparkSession, d: String) =>
+          joined(s, d)
+            .groupBy(col(g.name))
+            .agg(items(1).col.as("s0"), items(2).col.as("m0"),
+              items(3).col.as("m1"), items(4).col.as("n"))
+            .select(col(g.name).as("k0"), col("s0"), col("m0"), col("m1"), col("n"))
+            .orderBy(col("k0").asc_nulls_first)
+        GenQuery(seed, sb.result(), build, mode = s"dec:agg:${chain.tables.head}")
+
+      case 1 => // arithmetic projection with pinned result scales
+        val a = draw(); val b = draw(); val d = draw()
+        val sMul = scaleOf(a) + scaleOf(b)
+        val sAdd = math.max(scaleOf(a), scaleOf(b))
+        val op = if (rnd.nextBoolean()) "+" else "-"
+        val items = Seq(
+          Item("x0", s"CAST(${a.name} * ${b.name} AS DECIMAL(38, $sMul))",
+            (col(a.name) * col(b.name)).cast(s"decimal(38, $sMul)")),
+          Item("x1", s"CAST(${a.name} $op ${b.name} AS DECIMAL(38, $sAdd))",
+            (if (op == "+") col(a.name) + col(b.name)
+             else col(a.name) - col(b.name)).cast(s"decimal(38, $sAdd)")),
+          Item("x2", s"CAST(${a.name} * (1 - ${d.name}) AS DECIMAL(38, ${scaleOf(a) + scaleOf(d)}))",
+            (col(a.name) * (lit(1) - col(d.name)))
+              .cast(s"decimal(38, ${scaleOf(a) + scaleOf(d)})")))
+        emitProj(items, "arith")
+
+      case 2 => // sum of exact products (the revenue shape on DECIMAL)
+        val g = groupables(rnd.nextInt(groupables.length))
+        val a = draw(); val d = draw()
+        val sIn = scaleOf(a) + scaleOf(d)
+        val inner = s"CAST(${a.name} * (1 - ${d.name}) AS DECIMAL(24, $sIn))"
+        val innerCol = (col(a.name) * (lit(1) - col(d.name))).cast(s"decimal(24, $sIn)")
+        val items = Seq(
+          Item("k0", g.name, col(g.name)),
+          Item("rev", s"CAST(sum($inner) AS DECIMAL(38, $sIn))",
+            sum(innerCol).cast(s"decimal(38, $sIn)")),
+          Item("n", "count(*)", count(lit(1))))
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        joinTail(sb)
+        sb ++= s" GROUP BY ${g.name} ORDER BY k0 ASC NULLS FIRST"
+        val build = (s: SparkSession, d2: String) =>
+          joined(s, d2)
+            .groupBy(col(g.name))
+            .agg(items(1).col.as("rev"), items(2).col.as("n"))
+            .select(col(g.name).as("k0"), col("rev"), col("n"))
+            .orderBy(col("k0").asc_nulls_first)
+        GenQuery(seed, sb.result(), build, mode = s"dec:sumprod:${chain.tables.head}")
+
+      case _ => // decimal scalar functions incl. the real-tie round
+        val a = draw()
+        val (p, s) = decSpec(a.name)
+        val rs = s - 1
+        val items = Seq(
+          Item("r0", s"CAST(round(${a.name}, $rs) AS DECIMAL($p, $rs))",
+            round(col(a.name), rs).cast(s"decimal($p, $rs)")),
+          Item("f0", s"CAST(floor(${a.name}) AS BIGINT)",
+            floor(col(a.name)).cast("long")),
+          Item("c0", s"CAST(ceil(${a.name}) AS BIGINT)",
+            ceil(col(a.name)).cast("long")),
+          Item("ab", s"abs(${a.name})", abs(col(a.name))))
+        emitProj(items, "fns")
     }
   }
 }

@@ -514,6 +514,106 @@ object FuzzQueries {
       16019, 16024, 16026, 16031, 16039, 16044, 16046, 16049, 16055,
       16062, 16063, 16081, 16092, 16106, 16109, 16125, 16136, 16165)
 
+  // Grammar-v25 slice (explicit GROUPING SETS + multi-DISTINCT aggregates
+  // + FILTER clause — the grouping surfaces ROLLUP/CUBE can't express:
+  // set lists that skip lattice levels, and aggregate plans with several
+  // DISTINCT argument columns, which Spark executes via Expand). Whole
+  // 17001-17200 range verified against DuckDB at sf0.001, sf0.01 AND
+  // sf0.1 (200/200 pass at each, r13, zero divergence first sweep); picks
+  // non-empty at sf0.001 and sf0.01, all genuine v25 draws (not
+  // fall-throughs), seed range 17001+ disjoint from every older slice by
+  // construction. GROUPING SETS: disjoint single-key sets over documents
+  // (17008), LEFT + grand-total-only-beside-full-set over events⋈customer
+  // (17012), asymmetric 3-key lattice skip (17023 customer⋈nation⋈region),
+  // LEFT 4-set with () (17025, 17040), two overlapping 2-key sets +
+  // sum(DISTINCT) (17049), 3-key region/nation (17064), (p_brand,
+  // l_linenumber) beside () (17105), (p_brand) vs (p_size, p_brand) at
+  // 1013-row sf0.01 scale (17129), events 4-set full lattice + two
+  // distinct aggs (17136), LEFT + () + sum(DISTINCT) (17160), lineitem
+  // 4-set + sum(DISTINCT) (17181). Multi-DISTINCT (the Expand plan):
+  // 4-distinct with sum(DISTINCT) (17003, 17088, 17138), 3-distinct
+  // (17015, 17028), global 3-distinct one-row (17019), single-distinct at
+  // 357 output groups (17096), LEFT 3-distinct + sum(DISTINCT) (17171),
+  // 4-distinct growing 15→150 groups across SFs (17192). FILTER clause:
+  // count(*)/count(DISTINCT)/sum each FILTERed beside unfiltered
+  // contrasts (17001, 17097, 17146), under LEFT join (17005, 17094),
+  // sum(DISTINCT …) FILTER (17054, 17066, 17183). Rendered with
+  // query(seed, 25).
+  val declaredSeedsV25: Seq[Int] =
+    Seq(17001, 17003, 17005, 17008, 17012, 17015, 17019, 17023, 17025,
+      17028, 17040, 17049, 17054, 17064, 17066, 17088, 17094, 17096,
+      17097, 17105, 17129, 17136, 17138, 17146, 17160, 17171, 17181,
+      17183, 17192)
+
+  // Grammar-v26 slice (extended window family: percent_rank / cume_dist
+  // over genuinely TIED orderings — results depend only on the order
+  // VALUE, one exact IEEE division — and nth_value ordered by the unique
+  // head key under three frames; every OVER() pins ASC NULLS FIRST, the
+  // Spark-vs-DuckDB default-null-order divergence). Whole 18001-18200
+  // range verified against DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200
+  // pass at each, r13, zero divergence first sweep); picks non-empty at
+  // sf0.001 and sf0.01, all genuine v26 draws, seed range 18001+ disjoint
+  // from every older slice by construction. Relative-position only:
+  // cume_dist over nation (18001), part at 200→1000 rows (18096),
+  // customer (18037), LEFT supplier (18092); percent_rank over customer
+  // (18010), the 500-row documents corpus (18018), events (18107), LEFT
+  // events at full projection scale (18144). nth_value only — k × frame
+  // × payload type coverage: k=2 string fullframe (18008 s_name), k=3
+  // default frame (18014 o_orderpriority), k=2 TIMESTAMP default (18016
+  // ts), k=2 int default over documents (18053), k=1 default (18086),
+  // k=2 rowsframe LEFT (18105), k=3 rowsframe (18117), k=1 rowsframe
+  // over part (18140), k=3 DATE-typed default (18151 o_orderdate), k=1
+  // default LEFT (18155). Combo — one relative-position + one nth_value
+  // under DIFFERENT window specs: events pctrank+nth1 fullframe (18003),
+  // LEFT orders pctrank+nth2 default (18007), customer cumedist+nth2
+  // fullframe (18024), nation pctrank+nth3 fullframe (18027), nation
+  // cumedist+nth3 rowsframe (18046), customer pctrank+nth3 rowsframe at
+  // 75→750 rows (18077), LEFT events cumedist+nth3 fullframe (18080),
+  // nation pctrank+nth2 default (18087), orders cumedist+nth1 rowsframe
+  // (18162), events cumedist+nth2 over the double value column (18192),
+  // LEFT nation cumedist+nth3 default (18196). Rendered query(seed, 26).
+  val declaredSeedsV26: Seq[Int] =
+    Seq(18001, 18003, 18007, 18008, 18010, 18014, 18016, 18018, 18024,
+      18027, 18037, 18046, 18053, 18077, 18080, 18086, 18087, 18092,
+      18096, 18105, 18107, 18117, 18140, 18144, 18151, 18155, 18162,
+      18192, 18196)
+
+  // Grammar-v27 slice (exact DECIMAL semantics — the corpus carries only
+  // doubles, so each seed derives a typed view casting every double
+  // column to its fixed DECIMAL(p,s) target inside the FROM fragments;
+  // all aggregate/arithmetic outputs are CAST to explicit DECIMAL(38,s)
+  // because the engines' decimal result-TYPE rules differ while the
+  // values are exact integers underneath). Whole 19001-19200 range
+  // verified against DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200 pass at
+  // each, r13, zero divergence first sweep — including the tie-rounding
+  // shape: both engines round DECIMAL half AWAY FROM ZERO); picks
+  // non-empty at sf0.001 and sf0.01, all genuine v27 draws, seed range
+  // 19001+ disjoint from every older slice by construction. Grouped
+  // decimal aggregation (sum/min/max/count over the typed view): customer
+  // (19001), lineitem⋈orders (19002), LEFT 3-chain (19030, 19083), events
+  // value@(12,4) (19043), supplier⋈nation (19070), lineitem⋈part at 50
+  // groups (19081), orders⋈customer⋈nation (19133). Arithmetic
+  // projections with pinned result scales (a*b at sa+sb, a±b at max,
+  // a*(1-d)): the cross-table o_totalprice*(1-l_discount) (19011), LEFT
+  // (19022, 19200), the canonical l_extendedprice*(1-l_discount) revenue
+  // expression (19028), events value*(1-value) (19072), group-growing
+  // customer⋈nation (19104), o_totalprice*(1-c_acctbal) across the join
+  // (19122). Sum-of-products at DECIMAL(38,6) — the TPC-H revenue shape
+  // on exact money: events (19013), 3-chain (19016), l_extendedprice*
+  // (1-l_tax) (19024), part (19040), LEFT supplier 3-chain growing 1→3
+  // groups (19100), LEFT orders⋈customer (19119), cross p_retailprice*
+  // (1-l_discount) (19195). Decimal scalar functions incl. round(x, s-1)
+  // over REAL half-way ties: the negative-value c_acctbal@1 ties — away
+  // from zero both directions (19003), l_extendedprice@1 at 1000-row
+  // projection scale (19015), value@3 over events (19034),
+  // integral l_quantity@1 (19093), LEFT 3-chain (19112), l_discount@3
+  // under LEFT (19144). Rendered with query(seed, 27).
+  val declaredSeedsV27: Seq[Int] =
+    Seq(19001, 19002, 19003, 19011, 19013, 19015, 19016, 19022, 19024,
+      19028, 19030, 19034, 19040, 19043, 19070, 19072, 19081, 19083,
+      19093, 19100, 19104, 19112, 19119, 19122, 19133, 19144, 19195,
+      19200)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -538,7 +638,10 @@ object FuzzQueries {
       declaredSeedsV21.map(s => s -> FuzzGen.query(s, 21)) ++
       declaredSeedsV22.map(s => s -> FuzzGen.query(s, 22)) ++
       declaredSeedsV23.map(s => s -> FuzzGen.query(s, 23)) ++
-      declaredSeedsV24.map(s => s -> FuzzGen.query(s, 24))).map { case (seed, g) =>
+      declaredSeedsV24.map(s => s -> FuzzGen.query(s, 24)) ++
+      declaredSeedsV25.map(s => s -> FuzzGen.query(s, 25)) ++
+      declaredSeedsV26.map(s => s -> FuzzGen.query(s, 26)) ++
+      declaredSeedsV27.map(s => s -> FuzzGen.query(s, 27))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

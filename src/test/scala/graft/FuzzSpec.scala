@@ -720,6 +720,99 @@ class FuzzSpec extends AnyFunSuite {
       s"join-kind draw skewed: $inner inner / $left left")
   }
 
+  test("grammar v25 (explicit GROUPING SETS, multi-DISTINCT aggregates, FILTER clause): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var sets = 0; var multi = 0; var filt = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 25)
+      if (q.mode.startsWith("gsets")) {
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v25 seed $seed: grouping query should carry one SQL text")
+        q.mode.split(":")(1) match {
+          case "sets"          => sets += 1
+          case "multidistinct" => multi += 1
+          case "filter"        => filt += 1
+          case other => fail(s"v25 seed $seed: unknown gsets shape $other")
+        }
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v25 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v25 seeds matched; $sets grouping-sets, $multi multi-distinct, $filt filter")
+    assert(sets >= 18, s"grouping-sets shape under-drawn: $sets")
+    assert(multi >= 18, s"multi-distinct shape under-drawn: $multi")
+    assert(filt >= 18, s"filter shape under-drawn: $filt")
+  }
+
+  test("grammar v26 (extended window family: percent_rank/cume_dist over ties, nth_value under drawn frames): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var relpos = 0; var nth = 0; var combo = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 26)
+      if (q.mode.startsWith("extwin")) {
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v26 seed $seed: extended-window query should carry one SQL text")
+        // the NULLS FIRST portability pin: every OVER() ordering spells it
+        assert(q.sql.contains("ASC NULLS FIRST)") ||
+          q.sql.contains("ASC NULLS FIRST ROWS"),
+          s"v26 seed $seed: window ORDER BY must pin NULLS FIRST: ${q.sql}")
+        q.mode.split(":")(1) match {
+          case "relpos" => relpos += 1
+          case "nth"    => nth += 1
+          case "combo"  => combo += 1
+          case other => fail(s"v26 seed $seed: unknown extwin shape $other")
+        }
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v26 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v26 seeds matched; $relpos relpos, $nth nth, $combo combo")
+    assert(relpos >= 18, s"relative-position shape under-drawn: $relpos")
+    assert(nth >= 18, s"nth_value shape under-drawn: $nth")
+    assert(combo >= 18, s"combo shape under-drawn: $combo")
+  }
+
+  test("grammar v27 (exact DECIMAL semantics: typed view, pinned-scale arithmetic, tie-rounding scalars): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var agg = 0; var arith = 0; var sumprod = 0; var fns = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 27)
+      if (q.mode.startsWith("dec")) {
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v27 seed $seed: decimal query should carry one SQL text")
+        // the typed-view signature: the FROM fragment casts to DECIMAL
+        assert(q.sql.contains("AS DECIMAL("),
+          s"v27 seed $seed: expected DECIMAL casts in: ${q.sql}")
+        q.mode.split(":")(1) match {
+          case "agg"     => agg += 1
+          case "arith"   => arith += 1
+          case "sumprod" => sumprod += 1
+          case "fns"     => fns += 1
+          case other => fail(s"v27 seed $seed: unknown dec shape $other")
+        }
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v27 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v27 seeds matched; $agg agg, $arith arith, $sumprod sumprod, $fns fns")
+    assert(agg >= 12, s"decimal-aggregation shape under-drawn: $agg")
+    assert(arith >= 12, s"arithmetic shape under-drawn: $arith")
+    assert(sumprod >= 12, s"sum-of-products shape under-drawn: $sumprod")
+    assert(fns >= 12, s"scalar-fns shape under-drawn: $fns")
+  }
+
   test("corpus preconditions the generators assume: 64-wide NULL-free embeddings, NULL-free join-edge keys") {
     views
     import org.apache.spark.sql.functions._
@@ -765,169 +858,559 @@ class FuzzSpec extends AnyFunSuite {
     // DELIBERATE grammar/slice change regenerates these via
     // Test/runMain graft.tools.FuzzPinGen.
     val pins = Map(
-      "fz202" -> "224fe376", "fz204" -> "ddf3bf1c", "fz206" -> "33bb0783",
-      "fz208" -> "25a325d9", "fz212" -> "851e3cfc", "fz215" -> "a7b3e9c1",
-      "fz219" -> "e718339a", "fz227" -> "422756f3", "fz228" -> "9968f020",
-      "fz241" -> "f9a0532f", "fz254" -> "ba1645a3", "fz260" -> "b0140c0b",
-      "fz302" -> "acf5e111", "fz305" -> "69cceb95", "fz311" -> "29f1a64d",
-      "fz312" -> "7f78dc02", "fz317" -> "f9a24f54", "fz327" -> "49977b45",
-      "fz329" -> "fb92dff9", "fz338" -> "299cb889", "fz339" -> "8bd7b307",
-      "fz343" -> "de8408a5", "fz361" -> "77128ae3", "fz363" -> "0cc292d3",
-      "fz401" -> "b3ddd494", "fz409" -> "319feb47", "fz412" -> "d386454b",
-      "fz414" -> "8474545d", "fz422" -> "6a52cb32", "fz426" -> "534115c8",
-      "fz429" -> "f923c5c6", "fz431" -> "5ffae225", "fz432" -> "c8251065",
-      "fz454" -> "e42848a4",
-      "fz507" -> "034f5c44", "fz512" -> "8f55a597", "fz514" -> "3cf942fa",
-      "fz525" -> "0abd237c", "fz533" -> "b6f234b8", "fz548" -> "0c037c23",
-      "fz569" -> "20e64ea2", "fz584" -> "6c625a1b", "fz617" -> "0e082d49",
-      "fz620" -> "74d1c6ae",
-      "fz705" -> "06eeb2fd", "fz711" -> "17c18261", "fz712" -> "e8852c36",
-      "fz716" -> "995fb1c8", "fz723" -> "03118c4e", "fz728" -> "03df45c6",
-      "fz734" -> "0878bfa4", "fz747" -> "97b5e20d", "fz748" -> "629d0a76",
-      "fz753" -> "366918f3", "fz768" -> "ee17c9d0", "fz772" -> "e5aa6edb",
-      "fz793" -> "58493ec5", "fz795" -> "1eac6012",
-      "fz797" -> "e1d152ae", "fz914" -> "f892d0ce",
-      "fz13" -> "b70074d3", "fz19" -> "85fb8078", "fz35" -> "794065e9",
-      "fz39" -> "ea552137", "fz40" -> "c47420f1", "fz46" -> "4b42e2fa",
-      "fz66" -> "b92488ae", "fz69" -> "18152750", "fz73" -> "8b58c6d3",
-      "fz87" -> "2f4d018e", "fz91" -> "5db52542", "fz94" -> "81aead4f",
-      "fz101" -> "279b8ca0", "fz121" -> "dbf31537", "fz132" -> "ed97cbf2",
-      "fz141" -> "e076301d", "fz147" -> "44033cd2", "fz165" -> "02e1b2d1",
-      "fz180" -> "b662d239", "fz197" -> "1884f823",
-      "fz1" -> "612d5049", "fz10" -> "2a4e1ea9", "fz14" -> "9d9acebf",
-      "fz16" -> "e183cb80", "fz100" -> "00402040", "fz102" -> "5b0625fa",
-      "fz109" -> "5a22ae7b", "fz111" -> "2c8f9121", "fz114" -> "7bda4cd0",
-      "fz127" -> "143fa975", "fz131" -> "431fbc66", "fz134" -> "c5b120c9",
-      "fz143" -> "29e4f733", "fz150" -> "63f6758f", "fz153" -> "909aaac2",
-      "fz159" -> "469a6c9b", "fz163" -> "4113fbce", "fz174" -> "85592648",
-      "fz190" -> "125a183d", "fz192" -> "6b413171",
-      "fz105" -> "9d79446d", "fz107" -> "a5a602c7", "fz112" -> "b28fb079",
-      "fz117" -> "999ad9cd", "fz118" -> "eb913aab", "fz119" -> "f8f860a7",
-      "fz123" -> "708f28ad", "fz124" -> "7fe7b02d", "fz129" -> "8b49338e",
-      "fz136" -> "84cffcdf", "fz144" -> "da1e6728", "fz148" -> "8c1c1466",
-      "fz152" -> "b6055c5a", "fz157" -> "ea378fcb", "fz167" -> "2796ab81",
-      "fz177" -> "02a49113",
-      "fz1001" -> "45f88e06", "fz1005" -> "199ce6f1", "fz1007" -> "a5b4f4bd",
-      "fz1011" -> "6f3d16ee", "fz1014" -> "272cf1d2", "fz1017" -> "459ec504",
-      "fz1018" -> "11635aa3", "fz1026" -> "7346bee7", "fz1030" -> "f4a21306",
-      "fz1036" -> "bca8056c", "fz1045" -> "920effef", "fz1052" -> "6390ca30",
-      "fz1065" -> "7fcff81c", "fz1077" -> "b015e6ca", "fz1082" -> "bb0f39fd",
-      "fz1086" -> "5606deb7", "fz1087" -> "5ee75976", "fz1089" -> "fa2820db",
-      "fz1092" -> "03393468",
-      "fz2001" -> "8520447f", "fz2003" -> "ce2ce70d", "fz2008" -> "c9312b5a",
-      "fz2014" -> "50d0d2ff", "fz2015" -> "33f85b29", "fz2016" -> "a5ccaf3d",
-      "fz2017" -> "35b4962e", "fz2025" -> "8bea2ecf", "fz2030" -> "2ca1807c",
-      "fz2035" -> "58214b1e", "fz2037" -> "f919836c", "fz2039" -> "9875d4a5",
-      "fz2042" -> "67bde232", "fz2046" -> "c60cbe91", "fz2050" -> "f1a4b7a8",
-      "fz2052" -> "7f00adfc", "fz2053" -> "485281aa", "fz2054" -> "c3d8dd4f",
-      "fz2055" -> "3f5dc77a", "fz2060" -> "c729eeec",
-      "fz3002" -> "93fa53dd", "fz3003" -> "5b52d46c", "fz3005" -> "c1a68bdb",
-      "fz3007" -> "9e4e298b", "fz3009" -> "b601fb01", "fz3011" -> "124caa7f",
-      "fz3012" -> "70e28691", "fz3013" -> "092108a8", "fz3016" -> "ebf57b6a",
-      "fz3018" -> "29b7429c", "fz3020" -> "d24303e5", "fz3021" -> "ea90b262",
-      "fz3025" -> "e9572254", "fz3027" -> "024dfee9", "fz3036" -> "907e20cd",
-      "fz3037" -> "b23766d4", "fz3045" -> "e03d4548", "fz3051" -> "a1ab1adc",
-      "fz3059" -> "0ab82eb9", "fz3060" -> "855b688e", "fz3069" -> "3b9cd998",
-      "fz4001" -> "3f23956a", "fz4002" -> "63e591d8", "fz4004" -> "377112f3",
-      "fz4005" -> "ead08c1c", "fz4007" -> "c9447cc0", "fz4009" -> "baa9652c",
-      "fz4011" -> "9f3d591f", "fz4012" -> "5e39a0f6", "fz4014" -> "e34814e1",
-      "fz4015" -> "087f2443", "fz4021" -> "bf88776d", "fz4023" -> "61ba63b2",
-      "fz4025" -> "089379e5", "fz4032" -> "4de5abf3", "fz4034" -> "8ba1cf5e",
-      "fz4035" -> "638c5bf7", "fz4036" -> "63bf2f67", "fz4040" -> "06a90352",
-      "fz4046" -> "70c8723a", "fz4058" -> "e6566004",
-      "fz5003" -> "3fcc1a35", "fz5006" -> "f382f519", "fz5008" -> "e681ea71",
-      "fz5016" -> "4f97d6e4", "fz5017" -> "d01e3554", "fz5018" -> "743af697",
-      "fz5020" -> "92f1517e", "fz5023" -> "b3a324f7", "fz5025" -> "65aa4f7f",
-      "fz5029" -> "411faf5e", "fz5031" -> "19526965", "fz5035" -> "d10244c5",
-      "fz5038" -> "6ff5b452", "fz5041" -> "ef2d4d50", "fz5042" -> "b1d063d2",
-      "fz5045" -> "d6577124", "fz5050" -> "8043cada", "fz5057" -> "d331cc4c",
-      "fz5060" -> "2a639f90", "fz5074" -> "7a4b6085",
-      "fz6001" -> "a9e95cb5", "fz6002" -> "1a715904", "fz6004" -> "c840b506",
-      "fz6005" -> "02de7c32", "fz6007" -> "c0b85be9", "fz6009" -> "33b3abca",
-      "fz6012" -> "126421ce", "fz6013" -> "0108fba6", "fz6014" -> "ac7277ea",
-      "fz6015" -> "c5e981a8", "fz6016" -> "b3b314d3", "fz6017" -> "9c622182",
-      "fz6022" -> "8858bd30", "fz6032" -> "f2080732", "fz6034" -> "3f8605db",
-      "fz6041" -> "31fd57c2", "fz6042" -> "a519d128", "fz6043" -> "c790f9c0",
-      "fz6047" -> "427acf62", "fz6049" -> "4efe474f",
-      "fz7002" -> "1ab24b23", "fz7004" -> "667fe50b", "fz7005" -> "3ca526ac",
-      "fz7007" -> "7ab22414", "fz7009" -> "a041e1aa", "fz7010" -> "15e9054f",
-      "fz7011" -> "bed2f651", "fz7015" -> "ef519170", "fz7016" -> "dd4c5c6b",
-      "fz7017" -> "aa66610e", "fz7019" -> "486db9f8", "fz7020" -> "fe676146",
-      "fz7023" -> "f556589a", "fz7024" -> "2a0f5fb5", "fz7027" -> "130ccec7",
-      "fz7028" -> "99f54108", "fz7029" -> "754b81d0", "fz7033" -> "4efdf41f",
-      "fz7035" -> "63178ac8", "fz7042" -> "78e29f18",
-      "fz8001" -> "28c07ad2", "fz8002" -> "5d4d1977", "fz8003" -> "558fdbf3",
-      "fz8008" -> "a695564f", "fz8014" -> "5f413326", "fz8016" -> "8b2dd657",
-      "fz8018" -> "bac49dd1", "fz8020" -> "9d4fe341", "fz8025" -> "4ffe5657",
-      "fz8081" -> "a0d54c41", "fz8088" -> "2e4fcb1a", "fz8091" -> "d25bb32a",
-      "fz8098" -> "bb5f26db", "fz8107" -> "8793070f", "fz8124" -> "479e318a",
-      "fz8125" -> "716253f5", "fz8126" -> "d0e560f8", "fz8130" -> "e299220c",
-      "fz8142" -> "081aae6b", "fz8144" -> "7c975943", "fz8170" -> "fdf09f0b",
-      "fz8174" -> "546cfd99", "fz8188" -> "4dba7850",
-      "fz9002" -> "ece4feb1", "fz9003" -> "bf764e35", "fz9006" -> "4089e55c",
-      "fz9010" -> "2b15811e", "fz9011" -> "005e511c", "fz9013" -> "666f5829",
-      "fz9014" -> "252dfcf7", "fz9019" -> "e6a25046", "fz9023" -> "bcbf7fd8",
-      "fz9025" -> "ce107b39", "fz9027" -> "35530202", "fz9028" -> "0f64008d",
-      "fz9029" -> "9ec28f1f", "fz9032" -> "24f4e0ec", "fz9034" -> "480a726c",
-      "fz9037" -> "f2c028af", "fz9039" -> "0e6b8eb3", "fz9040" -> "f45c7d35",
-      "fz9041" -> "4b63d8aa", "fz9050" -> "71944807", "fz9054" -> "29db2d67",
-      "fz9056" -> "1a34ee1e", "fz9063" -> "ef40fc61", "fz9073" -> "dac134b0",
-      "fz9085" -> "b8d37986", "fz9113" -> "9d0128ed", "fz9134" -> "629af908",
-      "fz10001" -> "0dafbaa3", "fz10002" -> "9850edaa", "fz10008" -> "745153cb",
-      "fz10010" -> "bba41192", "fz10011" -> "98938260", "fz10012" -> "d8bdc9cf",
-      "fz10013" -> "238ef48d", "fz10014" -> "589b3a34", "fz10027" -> "723c91ce",
-      "fz10028" -> "cb3f5fa4", "fz10029" -> "69413022", "fz10031" -> "6de8b10c",
-      "fz10034" -> "18cbbd77", "fz10035" -> "52561967", "fz10037" -> "cd9b7826",
-      "fz10040" -> "40b2708e", "fz10043" -> "bd728a32", "fz10047" -> "a8ab5499",
-      "fz10048" -> "69e23470", "fz10049" -> "10642050", "fz10054" -> "5c536b1c",
-      "fz10064" -> "873e3c7f", "fz10066" -> "1448521a", "fz10068" -> "3c9afaae",
-      "fz10069" -> "19e3fd8d", "fz10071" -> "6236cfeb",
-      "fz11003" -> "58c05845", "fz11004" -> "409d68ef", "fz11005" -> "4d3cb4f8",
-      "fz11007" -> "49dd91c6", "fz11009" -> "0e96049f", "fz11011" -> "7a106e6c",
-      "fz11014" -> "bb6eba77", "fz11015" -> "1e100bff", "fz11021" -> "4d2a24ae",
-      "fz11023" -> "32936dac", "fz11024" -> "156d9fe6", "fz11038" -> "0c6fd330",
-      "fz11039" -> "e82220b3", "fz11041" -> "62450364", "fz11043" -> "9011de6a",
-      "fz11045" -> "cad4fe77", "fz11048" -> "154f3c5b", "fz11051" -> "faf73f64",
-      "fz11054" -> "ca943fe5", "fz11063" -> "f170b5e3",
-      "fz12002" -> "44e76fa0", "fz12003" -> "76449105", "fz12005" -> "091630c2",
-      "fz12007" -> "c36cea80", "fz12009" -> "63859f1f", "fz12014" -> "b2678546",
-      "fz12017" -> "e64e9c3c", "fz12018" -> "2b1fa312", "fz12019" -> "45340d43",
-      "fz12023" -> "86091fb8", "fz12027" -> "4c592ac1", "fz12032" -> "33cb1ec0",
-      "fz12034" -> "23333293", "fz12042" -> "a54f7988", "fz12048" -> "f83f6440",
-      "fz12054" -> "e005b32b", "fz12055" -> "2982818b", "fz12057" -> "6c20eb60",
-      "fz13002" -> "3d13c680", "fz13004" -> "2263481f", "fz13005" -> "50dbff64",
-      "fz13006" -> "2a065656", "fz13007" -> "bb9eec49", "fz13011" -> "389daffd",
-      "fz13012" -> "3f752e84", "fz13016" -> "dcc80a23", "fz13022" -> "1543b3a9",
-      "fz13024" -> "5a65bc22", "fz13029" -> "564809f4", "fz13036" -> "42231592",
-      "fz13041" -> "d83d108d", "fz13047" -> "cbafd576", "fz13063" -> "0d980422",
-      "fz13066" -> "804ee803", "fz13081" -> "8c8362f8", "fz13097" -> "b5eac00e",
-      "fz13102" -> "236a9b7f", "fz13108" -> "c38bb6b4", "fz13117" -> "886e30e8",
-      "fz13127" -> "ec99f912", "fz13149" -> "42ad73e4",
-      "fz14001" -> "91422c75", "fz14002" -> "18dc9c54", "fz14003" -> "07b13a3f",
-      "fz14008" -> "d3e10c3f", "fz14009" -> "17191cb9", "fz14012" -> "fbec5836",
-      "fz14015" -> "e275fa86", "fz14016" -> "ad262e9d", "fz14018" -> "d8e8c3cc",
-      "fz14024" -> "d650085e", "fz14026" -> "e358ea30", "fz14041" -> "f09d97c6",
-      "fz14042" -> "430d119c", "fz14054" -> "a75ff914", "fz14070" -> "c68dac9c",
-      "fz14077" -> "74dd6716", "fz14080" -> "0803b5a0", "fz14082" -> "ec4bc5cf",
-      "fz14089" -> "d4007a22", "fz14098" -> "d6216116", "fz14101" -> "562f48ea",
-      "fz14108" -> "8ef84d5a", "fz14119" -> "a6351710",
-      "fz15002" -> "ecef6a7b", "fz15005" -> "585c32de", "fz15006" -> "53e0014d",
-      "fz15014" -> "512bde47", "fz15019" -> "df335c88", "fz15020" -> "95f226a7",
-      "fz15022" -> "85dbf3b7", "fz15023" -> "7d20d332", "fz15026" -> "47b7d52d",
-      "fz15027" -> "c6fae824", "fz15038" -> "caf2de05", "fz15042" -> "6b4157d8",
-      "fz15044" -> "a005bea6", "fz15049" -> "9e523940", "fz15051" -> "8753459a",
-      "fz15053" -> "ad533d20", "fz15060" -> "beb17ed1", "fz15079" -> "130dfe86",
-      "fz15084" -> "92208e1f", "fz15091" -> "7f04bd19", "fz15092" -> "6f774923",
-      "fz15098" -> "01156975", "fz15106" -> "e7e043c7", "fz15114" -> "78ffa34e",
-      "fz16001" -> "1c53acdc", "fz16003" -> "bda5d11d", "fz16004" -> "3d8a27c3",
-      "fz16009" -> "acd7d9b3", "fz16010" -> "f93921fb", "fz16013" -> "2613695d",
-      "fz16014" -> "c85dce65", "fz16016" -> "440c397c", "fz16018" -> "b76578b8",
-      "fz16019" -> "ed312735", "fz16024" -> "e9fe6ee2", "fz16026" -> "52829c29",
-      "fz16031" -> "cf1e5552", "fz16039" -> "55d67ea1", "fz16044" -> "ce0f6e0b",
-      "fz16046" -> "d78929c5", "fz16049" -> "1bd6f7b5", "fz16055" -> "1f62a11b",
-      "fz16062" -> "0e3fd116", "fz16063" -> "f44715e6", "fz16081" -> "8bbc9a98",
-      "fz16092" -> "f61efbda", "fz16106" -> "3dfa5cb6", "fz16109" -> "67112fcf",
-      "fz16125" -> "8aef5e26", "fz16136" -> "7974c37c", "fz16165" -> "3f34c982")
+    "fz202" -> "224fe376",
+    "fz204" -> "ddf3bf1c",
+    "fz206" -> "33bb0783",
+    "fz208" -> "25a325d9",
+    "fz212" -> "851e3cfc",
+    "fz215" -> "a7b3e9c1",
+    "fz219" -> "e718339a",
+    "fz227" -> "422756f3",
+    "fz228" -> "9968f020",
+    "fz241" -> "f9a0532f",
+    "fz254" -> "ba1645a3",
+    "fz260" -> "b0140c0b",
+    "fz302" -> "acf5e111",
+    "fz305" -> "69cceb95",
+    "fz311" -> "29f1a64d",
+    "fz312" -> "7f78dc02",
+    "fz317" -> "f9a24f54",
+    "fz327" -> "49977b45",
+    "fz329" -> "fb92dff9",
+    "fz338" -> "299cb889",
+    "fz339" -> "8bd7b307",
+    "fz343" -> "de8408a5",
+    "fz361" -> "77128ae3",
+    "fz363" -> "0cc292d3",
+    "fz401" -> "b3ddd494",
+    "fz409" -> "319feb47",
+    "fz412" -> "d386454b",
+    "fz414" -> "8474545d",
+    "fz422" -> "6a52cb32",
+    "fz426" -> "534115c8",
+    "fz429" -> "f923c5c6",
+    "fz431" -> "5ffae225",
+    "fz432" -> "c8251065",
+    "fz454" -> "e42848a4",
+    "fz507" -> "034f5c44",
+    "fz512" -> "8f55a597",
+    "fz514" -> "3cf942fa",
+    "fz525" -> "0abd237c",
+    "fz533" -> "b6f234b8",
+    "fz548" -> "0c037c23",
+    "fz569" -> "20e64ea2",
+    "fz584" -> "6c625a1b",
+    "fz617" -> "0e082d49",
+    "fz620" -> "74d1c6ae",
+    "fz705" -> "06eeb2fd",
+    "fz711" -> "17c18261",
+    "fz712" -> "e8852c36",
+    "fz716" -> "995fb1c8",
+    "fz723" -> "03118c4e",
+    "fz728" -> "03df45c6",
+    "fz734" -> "0878bfa4",
+    "fz747" -> "97b5e20d",
+    "fz748" -> "629d0a76",
+    "fz753" -> "366918f3",
+    "fz768" -> "ee17c9d0",
+    "fz772" -> "e5aa6edb",
+    "fz793" -> "58493ec5",
+    "fz795" -> "1eac6012",
+    "fz797" -> "e1d152ae",
+    "fz914" -> "f892d0ce",
+    "fz13" -> "b70074d3",
+    "fz19" -> "85fb8078",
+    "fz35" -> "794065e9",
+    "fz39" -> "ea552137",
+    "fz40" -> "c47420f1",
+    "fz46" -> "4b42e2fa",
+    "fz66" -> "b92488ae",
+    "fz69" -> "18152750",
+    "fz73" -> "8b58c6d3",
+    "fz87" -> "2f4d018e",
+    "fz91" -> "5db52542",
+    "fz94" -> "81aead4f",
+    "fz101" -> "279b8ca0",
+    "fz121" -> "dbf31537",
+    "fz132" -> "ed97cbf2",
+    "fz141" -> "e076301d",
+    "fz147" -> "44033cd2",
+    "fz165" -> "02e1b2d1",
+    "fz180" -> "b662d239",
+    "fz197" -> "1884f823",
+    "fz1" -> "612d5049",
+    "fz10" -> "2a4e1ea9",
+    "fz14" -> "9d9acebf",
+    "fz16" -> "e183cb80",
+    "fz100" -> "00402040",
+    "fz102" -> "5b0625fa",
+    "fz109" -> "5a22ae7b",
+    "fz111" -> "2c8f9121",
+    "fz114" -> "7bda4cd0",
+    "fz127" -> "143fa975",
+    "fz131" -> "431fbc66",
+    "fz134" -> "c5b120c9",
+    "fz143" -> "29e4f733",
+    "fz150" -> "63f6758f",
+    "fz153" -> "909aaac2",
+    "fz159" -> "469a6c9b",
+    "fz163" -> "4113fbce",
+    "fz174" -> "85592648",
+    "fz190" -> "125a183d",
+    "fz192" -> "6b413171",
+    "fz105" -> "9d79446d",
+    "fz107" -> "a5a602c7",
+    "fz112" -> "b28fb079",
+    "fz117" -> "999ad9cd",
+    "fz118" -> "eb913aab",
+    "fz119" -> "f8f860a7",
+    "fz123" -> "708f28ad",
+    "fz124" -> "7fe7b02d",
+    "fz129" -> "8b49338e",
+    "fz136" -> "84cffcdf",
+    "fz144" -> "da1e6728",
+    "fz148" -> "8c1c1466",
+    "fz152" -> "b6055c5a",
+    "fz157" -> "ea378fcb",
+    "fz167" -> "2796ab81",
+    "fz177" -> "02a49113",
+    "fz1001" -> "45f88e06",
+    "fz1005" -> "199ce6f1",
+    "fz1007" -> "a5b4f4bd",
+    "fz1011" -> "6f3d16ee",
+    "fz1014" -> "272cf1d2",
+    "fz1017" -> "459ec504",
+    "fz1018" -> "11635aa3",
+    "fz1026" -> "7346bee7",
+    "fz1030" -> "f4a21306",
+    "fz1036" -> "bca8056c",
+    "fz1045" -> "920effef",
+    "fz1052" -> "6390ca30",
+    "fz1065" -> "7fcff81c",
+    "fz1077" -> "b015e6ca",
+    "fz1082" -> "bb0f39fd",
+    "fz1086" -> "5606deb7",
+    "fz1087" -> "5ee75976",
+    "fz1089" -> "fa2820db",
+    "fz1092" -> "03393468",
+    "fz2001" -> "8520447f",
+    "fz2003" -> "ce2ce70d",
+    "fz2008" -> "c9312b5a",
+    "fz2014" -> "50d0d2ff",
+    "fz2015" -> "33f85b29",
+    "fz2016" -> "a5ccaf3d",
+    "fz2017" -> "35b4962e",
+    "fz2025" -> "8bea2ecf",
+    "fz2030" -> "2ca1807c",
+    "fz2035" -> "58214b1e",
+    "fz2037" -> "f919836c",
+    "fz2039" -> "9875d4a5",
+    "fz2042" -> "67bde232",
+    "fz2046" -> "c60cbe91",
+    "fz2050" -> "f1a4b7a8",
+    "fz2052" -> "7f00adfc",
+    "fz2053" -> "485281aa",
+    "fz2054" -> "c3d8dd4f",
+    "fz2055" -> "3f5dc77a",
+    "fz2060" -> "c729eeec",
+    "fz3002" -> "93fa53dd",
+    "fz3003" -> "5b52d46c",
+    "fz3005" -> "c1a68bdb",
+    "fz3007" -> "9e4e298b",
+    "fz3009" -> "b601fb01",
+    "fz3011" -> "124caa7f",
+    "fz3012" -> "70e28691",
+    "fz3013" -> "092108a8",
+    "fz3016" -> "ebf57b6a",
+    "fz3018" -> "29b7429c",
+    "fz3020" -> "d24303e5",
+    "fz3021" -> "ea90b262",
+    "fz3025" -> "e9572254",
+    "fz3027" -> "024dfee9",
+    "fz3036" -> "907e20cd",
+    "fz3037" -> "b23766d4",
+    "fz3045" -> "e03d4548",
+    "fz3051" -> "a1ab1adc",
+    "fz3059" -> "0ab82eb9",
+    "fz3060" -> "855b688e",
+    "fz3069" -> "3b9cd998",
+    "fz4001" -> "3f23956a",
+    "fz4002" -> "63e591d8",
+    "fz4004" -> "377112f3",
+    "fz4005" -> "ead08c1c",
+    "fz4007" -> "c9447cc0",
+    "fz4009" -> "baa9652c",
+    "fz4011" -> "9f3d591f",
+    "fz4012" -> "5e39a0f6",
+    "fz4014" -> "e34814e1",
+    "fz4015" -> "087f2443",
+    "fz4021" -> "bf88776d",
+    "fz4023" -> "61ba63b2",
+    "fz4025" -> "089379e5",
+    "fz4032" -> "4de5abf3",
+    "fz4034" -> "8ba1cf5e",
+    "fz4035" -> "638c5bf7",
+    "fz4036" -> "63bf2f67",
+    "fz4040" -> "06a90352",
+    "fz4046" -> "70c8723a",
+    "fz4058" -> "e6566004",
+    "fz5003" -> "3fcc1a35",
+    "fz5006" -> "f382f519",
+    "fz5008" -> "e681ea71",
+    "fz5016" -> "4f97d6e4",
+    "fz5017" -> "d01e3554",
+    "fz5018" -> "743af697",
+    "fz5020" -> "92f1517e",
+    "fz5023" -> "b3a324f7",
+    "fz5025" -> "65aa4f7f",
+    "fz5029" -> "411faf5e",
+    "fz5031" -> "19526965",
+    "fz5035" -> "d10244c5",
+    "fz5038" -> "6ff5b452",
+    "fz5041" -> "ef2d4d50",
+    "fz5042" -> "b1d063d2",
+    "fz5045" -> "d6577124",
+    "fz5050" -> "8043cada",
+    "fz5057" -> "d331cc4c",
+    "fz5060" -> "2a639f90",
+    "fz5074" -> "7a4b6085",
+    "fz6001" -> "a9e95cb5",
+    "fz6002" -> "1a715904",
+    "fz6004" -> "c840b506",
+    "fz6005" -> "02de7c32",
+    "fz6007" -> "c0b85be9",
+    "fz6009" -> "33b3abca",
+    "fz6012" -> "126421ce",
+    "fz6013" -> "0108fba6",
+    "fz6014" -> "ac7277ea",
+    "fz6015" -> "c5e981a8",
+    "fz6016" -> "b3b314d3",
+    "fz6017" -> "9c622182",
+    "fz6022" -> "8858bd30",
+    "fz6032" -> "f2080732",
+    "fz6034" -> "3f8605db",
+    "fz6041" -> "31fd57c2",
+    "fz6042" -> "a519d128",
+    "fz6043" -> "c790f9c0",
+    "fz6047" -> "427acf62",
+    "fz6049" -> "4efe474f",
+    "fz7002" -> "1ab24b23",
+    "fz7004" -> "667fe50b",
+    "fz7005" -> "3ca526ac",
+    "fz7007" -> "7ab22414",
+    "fz7009" -> "a041e1aa",
+    "fz7010" -> "15e9054f",
+    "fz7011" -> "bed2f651",
+    "fz7015" -> "ef519170",
+    "fz7016" -> "dd4c5c6b",
+    "fz7017" -> "aa66610e",
+    "fz7019" -> "486db9f8",
+    "fz7020" -> "fe676146",
+    "fz7023" -> "f556589a",
+    "fz7024" -> "2a0f5fb5",
+    "fz7027" -> "130ccec7",
+    "fz7028" -> "99f54108",
+    "fz7029" -> "754b81d0",
+    "fz7033" -> "4efdf41f",
+    "fz7035" -> "63178ac8",
+    "fz7042" -> "78e29f18",
+    "fz8001" -> "28c07ad2",
+    "fz8002" -> "5d4d1977",
+    "fz8003" -> "558fdbf3",
+    "fz8008" -> "a695564f",
+    "fz8014" -> "5f413326",
+    "fz8016" -> "8b2dd657",
+    "fz8018" -> "bac49dd1",
+    "fz8020" -> "9d4fe341",
+    "fz8025" -> "4ffe5657",
+    "fz8081" -> "a0d54c41",
+    "fz8088" -> "2e4fcb1a",
+    "fz8091" -> "d25bb32a",
+    "fz8098" -> "bb5f26db",
+    "fz8107" -> "8793070f",
+    "fz8124" -> "479e318a",
+    "fz8125" -> "716253f5",
+    "fz8126" -> "d0e560f8",
+    "fz8130" -> "e299220c",
+    "fz8142" -> "081aae6b",
+    "fz8144" -> "7c975943",
+    "fz8170" -> "fdf09f0b",
+    "fz8174" -> "546cfd99",
+    "fz8188" -> "4dba7850",
+    "fz9002" -> "ece4feb1",
+    "fz9003" -> "bf764e35",
+    "fz9006" -> "4089e55c",
+    "fz9010" -> "2b15811e",
+    "fz9011" -> "005e511c",
+    "fz9013" -> "666f5829",
+    "fz9014" -> "252dfcf7",
+    "fz9019" -> "e6a25046",
+    "fz9023" -> "bcbf7fd8",
+    "fz9025" -> "ce107b39",
+    "fz9027" -> "35530202",
+    "fz9028" -> "0f64008d",
+    "fz9029" -> "9ec28f1f",
+    "fz9032" -> "24f4e0ec",
+    "fz9034" -> "480a726c",
+    "fz9037" -> "f2c028af",
+    "fz9039" -> "0e6b8eb3",
+    "fz9040" -> "f45c7d35",
+    "fz9041" -> "4b63d8aa",
+    "fz9050" -> "71944807",
+    "fz9054" -> "29db2d67",
+    "fz9056" -> "1a34ee1e",
+    "fz9063" -> "ef40fc61",
+    "fz9073" -> "dac134b0",
+    "fz9085" -> "b8d37986",
+    "fz9113" -> "9d0128ed",
+    "fz9134" -> "629af908",
+    "fz10001" -> "0dafbaa3",
+    "fz10002" -> "9850edaa",
+    "fz10008" -> "745153cb",
+    "fz10010" -> "bba41192",
+    "fz10011" -> "98938260",
+    "fz10012" -> "d8bdc9cf",
+    "fz10013" -> "238ef48d",
+    "fz10014" -> "589b3a34",
+    "fz10027" -> "723c91ce",
+    "fz10028" -> "cb3f5fa4",
+    "fz10029" -> "69413022",
+    "fz10031" -> "6de8b10c",
+    "fz10034" -> "18cbbd77",
+    "fz10035" -> "52561967",
+    "fz10037" -> "cd9b7826",
+    "fz10040" -> "40b2708e",
+    "fz10043" -> "bd728a32",
+    "fz10047" -> "a8ab5499",
+    "fz10048" -> "69e23470",
+    "fz10049" -> "10642050",
+    "fz10054" -> "5c536b1c",
+    "fz10064" -> "873e3c7f",
+    "fz10066" -> "1448521a",
+    "fz10068" -> "3c9afaae",
+    "fz10069" -> "19e3fd8d",
+    "fz10071" -> "6236cfeb",
+    "fz11003" -> "58c05845",
+    "fz11004" -> "409d68ef",
+    "fz11005" -> "4d3cb4f8",
+    "fz11007" -> "49dd91c6",
+    "fz11009" -> "0e96049f",
+    "fz11011" -> "7a106e6c",
+    "fz11014" -> "bb6eba77",
+    "fz11015" -> "1e100bff",
+    "fz11021" -> "4d2a24ae",
+    "fz11023" -> "32936dac",
+    "fz11024" -> "156d9fe6",
+    "fz11038" -> "0c6fd330",
+    "fz11039" -> "e82220b3",
+    "fz11041" -> "62450364",
+    "fz11043" -> "9011de6a",
+    "fz11045" -> "cad4fe77",
+    "fz11048" -> "154f3c5b",
+    "fz11051" -> "faf73f64",
+    "fz11054" -> "ca943fe5",
+    "fz11063" -> "f170b5e3",
+    "fz12002" -> "44e76fa0",
+    "fz12003" -> "76449105",
+    "fz12005" -> "091630c2",
+    "fz12007" -> "c36cea80",
+    "fz12009" -> "63859f1f",
+    "fz12014" -> "b2678546",
+    "fz12017" -> "e64e9c3c",
+    "fz12018" -> "2b1fa312",
+    "fz12019" -> "45340d43",
+    "fz12023" -> "86091fb8",
+    "fz12027" -> "4c592ac1",
+    "fz12032" -> "33cb1ec0",
+    "fz12034" -> "23333293",
+    "fz12042" -> "a54f7988",
+    "fz12048" -> "f83f6440",
+    "fz12054" -> "e005b32b",
+    "fz12055" -> "2982818b",
+    "fz12057" -> "6c20eb60",
+    "fz13002" -> "3d13c680",
+    "fz13004" -> "2263481f",
+    "fz13005" -> "50dbff64",
+    "fz13006" -> "2a065656",
+    "fz13007" -> "bb9eec49",
+    "fz13011" -> "389daffd",
+    "fz13012" -> "3f752e84",
+    "fz13016" -> "dcc80a23",
+    "fz13022" -> "1543b3a9",
+    "fz13024" -> "5a65bc22",
+    "fz13029" -> "564809f4",
+    "fz13036" -> "42231592",
+    "fz13041" -> "d83d108d",
+    "fz13047" -> "cbafd576",
+    "fz13063" -> "0d980422",
+    "fz13066" -> "804ee803",
+    "fz13081" -> "8c8362f8",
+    "fz13097" -> "b5eac00e",
+    "fz13102" -> "236a9b7f",
+    "fz13108" -> "c38bb6b4",
+    "fz13117" -> "886e30e8",
+    "fz13127" -> "ec99f912",
+    "fz13149" -> "42ad73e4",
+    "fz14001" -> "91422c75",
+    "fz14002" -> "18dc9c54",
+    "fz14003" -> "07b13a3f",
+    "fz14008" -> "d3e10c3f",
+    "fz14009" -> "17191cb9",
+    "fz14012" -> "fbec5836",
+    "fz14015" -> "e275fa86",
+    "fz14016" -> "ad262e9d",
+    "fz14018" -> "d8e8c3cc",
+    "fz14024" -> "d650085e",
+    "fz14026" -> "e358ea30",
+    "fz14041" -> "f09d97c6",
+    "fz14042" -> "430d119c",
+    "fz14054" -> "a75ff914",
+    "fz14070" -> "c68dac9c",
+    "fz14077" -> "74dd6716",
+    "fz14080" -> "0803b5a0",
+    "fz14082" -> "ec4bc5cf",
+    "fz14089" -> "d4007a22",
+    "fz14098" -> "d6216116",
+    "fz14101" -> "562f48ea",
+    "fz14108" -> "8ef84d5a",
+    "fz14119" -> "a6351710",
+    "fz15002" -> "ecef6a7b",
+    "fz15005" -> "585c32de",
+    "fz15006" -> "53e0014d",
+    "fz15014" -> "512bde47",
+    "fz15019" -> "df335c88",
+    "fz15020" -> "95f226a7",
+    "fz15022" -> "85dbf3b7",
+    "fz15023" -> "7d20d332",
+    "fz15026" -> "47b7d52d",
+    "fz15027" -> "c6fae824",
+    "fz15038" -> "caf2de05",
+    "fz15042" -> "6b4157d8",
+    "fz15044" -> "a005bea6",
+    "fz15049" -> "9e523940",
+    "fz15051" -> "8753459a",
+    "fz15053" -> "ad533d20",
+    "fz15060" -> "beb17ed1",
+    "fz15079" -> "130dfe86",
+    "fz15084" -> "92208e1f",
+    "fz15091" -> "7f04bd19",
+    "fz15092" -> "6f774923",
+    "fz15098" -> "01156975",
+    "fz15106" -> "e7e043c7",
+    "fz15114" -> "78ffa34e",
+    "fz16001" -> "1c53acdc",
+    "fz16003" -> "bda5d11d",
+    "fz16004" -> "3d8a27c3",
+    "fz16009" -> "acd7d9b3",
+    "fz16010" -> "f93921fb",
+    "fz16013" -> "2613695d",
+    "fz16014" -> "c85dce65",
+    "fz16016" -> "440c397c",
+    "fz16018" -> "b76578b8",
+    "fz16019" -> "ed312735",
+    "fz16024" -> "e9fe6ee2",
+    "fz16026" -> "52829c29",
+    "fz16031" -> "cf1e5552",
+    "fz16039" -> "55d67ea1",
+    "fz16044" -> "ce0f6e0b",
+    "fz16046" -> "d78929c5",
+    "fz16049" -> "1bd6f7b5",
+    "fz16055" -> "1f62a11b",
+    "fz16062" -> "0e3fd116",
+    "fz16063" -> "f44715e6",
+    "fz16081" -> "8bbc9a98",
+    "fz16092" -> "f61efbda",
+    "fz16106" -> "3dfa5cb6",
+    "fz16109" -> "67112fcf",
+    "fz16125" -> "8aef5e26",
+    "fz16136" -> "7974c37c",
+    "fz16165" -> "3f34c982",
+    "fz17001" -> "e66a4d84",
+    "fz17003" -> "11985765",
+    "fz17005" -> "29d63054",
+    "fz17008" -> "38469be2",
+    "fz17012" -> "eb5172db",
+    "fz17015" -> "070df827",
+    "fz17019" -> "34c9ae21",
+    "fz17023" -> "e38c4c18",
+    "fz17025" -> "a5f23af0",
+    "fz17028" -> "f19f12e7",
+    "fz17040" -> "be0becb9",
+    "fz17049" -> "9fc1c81c",
+    "fz17054" -> "a3823192",
+    "fz17064" -> "c1fad151",
+    "fz17066" -> "bddcbcb8",
+    "fz17088" -> "3bb094fa",
+    "fz17094" -> "9b0c3fd9",
+    "fz17096" -> "381ba049",
+    "fz17097" -> "b9aa4ba2",
+    "fz17105" -> "80ef7da4",
+    "fz17129" -> "aa00c1c3",
+    "fz17136" -> "76a914e3",
+    "fz17138" -> "8b8de109",
+    "fz17146" -> "064dea17",
+    "fz17160" -> "d6813c67",
+    "fz17171" -> "e5241cec",
+    "fz17181" -> "b0762eee",
+    "fz17183" -> "6adc5d0d",
+    "fz17192" -> "27bde5c8",
+    "fz18001" -> "b76d8ff8",
+    "fz18003" -> "fba45399",
+    "fz18007" -> "52b0ee10",
+    "fz18008" -> "6604f858",
+    "fz18010" -> "889182df",
+    "fz18014" -> "f2f2c03d",
+    "fz18016" -> "6ba405aa",
+    "fz18018" -> "97fa3df2",
+    "fz18024" -> "8211fe1f",
+    "fz18027" -> "65201803",
+    "fz18037" -> "d113f430",
+    "fz18046" -> "8edc34dd",
+    "fz18053" -> "accd0125",
+    "fz18077" -> "a53d9b3a",
+    "fz18080" -> "8782241a",
+    "fz18086" -> "4e9a2d1b",
+    "fz18087" -> "7c4bcb22",
+    "fz18092" -> "7d7a451f",
+    "fz18096" -> "0391732b",
+    "fz18105" -> "427ac02a",
+    "fz18107" -> "b9df217c",
+    "fz18117" -> "c7105273",
+    "fz18140" -> "b626e40d",
+    "fz18144" -> "f1eb26ec",
+    "fz18151" -> "ed578c32",
+    "fz18155" -> "a6015317",
+    "fz18162" -> "03bfd9a9",
+    "fz18192" -> "c7d27e50",
+    "fz18196" -> "10019c41",
+    "fz19001" -> "ca84ae79",
+    "fz19002" -> "191c9bdd",
+    "fz19003" -> "c9c62d93",
+    "fz19011" -> "52fd9b7a",
+    "fz19013" -> "f2ca2a32",
+    "fz19015" -> "6b49a2a8",
+    "fz19016" -> "ec6da7b3",
+    "fz19022" -> "1185a3a7",
+    "fz19024" -> "a089c8da",
+    "fz19028" -> "1f3aafa9",
+    "fz19030" -> "17a81278",
+    "fz19034" -> "e1df59d3",
+    "fz19040" -> "034445d0",
+    "fz19043" -> "e85b2d47",
+    "fz19070" -> "923a7b3a",
+    "fz19072" -> "70422d95",
+    "fz19081" -> "82c5dc6e",
+    "fz19083" -> "fc227e17",
+    "fz19093" -> "160d9fa4",
+    "fz19100" -> "3032184c",
+    "fz19104" -> "c7187e3e",
+    "fz19112" -> "c17d74d4",
+    "fz19119" -> "61efa7a5",
+    "fz19122" -> "72430318",
+    "fz19133" -> "0e776d2d",
+    "fz19144" -> "448f0237",
+    "fz19195" -> "e6ede99c",
+    "fz19200" -> "2e90bc6a")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
