@@ -867,7 +867,7 @@ object FuzzGen {
     * (r12 advice: the hand-maintained Seq in FuzzDump stopped at 20 while
     * v21–v23 existed). Bump together with each new mode-byte branch below.
     */
-  val maxVersion: Int = 27
+  val maxVersion: Int = 29
 
   def query(seed: Int): GenQuery = query(seed, 1)
 
@@ -879,6 +879,24 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 29) {
+      // v29 mode byte: LATERAL correlated derived tables — per-group
+      // top-k via correlated ORDER BY + LIMIT, aggregate laterals, LEFT
+      // JOIN LATERAL. Versions ≤ 28 never take this draw; fall-through
+      // continues into the v28 dispatch with the advanced rnd state.
+      val m29 = rnd.nextInt(10)
+      if (m29 < 7) return lateralQuery(seed, rnd, version)
+      // else: fall through to the v28 dispatch with the advanced rnd state
+    }
+    if (version >= 28) {
+      // v28 mode byte: NULL semantics in set operations — the one surface
+      // where NULLs compare EQUAL (distinct-equality). Versions ≤ 27
+      // never take this draw; fall-through continues into the v27
+      // dispatch with the advanced rnd state.
+      val m28 = rnd.nextInt(10)
+      if (m28 < 7) return setopNullQuery(seed, rnd, version)
+      // else: fall through to the v27 dispatch with the advanced rnd state
+    }
     if (version >= 27) {
       // v27 mode byte: exact DECIMAL semantics — typed derived view,
       // pinned-scale arithmetic/aggregation, tie-rounding scalars.
@@ -4470,6 +4488,241 @@ object FuzzGen {
             ceil(col(a.name)).cast("long")),
           Item("ab", s"abs(${a.name})", abs(col(a.name))))
         emitProj(items, "fns")
+    }
+  }
+
+  /** v28 dedicated mode: NULL semantics in SET OPERATIONS — the one
+    * relational surface where SQL compares NULLs as EQUAL. Joins,
+    * predicates and [NOT] IN are three-valued (v17-v19, v24: NULL matches
+    * nothing), but INTERSECT / EXCEPT / UNION and their ALL forms use
+    * DISTINCT-equality: a (NULL, x) row present in both branches IS in the
+    * intersect, EXCEPT removes NULL rows matched by a NULL row, UNION
+    * dedups them to one. No older set-op mode (v2/v8/v12) ever feeds a
+    * NULL into a branch — base-table columns are never NULL — so this
+    * composes v17's nullable derived view with the set-op surface. Branch
+    * predicates draw from NON-victim columns only: a three-valued WHERE
+    * over the victim would filter the NULL rows out before the set op
+    * could see them. Three sub-shapes:
+    *   0 meet: two differently-filtered projections (victim column + 0-1
+    *     non-victim) of ONE nullable view under a drawn op ∈ {INTERSECT,
+    *     INTERSECT ALL, EXCEPT, EXCEPT ALL, UNION} — NULL rows meet
+    *     across branches under distinct-equality;
+    *   1 null-branch: the victim projection INTERSECT / EXCEPT / UNION a
+    *     literal one-row `SELECT CAST(NULL AS T)` branch — membership of
+    *     the NULL value itself (EXCEPT deletes exactly the NULL rows;
+    *     INTERSECT keeps exactly one NULL row iff any exists; UNION
+    *     contributes it). Both sides CAST to one shared type so the
+    *     coerced output type is pinned;
+    *   2 dedup-count: count(*) vs count(victim) over (A UNION B) — the
+    *     contrast proves the NULL rows collapsed to ONE output row under
+    *     UNION's distinct-equality while count(victim) skips it.
+    */
+  private def setopNullQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val (tov, chain, victims) = drawNullOverride(rnd)
+    val t = chain.tables.head
+    val cols = catalog(t)
+    val victimNames = victims.map(_.name).toSet
+    val nonVictim = cols.filterNot(c => victimNames(c.name))
+    val v0 = victims.head
+    def sharedType(c: FCol): String = c.kind match {
+      case 'i' => "BIGINT"
+      case 'd' => "DOUBLE"
+      case 's' => "STRING" // DuckDB aliases STRING to VARCHAR
+      case _   => "TIMESTAMP"
+    }
+    val predA = genPred(rnd, nonVictim, version)
+    val predB = genPred(rnd, nonVictim, version)
+
+    rnd.nextInt(3) match {
+      case 0 => // NULL rows meeting across two branches of one view
+        val extra: Option[FCol] =
+          if (rnd.nextBoolean()) Some(nonVictim(rnd.nextInt(nonVictim.length)))
+          else None
+        val projCols = v0 +: extra.toSeq
+        val items = projCols.zipWithIndex.map { case (c, i) =>
+          Item(s"c$i", c.name, col(c.name))
+        }
+        val op = Vector("INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL",
+          "UNION")(rnd.nextInt(5))
+        val sel = items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        val sql = s"SELECT $sel FROM ${tov.fromDuck} WHERE ${predA.sql} $op " +
+          s"SELECT $sel FROM ${tov.fromDuck} WHERE ${predB.sql} ORDER BY " +
+          items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+        val build = (s: SparkSession, d: String) => {
+          def branch(p: P) = tov.load(s, d).where(p.col)
+            .select(items.map(i => i.col.as(i.alias)): _*)
+          val a = branch(predA); val b = branch(predB)
+          val u = op match {
+            case "INTERSECT"     => a.intersect(b)
+            case "INTERSECT ALL" => a.intersectAll(b)
+            case "EXCEPT"        => a.except(b)
+            case "EXCEPT ALL"    => a.exceptAll(b)
+            case _               => a.union(b).distinct()
+          }
+          u.orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+        }
+        GenQuery(seed, sql, build,
+          mode = s"nsetop:meet:${op.toLowerCase.replace(" ", "")}:$t")
+
+      case 1 => // the NULL value itself as a literal set-op branch
+        val ty = sharedType(v0)
+        val op = Vector("INTERSECT", "EXCEPT", "UNION")(rnd.nextInt(3))
+        val sql = s"SELECT CAST(${v0.name} AS $ty) AS c0 FROM ${tov.fromDuck} " +
+          s"WHERE ${predA.sql} $op SELECT CAST(NULL AS $ty) AS c0 " +
+          "ORDER BY c0 ASC NULLS FIRST"
+        val build = (s: SparkSession, d: String) => {
+          val a = tov.load(s, d).where(predA.col)
+            .select(col(v0.name).cast(ty.toLowerCase).as("c0"))
+          val b = s.range(1).select(lit(null).cast(ty.toLowerCase).as("c0"))
+          val u = op match {
+            case "INTERSECT" => a.intersect(b)
+            case "EXCEPT"    => a.except(b)
+            case _           => a.union(b).distinct()
+          }
+          u.orderBy(col("c0").asc_nulls_first)
+        }
+        GenQuery(seed, sql, build,
+          mode = s"nsetop:nullbranch:${op.toLowerCase}:$t")
+
+      case _ => // count contrast over UNION-dedup of the NULL rows
+        val extra = nonVictim(rnd.nextInt(nonVictim.length))
+        val sel = s"${v0.name} AS c0, ${extra.name} AS c1"
+        val sql = "SELECT count(*) AS n, count(c0) AS nn FROM " +
+          s"(SELECT $sel FROM ${tov.fromDuck} WHERE ${predA.sql} UNION " +
+          s"SELECT $sel FROM ${tov.fromDuck} WHERE ${predB.sql}) u"
+        val build = (s: SparkSession, d: String) => {
+          def branch(p: P) = tov.load(s, d).where(p.col)
+            .select(col(v0.name).as("c0"), col(extra.name).as("c1"))
+          branch(predA).union(branch(predB)).distinct()
+            .agg(count(lit(1)).as("n"), count(col("c0")).as("nn"))
+        }
+        GenQuery(seed, sql, build, mode = s"nsetop:dedupcount:$t")
+    }
+  }
+
+  /** v29 dedicated mode: LATERAL correlated derived tables — the FROM
+    * clause's correlation surface (v5/v14 cover WHERE/projection
+    * subqueries; no older mode correlates a whole derived TABLE). The
+    * star shape is per-group TOP-K: `dim, LATERAL (SELECT … FROM fact
+    * WHERE fk = pk ORDER BY v …, u LIMIT k)` — the engines must agree on
+    * correlated-LIMIT semantics, and the DF side renders the window
+    * decorrelation Spark itself would produce (row_number over
+    * PARTITION BY fk ≤ k, then the equi join). The u tiebreak is the
+    * fact's verified-unique key, making each partition's top-k
+    * value-deterministic despite ties in v. Three sub-shapes:
+    *   0 topk (comma/CROSS lateral): dims with no qualifying facts drop;
+    *   1 agg: correlated AGGREGATE lateral — always exactly one row per
+    *     dim (count 0 / NULL extremes on empty), so the comma join never
+    *     drops a dim; DF side is the LEFT-join-on-per-key-aggregate with
+    *     COALESCE(n, 0), the q17-style decorrelation;
+    *   2 leftk: LEFT JOIN LATERAL (top-k) ON true — dims with zero
+    *     qualifying facts survive NULL-extended (the events⋈customer
+    *     edge genuinely has such dims; fact-side predicates create them
+    *     on every edge).
+    * Correlation needs no aliases: corpus column names are
+    * table-prefixed, so the unqualified dim pk inside the lateral body
+    * resolves to the outer row in both engines. Integer sums CAST BIGINT
+    * as everywhere.
+    */
+  private def lateralQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val (factT, fk, dimT, pk) = njoinEdges(rnd.nextInt(njoinEdges.length))
+    val factCols = catalog(factT)
+    val dimCols = catalog(dimT)
+    val factUk = uniqueKeys(factT).head
+    val dimPayload = dimCols.filter(c => c.name != pk)
+    val p0 = dimPayload(rnd.nextInt(dimPayload.length))
+    val factPred: Option[P] =
+      if (rnd.nextBoolean()) Some(genPred(rnd, factCols.filterNot(_.name == fk), version))
+      else None
+    val dimPred: Option[P] =
+      if (rnd.nextInt(3) == 0) Some(genPred(rnd, dimCols, version)) else None
+    val k = 1 + rnd.nextInt(3)
+    val vPool = factCols.filter(c => c.name != fk && c.name != factUk)
+    val v = vPool(rnd.nextInt(vPool.length))
+    val desc = rnd.nextBoolean()
+    val dir = if (desc) "DESC" else "ASC"
+
+    def lateralBody(extraSel: String): String = {
+      val w = (s"$fk = $pk" +: factPred.map(_.sql).toSeq).mkString(" AND ")
+      s"(SELECT $extraSel FROM $factT WHERE $w"
+    }
+    def topkDf(s: SparkSession, d: String): DataFrame = {
+      var f = loadFuzzTable(s, d, factT)
+      factPred.foreach(p => f = f.where(p.col))
+      val ord = if (desc) col(v.name).desc else col(v.name).asc
+      val w = Window.partitionBy(col(fk)).orderBy(ord, col(factUk).asc)
+      f.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+    }
+    def dimDf(s: SparkSession, d: String): DataFrame = {
+      var dd = loadFuzzTable(s, d, dimT)
+      dimPred.foreach(p => dd = dd.where(p.col))
+      dd
+    }
+    def orderAll(items: Seq[Item], df: DataFrame): DataFrame =
+      df.select(items.map(i => i.col.as(i.alias)): _*)
+        .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+    def sqlOrder(items: Seq[Item]): String =
+      " ORDER BY " + items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+
+    rnd.nextInt(3) match {
+      case 0 => // inner (comma) lateral top-k
+        val items = Seq(
+          Item("k0", pk, col(pk)), Item("p0", p0.name, col(p0.name)),
+          Item("v0", v.name, col(v.name)), Item("u0", factUk, col(factUk)))
+        val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+          s" FROM $dimT, LATERAL ${lateralBody(s"${v.name}, $factUk")}" +
+          s" ORDER BY ${v.name} $dir, $factUk ASC LIMIT $k) l" +
+          dimPred.map(p => s" WHERE ${p.sql}").getOrElse("") +
+          sqlOrder(items)
+        val build = (s: SparkSession, d: String) =>
+          orderAll(items, dimDf(s, d).join(topkDf(s, d), col(pk) === col(fk)))
+        GenQuery(seed, sql, build, mode = s"lateral:topk:$factT:$dimT")
+
+      case 1 => // correlated aggregate lateral (always one row per dim)
+        val intPool = factCols.filter(c => c.kind == 'i' && c.name != fk)
+        val sc = intPool(rnd.nextInt(intPool.length))
+        val mm = if (rnd.nextBoolean()) "min" else "max"
+        val mc = vPool(rnd.nextInt(vPool.length))
+        val items = Seq(
+          Item("k0", pk, col(pk)), Item("p0", p0.name, col(p0.name)),
+          Item("n", "n", col("n")), Item("s", "s", col("s")),
+          Item("m", "m", col("m")))
+        val sql = s"SELECT $pk AS k0, ${p0.name} AS p0, l.n AS n, l.s AS s, l.m AS m" +
+          s" FROM $dimT, LATERAL ${lateralBody(
+            s"count(*) AS n, CAST(sum(${sc.name}) AS BIGINT) AS s, $mm(${mc.name}) AS m")}) l" +
+          dimPred.map(p => s" WHERE ${p.sql}").getOrElse("") +
+          sqlOrder(items)
+        val build = (s: SparkSession, d: String) => {
+          var f = loadFuzzTable(s, d, factT)
+          factPred.foreach(p => f = f.where(p.col))
+          val agg = f.groupBy(col(fk)).agg(
+            count(lit(1)).as("_n"), sum(col(sc.name)).as("s"),
+            (if (mm == "min") min(col(mc.name)) else max(col(mc.name))).as("m"))
+          val j = dimDf(s, d).join(agg, col(pk) === col(fk), "left")
+            .withColumn("n", coalesce(col("_n"), lit(0L)))
+          orderAll(items, j)
+        }
+        GenQuery(seed, sql, build, mode = s"lateral:agg:$factT:$dimT")
+
+      case _ => // LEFT JOIN LATERAL top-k ON true (empty groups survive)
+        val items = Seq(
+          Item("k0", pk, col(pk)), Item("p0", p0.name, col(p0.name)),
+          Item("v0", v.name, col(v.name)), Item("u0", factUk, col(factUk)))
+        val sql = s"SELECT $pk AS k0, ${p0.name} AS p0, l.v0 AS v0, l.u0 AS u0" +
+          s" FROM $dimT LEFT JOIN LATERAL ${lateralBody(
+            s"${v.name} AS v0, $factUk AS u0")}" +
+          s" ORDER BY ${v.name} $dir, $factUk ASC LIMIT $k) l ON true" +
+          dimPred.map(p => s" WHERE ${p.sql}").getOrElse("") +
+          sqlOrder(items)
+        val build = (s: SparkSession, d: String) => {
+          val t = topkDf(s, d)
+            .select(col(fk), col(v.name).as("v0"), col(factUk).as("u0"))
+          orderAll(items.map(i =>
+            if (i.alias == "v0" || i.alias == "u0") Item(i.alias, i.alias, col(i.alias))
+            else i),
+            dimDf(s, d).join(t, col(pk) === col(fk), "left"))
+        }
+        GenQuery(seed, sql, build, mode = s"lateral:leftk:$factT:$dimT")
     }
   }
 }

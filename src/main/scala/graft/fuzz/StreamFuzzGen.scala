@@ -76,8 +76,100 @@ object StreamFuzzGen {
     rnd.shuffle(all).take(k).sortBy(_._1)
   }
 
-  def query(seed: Int): StreamGenQuery = {
+  def query(seed: Int): StreamGenQuery = query(seed, 1)
+
+  /** Versioned entry point (FuzzGen's fall-through discipline): v2 draws
+    * one extra up-front mode byte and may dispatch to the STREAM-STATIC
+    * JOIN variant; otherwise it falls through to the v1 body with the
+    * advanced rnd state. v1 seeds keep their draws bit-identical.
+    */
+  def query(seed: Int, version: Int): StreamGenQuery = {
     val rnd = new Random(seed)
+    if (version >= 2) {
+      // v2 mode byte: stream ⋈ static dimension before the windowed
+      // aggregation — the stateless enrichment join every real event
+      // pipeline runs (per micro-batch against the static side), absent
+      // from v1 which aggregates the raw stream.
+      val m2 = rnd.nextInt(10)
+      if (m2 < 5) return joinedQuery(seed, rnd)
+      // else: fall through to the v1 body with the advanced rnd state
+    }
+    queryBody(seed, rnd)
+  }
+
+  /** v2 dedicated variant: the event stream joins a deterministic STATIC
+    * dimension (synthesized from spark.range inside the build, so the
+    * dual-mode function needs no external table: `uid = 0..D-1, seg =
+    * uid % 5, dim_val = uid*7 % 100`) on `user_id = uid` BEFORE the
+    * windowed aggregation. D is drawn from {8, 15, 30}: at D=8 some
+    * events genuinely MISS (corpus user_id runs 0..14 at sf0.001) — INNER
+    * drops them, LEFT NULL-extends them into the dim group key, and the
+    * n_miss counter pins the missed count through the state merge. The
+    * aggregation groups by the window plus the dim payload `seg` (always
+    * keyed — session_window's requirement holds for free) and optionally
+    * event_type; aggregates reuse the order-insensitive pool plus the
+    * exact long `sum(dim_val)`. Stream-static joins are STATELESS in
+    * Structured Streaming (each micro-batch joins the static side), so
+    * stream(cuts) ≡ batch must hold exactly, same as v1.
+    */
+  private def joinedQuery(seed: Int, rnd: Random): StreamGenQuery = {
+    val shape = rnd.nextInt(3)
+    val size = sizesMin(rnd.nextInt(sizesMin.length))
+    val divisors = Vector(2, 3, 4).filter(size % _ == 0)
+    val slide = size / divisors(rnd.nextInt(divisors.length))
+    val gap = sessionGapsMin(rnd.nextInt(sessionGapsMin.length))
+    val delay =
+      if (shape == 2) delaysSession(rnd.nextInt(delaysSession.length))
+      else delaysTumbling(rnd.nextInt(delaysTumbling.length))
+    val dimSize = Vector(8, 15, 30)(rnd.nextInt(3))
+    val left = rnd.nextInt(10) < 4
+    val withType = rnd.nextBoolean()
+    val baseAggs = aggPool(rnd)
+    val aggs = (baseAggs :+ ("sum_dim" -> sum(col("dim_val")))) ++
+      (if (left) Seq("n_miss" -> count(when(col("uid").isNull, lit(1))))
+       else Nil)
+
+    val (shapeName, winDesc) = shape match {
+      case 0 => ("tumbling", s"window($size min)")
+      case 1 => ("sliding", s"window($size min, slide $slide min)")
+      case _ => ("session", s"session_window(gap $gap min)")
+    }
+    val build = (df0: DataFrame) => {
+      val dim = df0.sparkSession.range(dimSize).select(
+        col("id").as("uid"),
+        pmod(col("id"), lit(5)).cast("long").as("seg"),
+        (col("id") * 7 % 100).as("dim_val"))
+      val df = df0.withColumn("ts", col("ts").cast(TimestampType))
+        .withWatermark("ts", delay)
+        .join(dim, col("user_id") === col("uid"),
+          if (left) "left" else "inner")
+      val winCol: Column = shape match {
+        case 0 => window(col("ts"), s"$size minutes")
+        case 1 => window(col("ts"), s"$size minutes", s"$slide minutes")
+        case _ => session_window(col("ts"), s"$gap minutes")
+      }
+      val winName = if (shape == 2) "session_window" else "window"
+      val keyCols: Seq[Column] = col("seg").as("k0") +:
+        (if (withType) Seq(col("event_type").as("k1")) else Nil)
+      val grouped = df.groupBy((winCol +: keyCols): _*)
+        .agg(aggs.head._2.as(aggs.head._1),
+          aggs.tail.map { case (n, c) => c.as(n) }: _*)
+      val outCols =
+        Seq(col(s"$winName.start").as("w_start"),
+          col(s"$winName.end").as("w_end")) ++
+          keyCols.indices.map(i => col(s"k$i")) ++
+          aggs.map { case (n, _) => col(n) }
+      grouped.select(outCols: _*)
+    }
+
+    StreamGenQuery(seed, shapeName,
+      s"$shapeName $winDesc, join=${if (left) "left" else "inner"}(D=$dimSize), " +
+        s"key=seg${if (withType) "+event_type" else ""}, watermark $delay, " +
+        s"aggs=[${aggs.map(_._1).mkString(",")}]",
+      delay, build)
+  }
+
+  private def queryBody(seed: Int, rnd: Random): StreamGenQuery = {
     val shape = rnd.nextInt(3)
     val size = sizesMin(rnd.nextInt(sizesMin.length))
     val divisors = Vector(2, 3, 4).filter(size % _ == 0)

@@ -614,6 +614,87 @@ object FuzzQueries {
       19093, 19100, 19104, 19112, 19119, 19122, 19133, 19144, 19195,
       19200)
 
+  // Grammar-v28 slice (NULL semantics in SET OPERATIONS — the one
+  // relational surface where SQL compares NULLs as EQUAL: joins,
+  // predicates and [NOT] IN are three-valued, but INTERSECT/EXCEPT/UNION
+  // and their ALL forms use distinct-equality, so a NULL row in both
+  // branches of v17's nullable derived view MEETS itself; branch
+  // predicates draw from non-victim columns only — a three-valued WHERE
+  // over the victim would drop the NULL rows before the set op sees
+  // them). Whole 20001-20200 range verified against DuckDB at sf0.001,
+  // sf0.01 AND sf0.1 (200/200 pass at each, r13, zero divergence first
+  // sweep); picks non-empty at sf0.001 and sf0.01, all genuine v28 draws,
+  // seed range 20001+ disjoint from every older slice by construction.
+  // Branch-meet, all five ops × tables: INTERSECT (20023 part two-victim,
+  // 20061 events, 20099 orders at 6 rows, 20115 supplier), INTERSECT ALL
+  // — bag multiplicity of the NULL rows (20013 events 223→1450, 20024
+  // documents, 20072 customer), EXCEPT — NULL rows deleted by matching
+  // NULL rows (20030 part, 20043 orders, 20065 customer), EXCEPT ALL
+  // (20009 orders, 20144 customer), UNION dedup (20015 supplier, 20083
+  // orders at 1201→12000 output rows). Literal-NULL-branch membership:
+  // UNION contributing the NULL value (20002 part, 20025 customer, 20101
+  // events at 822→5948), EXCEPT deleting exactly the NULL rows (20012
+  // events, 20079 documents, 20107 orders), INTERSECT keeping exactly
+  // one NULL row iff any exists (20103 orders one-row, 20128 documents,
+  // 20181 customer). Dedup-count contrast — count(*) vs count(victim)
+  // over (A UNION B) proves the NULL rows collapsed to ONE row while
+  // count(victim) skips it (20004 events, 20005 orders two-victim ×
+  // two-sided, 20011 supplier, 20021 customer, 20028 documents, 20094
+  // part). Plan note: the EXCEPT/INTERSECT null-branch seeds pin
+  // BroadcastNestedLoopJoinExec=1 — Catalyst constant-folds the
+  // null-safe-equality condition against the literal NULL into a pure
+  // `isnull(c0)` anti/semi predicate (probed: `BroadcastNestedLoopJoin
+  // BuildRight, LeftAnti, isnull(c0)`), and the build side is the
+  // one-row literal relation BY CONSTRUCTION — O(fact × 1), linear at
+  // any scale, the same class as the 1-row scalar-subquery broadcasts.
+  // Rendered with query(seed, 28).
+  val declaredSeedsV28: Seq[Int] =
+    Seq(20002, 20004, 20005, 20009, 20011, 20012, 20013, 20015, 20021,
+      20023, 20024, 20025, 20028, 20030, 20043, 20061, 20065, 20072,
+      20079, 20083, 20094, 20099, 20101, 20103, 20107, 20115, 20128,
+      20144, 20181)
+
+  // Grammar-v29 slice (LATERAL correlated derived tables — the FROM
+  // clause's correlation surface: per-group TOP-K via correlated ORDER BY
+  // + LIMIT inside `dim, LATERAL (…)` with the fact's verified-unique key
+  // as tiebreak (the DF rendering is the row_number-over-PARTITION-BY
+  // window decorrelation Spark itself produces), the always-one-row
+  // correlated AGGREGATE lateral (DF = LEFT-join-on-per-key-aggregate
+  // with COALESCE(n, 0) — the q17-style decorrelation), and LEFT JOIN
+  // LATERAL ON true keeping zero-fact dims NULL-extended). Whole
+  // 21001-21200 range verified against DuckDB at sf0.001, sf0.01 AND
+  // sf0.1 (200/200 pass at each, r13, zero divergence first sweep);
+  // picks non-empty at sf0.001 and sf0.01, all genuine v29 draws, seed
+  // range 21001+ disjoint from every older slice by construction.
+  // Top-k: k=1 priority DESC under dim+fact preds (21006), events k=2
+  // value DESC (21018), supplier k=3 name ASC (21021), customer k=2
+  // acctbal DESC (21025), orders k=2 totalprice DESC (21041), k=3 status
+  // DESC at 449→4492 output rows — maximal tie pressure on the unique-key
+  // tiebreak (21058), events k=1 ts DESC (21064), customer k=3 name ASC
+  // (21088), supplier 1→9 rows (21143), orders 1→2 rows (21199).
+  // Aggregate laterals: dim+fact preds at 2 dims (21009), the full
+  // 150→1500 customer sweep (21012), events factpred (21035), supplier
+  // dimpred (21040), events dimpred 77→780 (21115), customer 7 dims
+  // (21122), orders dimpred 17→243 (21141), supplier dim+fact (21180),
+  // orders dim+fact 139→1378 (21195). LEFT JOIN LATERAL: orders k=2 ASC
+  // dimpred (21002), supplier k=1 — all 25 dims flat (21004), events k=2
+  // props factpred at 165→1650 — the edge with GENUINE zero-fact dims
+  // NULL-extended (21011), customer k=2 two-dim (21020), customer k=3
+  // acctbal DESC factpred 50→75 (21043), supplier k=2 dim+fact (21056),
+  // events k=3 event_type dimpred (21074), supplier k=3 name DESC
+  // dim+fact (21097), orders k=2 dimpred 2→6 (21128), events k=3 ts DESC
+  // dim+fact 171→1723 (21187). Plan note: every lateral top-k pins
+  // WindowGroupLimitExec=2 — Spark's rank-limit pushdown runs a PARTIAL
+  // group-limit before the shuffle and a FINAL one after, so each
+  // executor forwards at most k rows per key instead of its whole
+  // partition; at 100 TB that is the difference between shuffling k·dims
+  // rows and shuffling the fact table. Rendered with query(seed, 29).
+  val declaredSeedsV29: Seq[Int] =
+    Seq(21002, 21004, 21006, 21009, 21011, 21012, 21018, 21020, 21021,
+      21025, 21035, 21040, 21041, 21043, 21056, 21058, 21064, 21074,
+      21088, 21097, 21115, 21122, 21128, 21141, 21143, 21180, 21187,
+      21195, 21199)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -641,7 +722,9 @@ object FuzzQueries {
       declaredSeedsV24.map(s => s -> FuzzGen.query(s, 24)) ++
       declaredSeedsV25.map(s => s -> FuzzGen.query(s, 25)) ++
       declaredSeedsV26.map(s => s -> FuzzGen.query(s, 26)) ++
-      declaredSeedsV27.map(s => s -> FuzzGen.query(s, 27))).map { case (seed, g) =>
+      declaredSeedsV27.map(s => s -> FuzzGen.query(s, 27)) ++
+      declaredSeedsV28.map(s => s -> FuzzGen.query(s, 28)) ++
+      declaredSeedsV29.map(s => s -> FuzzGen.query(s, 29))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -813,6 +813,67 @@ class FuzzSpec extends AnyFunSuite {
     assert(fns >= 12, s"scalar-fns shape under-drawn: $fns")
   }
 
+  test("grammar v28 (NULL semantics in set operations: distinct-equality meets, literal NULL branches, UNION dedup): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var meet = 0; var nullbranch = 0; var dedup = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 28)
+      if (q.mode.startsWith("nsetop")) {
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v28 seed $seed: set-op query should carry one SQL text")
+        // the NULL-injection signature: the view fragment carries a victim
+        assert(q.sql.contains("THEN NULL ELSE"),
+          s"v28 seed $seed: expected a NULL-injected view in: ${q.sql}")
+        q.mode.split(":")(1) match {
+          case "meet"       => meet += 1
+          case "nullbranch" => nullbranch += 1
+          case "dedupcount" => dedup += 1
+          case other => fail(s"v28 seed $seed: unknown nsetop shape $other")
+        }
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v28 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v28 seeds matched; $meet meet, $nullbranch null-branch, $dedup dedup-count")
+    assert(meet >= 18, s"branch-meet shape under-drawn: $meet")
+    assert(nullbranch >= 18, s"null-branch shape under-drawn: $nullbranch")
+    assert(dedup >= 18, s"dedup-count shape under-drawn: $dedup")
+  }
+
+  test("grammar v29 (LATERAL correlated derived tables: per-group top-k LIMIT, aggregate laterals, LEFT JOIN LATERAL): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var topk = 0; var agg = 0; var leftk = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 29)
+      if (q.mode.startsWith("lateral")) {
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v29 seed $seed: lateral query should carry one SQL text")
+        assert(q.sql.contains("LATERAL ("),
+          s"v29 seed $seed: expected a LATERAL body in: ${q.sql}")
+        q.mode.split(":")(1) match {
+          case "topk"  => topk += 1
+          case "agg"   => agg += 1
+          case "leftk" => leftk += 1
+          case other => fail(s"v29 seed $seed: unknown lateral shape $other")
+        }
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v29 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v29 seeds matched; $topk topk, $agg agg, $leftk leftk")
+    assert(topk >= 18, s"top-k shape under-drawn: $topk")
+    assert(agg >= 18, s"aggregate-lateral shape under-drawn: $agg")
+    assert(leftk >= 18, s"left-lateral shape under-drawn: $leftk")
+  }
+
   test("corpus preconditions the generators assume: 64-wide NULL-free embeddings, NULL-free join-edge keys") {
     views
     import org.apache.spark.sql.functions._
@@ -1410,7 +1471,65 @@ class FuzzSpec extends AnyFunSuite {
     "fz19133" -> "0e776d2d",
     "fz19144" -> "448f0237",
     "fz19195" -> "e6ede99c",
-    "fz19200" -> "2e90bc6a")
+    "fz19200" -> "2e90bc6a",
+    "fz20002" -> "3c118887",
+    "fz20004" -> "3da770ae",
+    "fz20005" -> "e25fb896",
+    "fz20009" -> "f55088c6",
+    "fz20011" -> "fba10926",
+    "fz20012" -> "93662d8e",
+    "fz20013" -> "9e9dbeb1",
+    "fz20015" -> "08066cb7",
+    "fz20021" -> "5ea876b0",
+    "fz20023" -> "c4e9d035",
+    "fz20024" -> "6a49af63",
+    "fz20025" -> "185ff9f5",
+    "fz20028" -> "12ddebbf",
+    "fz20030" -> "fd37ff0c",
+    "fz20043" -> "b8cf3e98",
+    "fz20061" -> "5dfd93bc",
+    "fz20065" -> "1518d996",
+    "fz20072" -> "670f78f6",
+    "fz20079" -> "c5cde4ab",
+    "fz20083" -> "4b1bf3f6",
+    "fz20094" -> "c8edb3fc",
+    "fz20099" -> "ac830b55",
+    "fz20101" -> "0778938f",
+    "fz20103" -> "c81e8a08",
+    "fz20107" -> "4c9f948a",
+    "fz20115" -> "cf68ca5f",
+    "fz20128" -> "cd2755b5",
+    "fz20144" -> "08a63658",
+    "fz20181" -> "94a995b5",
+    "fz21002" -> "680a96c7",
+    "fz21004" -> "7e56b3ed",
+    "fz21006" -> "3b98255c",
+    "fz21009" -> "15f03a34",
+    "fz21011" -> "7605953d",
+    "fz21012" -> "23caedba",
+    "fz21018" -> "2724557f",
+    "fz21020" -> "c3261f91",
+    "fz21021" -> "6ebe69c5",
+    "fz21025" -> "ade02255",
+    "fz21035" -> "973f2aa1",
+    "fz21040" -> "ad4e9e2c",
+    "fz21041" -> "4f36676a",
+    "fz21043" -> "4c697b82",
+    "fz21056" -> "6bb7a529",
+    "fz21058" -> "8f4f2860",
+    "fz21064" -> "5ac58574",
+    "fz21074" -> "0e4dd0f9",
+    "fz21088" -> "a8520a9d",
+    "fz21097" -> "65fe2e9a",
+    "fz21115" -> "744b7ef1",
+    "fz21122" -> "1b2f409c",
+    "fz21128" -> "c5050a52",
+    "fz21141" -> "234e0bde",
+    "fz21143" -> "257cb045",
+    "fz21180" -> "f3137ba3",
+    "fz21187" -> "30399d6f",
+    "fz21195" -> "736e423e",
+    "fz21199" -> "20b6db2c")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>

@@ -84,6 +84,35 @@ class StreamFuzzSpec extends AnyFunSuite {
     assert(descs.count(_.contains("sum_dec")) >= nSeeds / 10, descs)
   }
 
+  test(s"v2: stream-static JOIN variants over seeds 1..$nSeeds: stream " +
+    "over cut permutations ≡ batch") {
+    import spark.implicits._
+    var joins = 0; var leftJ = 0; var missD = 0
+    (1 to nSeeds).foreach { seed =>
+      val g = StreamFuzzGen.query(seed, 2)
+      if (g.desc.contains("join=")) {
+        joins += 1
+        if (g.desc.contains("join=left")) leftJ += 1
+        if (g.desc.contains("D=8")) missD += 1
+      }
+      val want = g.build(allEvents.toDF()).collect()
+        .map(_.toString).sorted.toSeq
+      assert(want.nonEmpty,
+        s"v2 seed $seed (${g.desc}): batch reference is empty — weak evidence")
+      val got = streamed(cutChunks(seed), g.build)
+      assert(got == want,
+        s"v2 seed $seed (${g.desc}) diverged from batch: " +
+          s"${got.length} vs ${want.length} rows; first diff " +
+          s"${got.zipAll(want, "<missing>", "<missing>")
+            .find { case (a, b) => a != b }}")
+    }
+    info(s"$nSeeds v2 seeds converged; $joins joined ($leftJ left, " +
+      s"$missD at the missing-user D=8 dim)")
+    assert(joins >= nSeeds / 3, s"join variant starved: $joins")
+    assert(leftJ >= nSeeds / 12, s"left-join variant starved: $leftJ")
+    assert(missD >= nSeeds / 15, s"missing-user dim size starved: $missD")
+  }
+
   test(s"$nSeeds generated windowed aggregations: stream over cut " +
     "permutations ≡ batch") {
     import spark.implicits._
