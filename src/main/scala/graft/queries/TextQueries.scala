@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.queries.Canon.round // canonical floor-based rounding (oracle-safe)
 import org.apache.spark.sql.types._
@@ -279,6 +280,125 @@ object TextQueries {
              |  floor((CAST(dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE))
              |    * 10000 + 0.5) / 10000 AS dup_frac
              |FROM agg ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "tq_bm25",
+      "BM25 ranked retrieval over documents against a fixed query-term set " +
+        "{spark, join, the} (k1=1.2, b=0.75) — the lexical-relevance scorer " +
+        "a training-data curation pipeline uses to pull topical documents " +
+        "from a web corpus. Per-doc term frequencies and lengths are one " +
+        "codegen'd projection; the corpus statistics (N, Σdl, per-term df) " +
+        "are ONE 1-row aggregate broadcast back over the corpus — two scans " +
+        "and zero shuffles of the corpus itself, linear at any size. Every " +
+        "input to the score is an exact integer, the expression tree is " +
+        "written op-for-op identically on both sides (one division for " +
+        "avgdl, left-assoc sums), and ln() is the only non-correctly-" +
+        "rounded IEEE op — absorbed by the Canon 4-decimal rounding (the " +
+        "three-SF oracle runs pin it on the real corpus).",
+      (s, d) => {
+        def tfl(t: String) =
+          size(filter(toks, x => x === t)).cast(LongType)
+        val base = Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).cast(LongType).as("dl"),
+          tfl("spark").as("tf1"), tfl("join").as("tf2"), tfl("the").as("tf3"))
+        val stats = base.agg(
+          count(lit(1)).as("n"),
+          sum(col("dl")).as("sumdl"),
+          sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+          sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+          sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+        def d2(c: Column) = c.cast(DoubleType)
+        def part(tfc: Column, dfc: Column) =
+          log((d2(col("n") - dfc) + lit(0.5)) / (d2(dfc) + lit(0.5)) + lit(1.0)) *
+            (d2(tfc) * lit(2.2) / (d2(tfc) + lit(1.2) *
+              (lit(0.25) + lit(0.75) * d2(col("dl")) /
+                (d2(col("sumdl")) / d2(col("n"))))))
+        base.crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("dl"),
+            col("tf1").as("tf_spark"), col("tf2").as("tf_join"),
+            col("tf3").as("tf_the"),
+            round(part(col("tf1"), col("df1"))
+              + part(col("tf2"), col("df2"))
+              + part(col("tf3"), col("df3")), 4).as("bm25"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf1,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS BIGINT) AS tf2,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'the')) AS BIGINT) AS tf3
+             |  FROM documents),
+             |st AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+             |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+             |    CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+             |  FROM d)
+             |SELECT doc_id, dl, tf1 AS tf_spark, tf2 AS tf_join, tf3 AS tf_the,
+             |  floor((
+             |    ln((CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0) * (CAST(tf1 AS DOUBLE) * 2.2 / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+             |  + ln((CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0) * (CAST(tf2 AS DOUBLE) * 2.2 / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+             |  + ln((CAST(n - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5) + 1.0) * (CAST(tf3 AS DOUBLE) * 2.2 / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+             |  ) * 10000 + 0.5) / 10000 AS bm25
+             |FROM d, st ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "tq_bm25_topk",
+      "Top-20 documents by the tq_bm25 score — the retrieval form (ORDER BY " +
+        "a computed float ranking DESC with a unique-key tiebreak, so the " +
+        "cut is deterministic: both engines compare the SAME rounded score, " +
+        "and equal scores order by doc_id). At scale this is a top-k over " +
+        "the scored projection — Spark's TakeOrderedAndProject, no global " +
+        "sort materialization.",
+      (s, d) => {
+        def tfl(t: String) =
+          size(filter(toks, x => x === t)).cast(LongType)
+        val base = Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).cast(LongType).as("dl"),
+          tfl("spark").as("tf1"), tfl("join").as("tf2"), tfl("the").as("tf3"))
+        val stats = base.agg(
+          count(lit(1)).as("n"),
+          sum(col("dl")).as("sumdl"),
+          sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+          sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+          sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+        def d2(c: Column) = c.cast(DoubleType)
+        def part(tfc: Column, dfc: Column) =
+          log((d2(col("n") - dfc) + lit(0.5)) / (d2(dfc) + lit(0.5)) + lit(1.0)) *
+            (d2(tfc) * lit(2.2) / (d2(tfc) + lit(1.2) *
+              (lit(0.25) + lit(0.75) * d2(col("dl")) /
+                (d2(col("sumdl")) / d2(col("n"))))))
+        base.crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            round(part(col("tf1"), col("df1"))
+              + part(col("tf2"), col("df2"))
+              + part(col("tf3"), col("df3")), 4).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf1,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS BIGINT) AS tf2,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'the')) AS BIGINT) AS tf3
+             |  FROM documents),
+             |st AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+             |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+             |    CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+             |  FROM d)
+             |SELECT doc_id,
+             |  floor((
+             |    ln((CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0) * (CAST(tf1 AS DOUBLE) * 2.2 / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+             |  + ln((CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0) * (CAST(tf2 AS DOUBLE) * 2.2 / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+             |  + ln((CAST(n - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5) + 1.0) * (CAST(tf3 AS DOUBLE) * 2.2 / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+             |  ) * 10000 + 0.5) / 10000 AS bm25
+             |FROM d, st ORDER BY bm25 DESC NULLS LAST, doc_id ASC LIMIT 20""".stripMargin)
     )
   )
 }
