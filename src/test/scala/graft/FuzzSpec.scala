@@ -874,6 +874,35 @@ class FuzzSpec extends AnyFunSuite {
     assert(leftk >= 18, s"left-lateral shape under-drawn: $leftk")
   }
 
+  test("grammar v30 (subqueries as projected values: three-valued IN/NOT IN flags, EXISTS booleans, CASE classifier keys): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var inflag = 0; var poison = 0; var exists = 0; var caseagg = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 30)
+      if (q.mode.startsWith("psubq")) {
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v30 seed $seed: projected-subquery query should carry one SQL text")
+        q.mode.split(":")(1) match {
+          case "inflag"  => inflag += 1; if (q.mode.contains(":poison")) poison += 1
+          case "exists"  => exists += 1
+          case "caseagg" => caseagg += 1
+          case other => fail(s"v30 seed $seed: unknown psubq shape $other")
+        }
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v30 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v30 seeds matched; $inflag inflag ($poison poisoned), $exists exists, $caseagg caseagg")
+    assert(inflag >= 18, s"in-flag shape under-drawn: $inflag")
+    assert(poison >= 3, s"poisoned-list draw under-drawn: $poison")
+    assert(exists >= 18, s"exists-flag shape under-drawn: $exists")
+    assert(caseagg >= 18, s"case-classifier shape under-drawn: $caseagg")
+  }
+
   test("corpus preconditions the generators assume: 64-wide NULL-free embeddings, NULL-free join-edge keys") {
     views
     import org.apache.spark.sql.functions._
@@ -1529,7 +1558,35 @@ class FuzzSpec extends AnyFunSuite {
     "fz21180" -> "f3137ba3",
     "fz21187" -> "30399d6f",
     "fz21195" -> "736e423e",
-    "fz21199" -> "20b6db2c")
+    "fz21199" -> "20b6db2c",
+    "fz22002" -> "426df622",
+    "fz22003" -> "59f76349",
+    "fz22004" -> "1b94205a",
+    "fz22006" -> "d1074031",
+    "fz22008" -> "1cc2fab8",
+    "fz22009" -> "b44de449",
+    "fz22010" -> "02cc8464",
+    "fz22011" -> "c3fa95e4",
+    "fz22013" -> "8c4ceddf",
+    "fz22016" -> "ef1b8af2",
+    "fz22019" -> "8607a173",
+    "fz22024" -> "efc08f41",
+    "fz22030" -> "48eca95d",
+    "fz22049" -> "1660a8b3",
+    "fz22068" -> "8fa24708",
+    "fz22074" -> "9601995a",
+    "fz22078" -> "97b69756",
+    "fz22079" -> "286bb1a1",
+    "fz22085" -> "c53d7981",
+    "fz22097" -> "5028f732",
+    "fz22098" -> "df91c272",
+    "fz22103" -> "0c61e59e",
+    "fz22107" -> "e0ae6cad",
+    "fz22108" -> "c67511d0",
+    "fz22127" -> "e849bb51",
+    "fz22142" -> "fb7b3999",
+    "fz22159" -> "15a061ae",
+    "fz22170" -> "25b0168e")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
