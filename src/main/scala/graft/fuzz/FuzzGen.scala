@@ -334,7 +334,7 @@ object FuzzGen {
     Lit(s"TIMESTAMP '$v'", to_timestamp(lit(v)))
   }
 
-  private val catalog: Map[String, Seq[FCol]] = Map(
+  private[graft] val catalog: Map[String, Seq[FCol]] = Map(
     "region" -> Seq(
       FCol("r_regionkey", 'i', iLit(1, 2, 3), groupable = true),
       FCol("r_name", 's', sLit("AMERICA", "ASIA", "EUROPE"), groupable = true)),
@@ -867,7 +867,7 @@ object FuzzGen {
     * (r12 advice: the hand-maintained Seq in FuzzDump stopped at 20 while
     * v21–v23 existed). Bump together with each new mode-byte branch below.
     */
-  val maxVersion: Int = 30
+  val maxVersion: Int = 32
 
   def query(seed: Int): GenQuery = query(seed, 1)
 
@@ -879,6 +879,24 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 32) {
+      // v32 mode byte: the documents ⋈ embeddings corpus edge (partial
+      // 1:≤1 enrichment join over the v16 derived-scalar view). Versions
+      // ≤ 31 never take this draw; fall-through continues into the v31
+      // dispatch with the advanced rnd state.
+      val m32 = rnd.nextInt(10)
+      if (m32 < 7) return docembQuery(seed, rnd, version)
+      // else: fall through to the v31 dispatch with the advanced rnd state
+    }
+    if (version >= 31) {
+      // v31 mode byte: DECIMAL at the typed boundaries — GROUP BY keys,
+      // JOIN keys, comparison predicates with scale-pinned literals.
+      // Versions ≤ 30 never take this draw; fall-through continues into
+      // the v30 dispatch with the advanced rnd state.
+      val m31 = rnd.nextInt(10)
+      if (m31 < 7) return decimalBoundaryQuery(seed, rnd, version)
+      // else: fall through to the v30 dispatch with the advanced rnd state
+    }
     if (version >= 30) {
       // v30 mode byte: subqueries as projected VALUES — IN/EXISTS in the
       // SELECT list, where three-valued NULL output becomes data.
@@ -4325,7 +4343,7 @@ object FuzzGen {
     * are then tested deliberately on the DECIMAL side by shape 3's
     * round(x, s-1) over 2-decimal data.
     */
-  private val decSpec: Map[String, (Int, Int)] = Map(
+  private[graft] val decSpec: Map[String, (Int, Int)] = Map(
     "c_acctbal" -> ((12, 2)), "s_acctbal" -> ((12, 2)),
     "p_retailprice" -> ((12, 2)), "o_totalprice" -> ((14, 2)),
     "l_quantity" -> ((10, 2)), "l_extendedprice" -> ((14, 2)),
@@ -4341,6 +4359,25 @@ object FuzzGen {
     * digit in Spark only), so every aggregate/arithmetic output is CAST
     * to an explicit DECIMAL(38, s) with s fixed by the operand scales —
     * value-exact in both engines because widening casts never round.
+    *
+    * RENDERED SURFACE (r13 verdict #1): no declared output column may be
+    * DECIMAL-typed — the driver's typed hasher renders trailing-zero
+    * decimals through a shortest-repr float path on one side and a
+    * scale-preserving path on the other, so `134821.00` hash-diverges on
+    * values that are engine-identical (27/28 frozen v27 seeds failed r13
+    * this way). Every decimal-typed item is therefore wrapped in an outer
+    * CAST(… AS STRING): both engines render DECIMAL→VARCHAR scale-
+    * preserving (`1.500`, `-134821.00`, `0.000000` — verified on both),
+    * the comparison is exact by construction with no float anywhere, and
+    * the exactness v27 tests lives untouched in the DECIMAL arithmetic
+    * inside. STRING sort order (ORDER BY the rendered columns) is binary
+    * in both engines, so row order stays deterministic. WHERE predicates
+    * draw from NON-decimal columns only: genPred emits double literals,
+    * and DECIMAL-vs-DOUBLE comparison coercion is the engines' own
+    * business (exact today, silently fragile — ADVICE r13); decimal
+    * comparison predicates are covered deliberately by v31 with
+    * scale-pinned decimal literals.
+    *
     * Four sub-shapes:
     *   0 grouped decimal aggregation: CAST(sum AS DECIMAL(38,s)), min /
     *     max (result type = input type in both engines), count(*);
@@ -4361,7 +4398,11 @@ object FuzzGen {
     val chain = pool(rnd.nextInt(pool.length))
     val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
     val cols = chain.tables.flatMap(catalog)
-    val preds = Vector.fill(rnd.nextInt(2))(genPred(rnd, cols, version))
+    // Predicates over NON-decimal columns only (see scaladoc): genPred's
+    // double literals against the DECIMAL-cast view would rely on both
+    // engines coercing DECIMAL-vs-DOUBLE identically.
+    val predCols = cols.filterNot(c => decSpec.contains(c.name))
+    val preds = Vector.fill(rnd.nextInt(2))(genPred(rnd, predCols, version))
     val decCols = cols.filter(c => decSpec.contains(c.name))
     val groupables = cols.filter(_.groupable)
     val uk = headOrderCols(chain.tables.head)
@@ -4402,6 +4443,20 @@ object FuzzGen {
     }
     def scaleOf(c: FCol): Int = decSpec(c.name)._2
     def draw(): FCol = decCols(rnd.nextInt(decCols.length))
+    // Declared surface must not be DECIMAL-typed (scaladoc above): render
+    // each decimal item as its exact scale-preserving string.
+    def asStr(i: Item): Item =
+      Item(i.alias, s"CAST(${i.sql} AS STRING)", i.col.cast("string"))
+    // Java BigDecimal (Spark's decimal→string path) renders |v| < 1e-6 at
+    // scale > 6 — including zero — in scientific notation ("0E-8") where
+    // DuckDB stays plain, so cap the RENDERED scale at 6 with one extra
+    // cast. Value-exact: decSpec columns carry ≤2 corpus decimals
+    // (asserted by FuzzSpec's corpus-preconditions test), so any product
+    // of two carries ≤4 — the recast never rounds.
+    def capStr(alias: String, sql: String, c: Column, s: Int): Item =
+      if (s <= 6) asStr(Item(alias, sql, c))
+      else asStr(Item(alias, s"CAST($sql AS DECIMAL(38, 6))",
+        c.cast("decimal(38, 6)")))
 
     def emitProj(items: Seq[Item], modeTag: String): GenQuery = {
       val keyItems = uk.zipWithIndex.map { case (k, i) => Item(s"k$i", k, col(k)) }
@@ -4427,10 +4482,10 @@ object FuzzGen {
         val (p2, s2) = decSpec(d2.name)
         val items = Seq(
           Item("k0", g.name, col(g.name)),
-          Item("s0", s"CAST(sum(${d1.name}) AS DECIMAL(38, $s1))",
-            sum(col(d1.name)).cast(s"decimal(38, $s1)")),
-          Item("m0", s"min(${d2.name})", min(col(d2.name))),
-          Item("m1", s"max(${d2.name})", max(col(d2.name))),
+          asStr(Item("s0", s"CAST(sum(${d1.name}) AS DECIMAL(38, $s1))",
+            sum(col(d1.name)).cast(s"decimal(38, $s1)"))),
+          asStr(Item("m0", s"min(${d2.name})", min(col(d2.name)))),
+          asStr(Item("m1", s"max(${d2.name})", max(col(d2.name)))),
           Item("n", "count(*)", count(lit(1))))
         val sb = new StringBuilder("SELECT ")
         sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
@@ -4451,14 +4506,15 @@ object FuzzGen {
         val sAdd = math.max(scaleOf(a), scaleOf(b))
         val op = if (rnd.nextBoolean()) "+" else "-"
         val items = Seq(
-          Item("x0", s"CAST(${a.name} * ${b.name} AS DECIMAL(38, $sMul))",
-            (col(a.name) * col(b.name)).cast(s"decimal(38, $sMul)")),
-          Item("x1", s"CAST(${a.name} $op ${b.name} AS DECIMAL(38, $sAdd))",
+          capStr("x0", s"CAST(${a.name} * ${b.name} AS DECIMAL(38, $sMul))",
+            (col(a.name) * col(b.name)).cast(s"decimal(38, $sMul)"), sMul),
+          asStr(Item("x1", s"CAST(${a.name} $op ${b.name} AS DECIMAL(38, $sAdd))",
             (if (op == "+") col(a.name) + col(b.name)
-             else col(a.name) - col(b.name)).cast(s"decimal(38, $sAdd)")),
-          Item("x2", s"CAST(${a.name} * (1 - ${d.name}) AS DECIMAL(38, ${scaleOf(a) + scaleOf(d)}))",
+             else col(a.name) - col(b.name)).cast(s"decimal(38, $sAdd)"))),
+          capStr("x2", s"CAST(${a.name} * (1 - ${d.name}) AS DECIMAL(38, ${scaleOf(a) + scaleOf(d)}))",
             (col(a.name) * (lit(1) - col(d.name)))
-              .cast(s"decimal(38, ${scaleOf(a) + scaleOf(d)})")))
+              .cast(s"decimal(38, ${scaleOf(a) + scaleOf(d)})"),
+            scaleOf(a) + scaleOf(d)))
         emitProj(items, "arith")
 
       case 2 => // sum of exact products (the revenue shape on DECIMAL)
@@ -4469,8 +4525,8 @@ object FuzzGen {
         val innerCol = (col(a.name) * (lit(1) - col(d.name))).cast(s"decimal(24, $sIn)")
         val items = Seq(
           Item("k0", g.name, col(g.name)),
-          Item("rev", s"CAST(sum($inner) AS DECIMAL(38, $sIn))",
-            sum(innerCol).cast(s"decimal(38, $sIn)")),
+          capStr("rev", s"CAST(sum($inner) AS DECIMAL(38, $sIn))",
+            sum(innerCol).cast(s"decimal(38, $sIn)"), sIn),
           Item("n", "count(*)", count(lit(1))))
         val sb = new StringBuilder("SELECT ")
         sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
@@ -4489,14 +4545,356 @@ object FuzzGen {
         val (p, s) = decSpec(a.name)
         val rs = s - 1
         val items = Seq(
-          Item("r0", s"CAST(round(${a.name}, $rs) AS DECIMAL($p, $rs))",
-            round(col(a.name), rs).cast(s"decimal($p, $rs)")),
+          asStr(Item("r0", s"CAST(round(${a.name}, $rs) AS DECIMAL($p, $rs))",
+            round(col(a.name), rs).cast(s"decimal($p, $rs)"))),
           Item("f0", s"CAST(floor(${a.name}) AS BIGINT)",
             floor(col(a.name)).cast("long")),
           Item("c0", s"CAST(ceil(${a.name}) AS BIGINT)",
             ceil(col(a.name)).cast("long")),
-          Item("ab", s"abs(${a.name})", abs(col(a.name))))
+          asStr(Item("ab", s"abs(${a.name})", abs(col(a.name)))))
         emitProj(items, "fns")
+    }
+  }
+
+  /** v32 dedicated mode: the documents ⋈ embeddings corpus edge — the one
+    * table pair no other generated mode ever draws together (documents
+    * joins nothing by FK; embeddings only appears through v16's
+    * single-table derived view). The relation is doc_id = vec_id: both
+    * 0..N-1 dense and verified unique, but at sf0.1 documents outnumber
+    * embeddings 5000 vs 2000, so the LEFT form produces GENUINE
+    * NULL-extended derived columns — a coverage edge (a fact keyed 1:≤1
+    * against a partially-populated enrichment) none of the TPC-H FK
+    * chains exhibit. The embeddings side is v16's [[drawEmbOverride]]
+    * derived table (integer-exact element/fold scalars, dual-dialect
+    * fragment — array syntax is the one surface the engines don't
+    * share), everything outside the fragment is ONE shared SQL text.
+    * Three sub-shapes:
+    *   0 projection: doc_id-keyed rows with document dims + derived
+    *     embedding scalars (NULL-extended under LEFT in both engines),
+    *     total ORDER BY the unique doc_id;
+    *   1 grouped: lang/source/label key, count(*) vs count(e_a) contrast
+    *     (counts skip the NULL-extended rows), BIGINT-cast sums from
+    *     both sides of the edge;
+    *   2 coverage probe (forced LEFT): per-source count(*) /
+    *     count(vec_id) / sum(CASE WHEN vec_id IS NULL) — the
+    *     matched/unmatched decomposition of the partial edge.
+    * Emb-side predicates are drawn only under INNER: a three-valued
+    * WHERE over derived columns of the NULL-extended side would silently
+    * reduce LEFT to INNER (both engines agree, but the shape would stop
+    * testing what it claims to).
+    */
+  private def docembQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val tov = drawEmbOverride(rnd)
+    val shape = rnd.nextInt(3)
+    val leftJoin = shape == 2 || rnd.nextBoolean()
+    val kw = if (leftJoin) "LEFT JOIN" else "JOIN"
+    val docPred =
+      if (rnd.nextBoolean()) Some(genPred(rnd, catalog("documents"), version))
+      else None
+    val embPred =
+      if (!leftJoin && rnd.nextBoolean())
+        Some(genPred(rnd, catalog("emb"), version))
+      else None
+    val preds = docPred.toSeq ++ embPred.toSeq
+    def tailSql(frag: String): String = {
+      val sb = new StringBuilder(s" FROM documents $kw $frag ON (doc_id = vec_id)")
+      if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+      sb.result()
+    }
+    def joined(s: SparkSession, d: String): DataFrame = {
+      var j = loadFuzzTable(s, d, "documents").join(tov.load(s, d),
+        col("doc_id") === col("vec_id"), if (leftJoin) "left" else "inner")
+      preds.foreach(p => j = j.where(p.col))
+      j
+    }
+    def emit(items: Seq[Item], groupBy: Option[String], tag: String): GenQuery = {
+      def sqlFor(frag: String): String = {
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        sb ++= tailSql(frag)
+        groupBy.foreach(g => sb ++= s" GROUP BY $g")
+        sb ++= " ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+        sb.result()
+      }
+      val build = (s: SparkSession, d: String) => {
+        val base = joined(s, d)
+        val out = groupBy match {
+          case Some(g) =>
+            base.groupBy(col(g))
+              .agg(items(1).col.as(items(1).alias),
+                items.drop(2).map(i => i.col.as(i.alias)): _*)
+              .select(col(g).as("k0") +: items.drop(1).map(i => col(i.alias)): _*)
+          case None =>
+            base.select(items.map(i => i.col.as(i.alias)): _*)
+        }
+        out.orderBy(col("k0").asc_nulls_first).limit(1000)
+      }
+      GenQuery(seed, sqlFor(tov.fromDuck), build,
+        sparkSqlOpt = Some(sqlFor(tov.fromSpark)),
+        mode = s"docemb:$tag:${if (leftJoin) "left" else "inner"}")
+    }
+
+    shape match {
+      case 0 => // doc_id-keyed projection across the edge
+        val dim = Seq("lang", "source")(rnd.nextInt(2))
+        val eCol = Seq("e_a", "e_s", "e_q", "e_np")(rnd.nextInt(4))
+        val items = Seq(
+          Item("k0", "doc_id", col("doc_id")),
+          Item("c0", dim, col(dim)),
+          Item("c1", eCol, col(eCol)),
+          Item("c2", "e_np", col("e_np")))
+        emit(items, None, "proj")
+
+      case 1 => // grouped with the count(*) vs count(e_a) contrast
+        val g = Seq("lang", "source", "label")(rnd.nextInt(3))
+        val items = Seq(
+          Item("k0", g, col(g)),
+          Item("n", "count(*)", count(lit(1))),
+          Item("nn", "count(e_a)", count(col("e_a"))),
+          Item("s0", "CAST(sum(n_chars) AS BIGINT)", sum(col("n_chars"))),
+          Item("s1", "CAST(sum(e_s) AS BIGINT)", sum(col("e_s"))))
+        emit(items, Some(g), "group")
+
+      case _ => // forced-LEFT coverage probe of the partial edge
+        val g = Seq("lang", "source")(rnd.nextInt(2))
+        val items = Seq(
+          Item("k0", g, col(g)),
+          Item("n", "count(*)", count(lit(1))),
+          Item("m", "count(vec_id)", count(col("vec_id"))),
+          Item("u", "CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)",
+            sum(when(col("vec_id").isNull, 1).otherwise(0))))
+        emit(items, Some(g), "coverage")
+    }
+  }
+
+  /** v31 dedicated mode: DECIMAL at the TYPED BOUNDARIES — v27 only
+    * aggregates/projects decimal values; its r13 trailing-zero rendering
+    * bug proved typed-boundary surfaces are where engines diverge, so
+    * this mode pushes DECIMAL into the three surfaces v27 never draws:
+    * GROUP BY keys, JOIN keys, and comparison predicates. Same typed
+    * derived view as v27 (every double column CAST to its [[decSpec]]
+    * target inside the FROM fragments, ONE shared SQL text), same
+    * rendered-surface rule (no declared output column is DECIMAL-typed —
+    * keys and aggregates surface as scale-preserving strings; all
+    * rendered scales here are ≤ 6, so Java BigDecimal never goes
+    * scientific). Three sub-shapes:
+    *   0 decimal GROUP BY key: group on a DECIMAL(p,s) column — decimal
+    *     DISTINCT-equality in the hash aggregate — key rendered STRING,
+    *     with count(*) and a pinned-scale sum;
+    *   1 decimal JOIN keys: both sides of every FK→PK edge CAST to
+    *     DECIMAL(18, s) with s drawn INDEPENDENTLY per side from
+    *     {0, 2, 4} — cross-scale decimal equality exercises each
+    *     engine's comparison coercion on values that are exact integers
+    *     underneath (widening only, never rounds);
+    *   2 decimal comparison predicates: WHERE over the decimal view with
+    *     literals generated AT THE COLUMN'S decSpec SCALE
+    *     (BigDecimal.setScale of the corpus pool value — plain decimal
+    *     literals parse as DECIMAL in both dialects, so the comparison
+    *     is decimal-vs-decimal and exact by construction, closing the
+    *     ADVICE-r13 double-literal coercion fragility), plus
+    *     column-vs-column compares across scales and scale-pinned
+    *     IN-lists / BETWEEN.
+    */
+  private def decimalBoundaryQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = (chains :+ eventsChain)
+      .filter(c => c.tables.flatMap(catalog).exists(cc => decSpec.contains(cc.name)))
+    val joinPool = pool.filter(_.joins.nonEmpty)
+    val shape = rnd.nextInt(3)
+    val chain =
+      if (shape == 1) joinPool(rnd.nextInt(joinPool.length))
+      else pool(rnd.nextInt(pool.length))
+    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val cols = chain.tables.flatMap(catalog)
+    val decCols = cols.filter(c => decSpec.contains(c.name))
+    val groupables = cols.filter(_.groupable)
+    val uk = headOrderCols(chain.tables.head)
+
+    // Scale-pinned decimal literal from the column's corpus pool: the dLit
+    // text re-scaled to the column's decSpec scale. Plain decimal literals
+    // are DECIMAL-typed in BOTH dialects; lit(BigDecimal) carries the same
+    // (precision, scale) on the DF side.
+    def decLit(c: FCol): (String, Column) = {
+      val s = decSpec(c.name)._2
+      val l = c.lits(rnd.nextInt(c.lits.length))
+      val bd = new java.math.BigDecimal(l.sql).setScale(s)
+      (bd.toPlainString, lit(bd))
+    }
+    def decPred(): P = {
+      val c = decCols(rnd.nextInt(decCols.length))
+      rnd.nextInt(6) match {
+        case 0 if decCols.length > 1 => // column vs column, possibly cross-scale
+          val others = decCols.filterNot(_.name == c.name)
+          val o = others(rnd.nextInt(others.length))
+          val op = Seq("<", "<=", ">", ">=")(rnd.nextInt(4))
+          val cc = op match {
+            case "<"  => col(c.name) < col(o.name)
+            case "<=" => col(c.name) <= col(o.name)
+            case ">"  => col(c.name) > col(o.name)
+            case _    => col(c.name) >= col(o.name)
+          }
+          P(s"${c.name} $op ${o.name}", cc)
+        case 1 => // IN-list at pinned scale
+          val k = 2 + rnd.nextInt(2)
+          val picked = rnd.shuffle(c.lits.toVector).take(k).map { l =>
+            val bd = new java.math.BigDecimal(l.sql)
+              .setScale(decSpec(c.name)._2)
+            (bd.toPlainString, lit(bd))
+          }
+          P(s"${c.name} IN (${picked.map(_._1).mkString(", ")})",
+            col(c.name).isin(picked.map(_._2): _*))
+        case 2 => // BETWEEN at pinned scale (lits are declared value-ordered)
+          val s = decSpec(c.name)._2
+          val i = rnd.nextInt(c.lits.length - 1)
+          val j = i + 1 + rnd.nextInt(c.lits.length - i - 1)
+          val lo = new java.math.BigDecimal(c.lits(i).sql).setScale(s)
+          val hi = new java.math.BigDecimal(c.lits(j).sql).setScale(s)
+          P(s"${c.name} BETWEEN ${lo.toPlainString} AND ${hi.toPlainString}",
+            col(c.name).between(lit(lo), lit(hi)))
+        case _ => // comparison against a scale-pinned literal
+          val (lSql, lCol) = decLit(c)
+          val op = Seq("<", "<=", ">", ">=")(rnd.nextInt(4))
+          val cc = op match {
+            case "<"  => col(c.name) < lCol
+            case "<=" => col(c.name) <= lCol
+            case ">"  => col(c.name) > lCol
+            case _    => col(c.name) >= lCol
+          }
+          P(s"${c.name} $op $lSql", cc)
+      }
+    }
+
+    // Per-table derived decimal JOIN keys (shape 1): column names are
+    // globally unique in the corpus, so the owning table is the one whose
+    // catalog carries the column.
+    val dkScales: Map[String, Int] =
+      if (shape != 1) Map.empty
+      else chain.joins.flatMap { case (lk, rk) =>
+        Seq(lk -> Seq(0, 2, 4)(rnd.nextInt(3)), rk -> Seq(0, 2, 4)(rnd.nextInt(3)))
+      }.toMap
+    def frag(t: String): String = {
+      val colSqls = catalog(t).map { c =>
+        decSpec.get(c.name) match {
+          case Some((p, s)) => s"CAST(${c.name} AS DECIMAL($p, $s)) AS ${c.name}"
+          case None         => c.name
+        }
+      }
+      val dkSqls = catalog(t).collect {
+        case c if dkScales.contains(c.name) =>
+          s"CAST(${c.name} AS DECIMAL(18, ${dkScales(c.name)})) AS ${c.name}_dk"
+      }
+      s"(SELECT ${(colSqls ++ dkSqls).mkString(", ")} FROM $t) $t"
+    }
+    def loadDec(s: SparkSession, d: String, t: String): DataFrame = {
+      val base = catalog(t).map { c =>
+        decSpec.get(c.name) match {
+          case Some((p, s2)) => col(c.name).cast(s"decimal($p, $s2)").as(c.name)
+          case None          => col(c.name)
+        }
+      }
+      val dks = catalog(t).collect {
+        case c if dkScales.contains(c.name) =>
+          col(c.name).cast(s"decimal(18, ${dkScales(c.name)})").as(s"${c.name}_dk")
+      }
+      loadFuzzTable(s, d, t).select(base ++ dks: _*)
+    }
+    val preds = shape match {
+      case 2 => Vector.fill(1 + rnd.nextInt(2))(decPred())
+      case _ => Vector.fill(rnd.nextInt(2))(decPred())
+    }
+    def joinTail(sb: StringBuilder): Unit = {
+      sb ++= s" FROM ${frag(chain.tables.head)}"
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        val kw = if (joinKinds(i) == "LEFT") "LEFT JOIN" else "JOIN"
+        val on =
+          if (shape == 1) s"(${lk}_dk = ${rk}_dk)" else s"($lk = $rk)"
+        sb ++= s" $kw ${frag(chain.tables(i + 1))} ON $on"
+      }
+      if (preds.nonEmpty) sb ++= " WHERE " + preds.map(_.sql).mkString(" AND ")
+    }
+    def joined(s: SparkSession, d: String): DataFrame = {
+      val dfs = chain.tables.map(tb => loadDec(s, d, tb))
+      var j = dfs.head
+      chain.joins.zipWithIndex.foreach { case ((lk, rk), i) =>
+        val cond =
+          if (shape == 1) col(s"${lk}_dk") === col(s"${rk}_dk")
+          else col(lk) === col(rk)
+        j = j.join(dfs(i + 1), cond,
+          if (joinKinds(i) == "LEFT") "left" else "inner")
+      }
+      preds.foreach(p => j = j.where(p.col))
+      j
+    }
+
+    shape match {
+      case 0 => // DECIMAL GROUP BY key, rendered as a scale-preserving string
+        val k = decCols(rnd.nextInt(decCols.length))
+        val d2 = decCols(rnd.nextInt(decCols.length))
+        val s2 = decSpec(d2.name)._2
+        val items = Seq(
+          Item("k0", s"CAST(${k.name} AS STRING)", col(k.name).cast("string")),
+          Item("n", "count(*)", count(lit(1))),
+          Item("s0", s"CAST(CAST(sum(${d2.name}) AS DECIMAL(38, $s2)) AS STRING)",
+            sum(col(d2.name)).cast(s"decimal(38, $s2)").cast("string")))
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        joinTail(sb)
+        sb ++= s" GROUP BY ${k.name} ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+        val build = (s: SparkSession, d: String) =>
+          joined(s, d)
+            .groupBy(col(k.name))
+            .agg(items(1).col.as("n"), items(2).col.as("s0"))
+            .select(col(k.name).cast("string").as("k0"), col("n"), col("s0"))
+            .orderBy(col("k0").asc_nulls_first)
+            .limit(1000)
+        GenQuery(seed, sb.result(), build,
+          mode = s"decb:group:${chain.tables.head}")
+
+      case 1 => // DECIMAL JOIN keys (per-side independent scales)
+        val g = groupables(rnd.nextInt(groupables.length))
+        val ic = cols.filter(_.kind == 'i')
+        val sc = ic(rnd.nextInt(ic.length))
+        val dm = decCols(rnd.nextInt(decCols.length))
+        val items = Seq(
+          Item("k0", g.name, col(g.name)),
+          Item("n", "count(*)", count(lit(1))),
+          Item("s0", s"CAST(sum(${sc.name}) AS BIGINT)", sum(col(sc.name))),
+          Item("m0", s"CAST(min(${dm.name}) AS STRING)",
+            min(col(dm.name)).cast("string")))
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        joinTail(sb)
+        sb ++= s" GROUP BY ${g.name} ORDER BY k0 ASC NULLS FIRST"
+        val build = (s: SparkSession, d: String) =>
+          joined(s, d)
+            .groupBy(col(g.name))
+            .agg(items(1).col.as("n"), items(2).col.as("s0"),
+              items(3).col.as("m0"))
+            .select(col(g.name).as("k0"), col("n"), col("s0"), col("m0"))
+            .orderBy(col("k0").asc_nulls_first)
+        GenQuery(seed, sb.result(), build,
+          mode = s"decb:joinkey:${chain.tables.head}")
+
+      case _ => // DECIMAL comparison predicates over the typed view
+        val proj = rnd.shuffle(decCols.toVector).take(1 + rnd.nextInt(2))
+        val keyItems = uk.zipWithIndex.map { case (kc, i) =>
+          Item(s"k$i", kc, col(kc))
+        }
+        val valItems = proj.zipWithIndex.map { case (c, i) =>
+          Item(s"c$i", s"CAST(${c.name} AS STRING)", col(c.name).cast("string"))
+        }
+        val all = keyItems ++ valItems
+        val sb = new StringBuilder("SELECT ")
+        sb ++= all.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        joinTail(sb)
+        sb ++= " ORDER BY " + all.map(i => s"${i.alias} ASC NULLS FIRST").mkString(", ")
+        sb ++= " LIMIT 1000"
+        val build = (s: SparkSession, d: String) =>
+          joined(s, d)
+            .select(all.map(i => i.col.as(i.alias)): _*)
+            .orderBy(all.map(i => col(i.alias).asc_nulls_first): _*)
+            .limit(1000)
+        GenQuery(seed, sb.result(), build,
+          mode = s"decb:pred:${chain.tables.head}")
     }
   }
 

@@ -583,35 +583,49 @@ object FuzzQueries {
   // column to its fixed DECIMAL(p,s) target inside the FROM fragments;
   // all aggregate/arithmetic outputs are CAST to explicit DECIMAL(38,s)
   // because the engines' decimal result-TYPE rules differ while the
-  // values are exact integers underneath). Whole 19001-19200 range
-  // verified against DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200 pass at
-  // each, r13, zero divergence first sweep — including the tie-rounding
-  // shape: both engines round DECIMAL half AWAY FROM ZERO); picks
-  // non-empty at sf0.001 and sf0.01, all genuine v27 draws, seed range
-  // 19001+ disjoint from every older slice by construction. Grouped
-  // decimal aggregation (sum/min/max/count over the typed view): customer
-  // (19001), lineitem⋈orders (19002), LEFT 3-chain (19030, 19083), events
-  // value@(12,4) (19043), supplier⋈nation (19070), lineitem⋈part at 50
-  // groups (19081), orders⋈customer⋈nation (19133). Arithmetic
-  // projections with pinned result scales (a*b at sa+sb, a±b at max,
-  // a*(1-d)): the cross-table o_totalprice*(1-l_discount) (19011), LEFT
-  // (19022, 19200), the canonical l_extendedprice*(1-l_discount) revenue
-  // expression (19028), events value*(1-value) (19072), group-growing
-  // customer⋈nation (19104), o_totalprice*(1-c_acctbal) across the join
-  // (19122). Sum-of-products at DECIMAL(38,6) — the TPC-H revenue shape
-  // on exact money: events (19013), 3-chain (19016), l_extendedprice*
-  // (1-l_tax) (19024), part (19040), LEFT supplier 3-chain growing 1→3
-  // groups (19100), LEFT orders⋈customer (19119), cross p_retailprice*
-  // (1-l_discount) (19195). Decimal scalar functions incl. round(x, s-1)
-  // over REAL half-way ties: the negative-value c_acctbal@1 ties — away
-  // from zero both directions (19003), l_extendedprice@1 at 1000-row
-  // projection scale (19015), value@3 over events (19034),
-  // integral l_quantity@1 (19093), LEFT 3-chain (19112), l_discount@3
-  // under LEFT (19144). Rendered with query(seed, 27).
+  // values are exact integers underneath). REFROZEN r14: the r13 slice
+  // declared raw DECIMAL output columns and 27/28 seeds failed the
+  // driver's typed hasher, which renders trailing-zero decimals
+  // (`134821.00`) through a shortest-repr float path on one side and a
+  // scale-preserving path on the other — values were engine-identical
+  // (r13 verdict #1, same hasher-rendering class as r12's tpch_q12
+  // HUGEINT). The generator now wraps every decimal-typed output item in
+  // CAST(… AS STRING) — both engines render DECIMAL→VARCHAR scale-
+  // preserving, exact by construction, no float anywhere — with the
+  // rendered scale capped at 6 (Java BigDecimal goes scientific, "0E-8",
+  // below 1e-6 at scale>6 where DuckDB stays plain; the cap recast never
+  // rounds because decSpec columns carry ≤2 corpus decimals), and WHERE
+  // predicates draw from non-decimal columns only (ADVICE r13: double
+  // literals vs DECIMAL-cast columns relied on identical coercion).
+  // Whole 19001-19200 range re-verified against DuckDB at sf0.001,
+  // sf0.01 AND sf0.1 (200/200 pass at each, r14, zero divergence);
+  // picks non-empty at sf0.001 and sf0.01, all genuine v27 draws, seed
+  // range 19001+ disjoint from every older slice by construction.
+  // Grouped decimal aggregation (sum/min/max/count over the typed view):
+  // lineitem⋈orders grouped by priority (19002) and status (19024),
+  // customer 3-chain to region (19030) / by nation (19083), events
+  // value@(12,4) (19043), part by size at 50 groups (19057), supplier
+  // 1→5 groups (19070), orders⋈customer (19122), orders 3-chain by
+  // n_name (19133). Arithmetic projections with pinned result scales
+  // (a*b at sa+sb, a±b at max, a*(1-d)): cross-table o_totalprice*
+  // l_quantity (19011), o_totalprice*l_extendedprice (19022), the
+  // square l_extendedprice² (19028), events value² at scale 8 — the
+  // rendered-scale cap path (19072), orders⋈customer c_acctbal² (19200).
+  // Sum-of-products (the TPC-H revenue shape on exact money): part
+  // p_retailprice*(1-p_retailprice) (19005), events value*(1-value) at
+  // inner scale 8 — cap path (19013), orders⋈customer⋈nation (19016),
+  // customer⋈nation (19036), o_totalprice self-product (19119), cross
+  // p_retailprice*(1-l_discount) at (38,6) (19195). Decimal scalar
+  // functions incl. round(x, s-1) over REAL half-way ties: the
+  // negative-value c_acctbal@1 ties — away from zero both directions
+  // (19003, 19104), l_extendedprice@1 at 1000-row projection scale
+  // (19015), value@3 over events (19034), p_retailprice@1 (19040),
+  // integral l_quantity@1 (19093, 19112), l_discount@3 (19144).
+  // Rendered with query(seed, 27).
   val declaredSeedsV27: Seq[Int] =
-    Seq(19001, 19002, 19003, 19011, 19013, 19015, 19016, 19022, 19024,
-      19028, 19030, 19034, 19040, 19043, 19070, 19072, 19081, 19083,
-      19093, 19100, 19104, 19112, 19119, 19122, 19133, 19144, 19195,
+    Seq(19002, 19003, 19005, 19011, 19013, 19015, 19016, 19022, 19024,
+      19028, 19030, 19034, 19036, 19040, 19043, 19057, 19070, 19072,
+      19083, 19093, 19104, 19112, 19119, 19122, 19133, 19144, 19195,
       19200)
 
   // Grammar-v28 slice (NULL semantics in SET OPERATIONS — the one
@@ -728,6 +742,51 @@ object FuzzQueries {
       22085, 22097, 22098, 22103, 22107, 22108, 22127, 22142, 22159,
       22170)
 
+  // Grammar-v31 slice (DECIMAL at the TYPED BOUNDARIES — v27 only
+  // aggregates/projects decimal values, and its r13 trailing-zero
+  // rendering bug proved typed boundaries are where engines diverge, so
+  // v31 pushes DECIMAL into the three surfaces v27 never draws: GROUP BY
+  // keys, JOIN keys, and comparison predicates. Same typed derived view
+  // and same rendered-surface rule as the refrozen v27: no declared
+  // output column is DECIMAL-typed — keys/aggregates surface as
+  // scale-preserving strings. Predicate literals are generated AT THE
+  // COLUMN'S decSpec SCALE (plain decimal literals parse as DECIMAL in
+  // both dialects), closing ADVICE r13's double-literal coercion
+  // fragility by construction). Whole 23001-23200 range verified against
+  // DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200 pass at each, r14, zero
+  // divergence first sweep); picks non-empty at sf0.001 and sf0.01, all
+  // genuine v31 draws, seed range 23001+ disjoint from every older slice
+  // by construction. Decimal GROUP BY keys — decimal distinct-equality
+  // in the hash aggregate, key rendered STRING: l_tax@(8,4) 9 groups
+  // (23004), LEFT orders⋈customer on c_acctbal (23008), p_retailprice
+  // 200→1000 (23012), l_quantity with cross-table sum(o_totalprice)
+  // (23033), o_totalprice at full projection scale (23071), col-vs-col
+  // predicate feeding the group (23075), LEFT 3-chain col-vs-col on
+  // l_extendedprice (23095), events value@(12,4) (23122), BETWEEN-
+  // filtered c_acctbal 22→149 (23123), BETWEEN supplier growing 1→13
+  // groups (23147). Decimal JOIN keys — every FK→PK edge CAST to
+  // DECIMAL(18,s) with s drawn independently per side from {0,2,4}, so
+  // cross-scale decimal equality exercises comparison coercion: same-
+  // scale (4,4) (23003), orders 3-chain at scales 0/2/2/2 (23007),
+  // supplier 3-chain 0/2/2/4 growing 1→20 (23011), cross-scale 4/0
+  // (23014), LEFT customer 3-chain all-2s (23022), lineitem 3-chain
+  // 4/0/4/0 (23023), BETWEEN + scale-2 edge (23041), scale-0/0 — the
+  // integer-rendered decimal key (23062), IN-list + LEFT + 0/4 edge
+  // (23121), LEFT lineitem⋈part at 0/0 (23190). Decimal comparison
+  // predicates at pinned scale: supplier >= literal (23001), two decimal
+  // projections under one pred (23009), BETWEEN across the
+  // orders⋈customer join (23021), BETWEEN + LEFT customer⋈nation
+  // (23034), BETWEEN narrowing 38→612 (23048), events value 1→23 —
+  // maximal selectivity pressure (23080), column-vs-column
+  // o_totalprice vs c_acctbal cross-scale compare (23113), BETWEEN on
+  // lineitem with two rendered decimals (23136), LEFT 3-chain
+  // c_acctbal pred at 83→754 (23152). Rendered with query(seed, 31).
+  val declaredSeedsV31: Seq[Int] =
+    Seq(23001, 23003, 23004, 23007, 23008, 23009, 23011, 23012, 23014,
+      23021, 23022, 23023, 23033, 23034, 23041, 23048, 23062, 23071,
+      23075, 23080, 23095, 23113, 23121, 23122, 23123, 23136, 23147,
+      23152, 23190)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -758,7 +817,8 @@ object FuzzQueries {
       declaredSeedsV27.map(s => s -> FuzzGen.query(s, 27)) ++
       declaredSeedsV28.map(s => s -> FuzzGen.query(s, 28)) ++
       declaredSeedsV29.map(s => s -> FuzzGen.query(s, 29)) ++
-      declaredSeedsV30.map(s => s -> FuzzGen.query(s, 30))).map { case (seed, g) =>
+      declaredSeedsV30.map(s => s -> FuzzGen.query(s, 30)) ++
+      declaredSeedsV31.map(s => s -> FuzzGen.query(s, 31))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

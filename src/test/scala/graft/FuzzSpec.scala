@@ -791,6 +791,13 @@ class FuzzSpec extends AnyFunSuite {
         // the typed-view signature: the FROM fragment casts to DECIMAL
         assert(q.sql.contains("AS DECIMAL("),
           s"v27 seed $seed: expected DECIMAL casts in: ${q.sql}")
+        // r13 verdict #1: the RENDERED surface must never be DECIMAL-typed
+        // — the driver's hasher renders trailing-zero decimals
+        // asymmetrically. The DECIMAL exactness under test lives inside;
+        // outputs are scale-preserving strings.
+        assert(!q.build(spark, TestSpark.sf0001).schema
+            .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]),
+          s"v27 seed $seed: DECIMAL-typed output column in: ${q.sql}")
         q.mode.split(":")(1) match {
           case "agg"     => agg += 1
           case "arith"   => arith += 1
@@ -903,6 +910,75 @@ class FuzzSpec extends AnyFunSuite {
     assert(caseagg >= 18, s"case-classifier shape under-drawn: $caseagg")
   }
 
+  test("grammar v31 (DECIMAL at the typed boundaries: GROUP BY keys, JOIN keys, scale-pinned predicates): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var group = 0; var joinkey = 0; var pred = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 31)
+      if (q.mode.startsWith("decb")) {
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v31 seed $seed: decimal-boundary query should carry one SQL text")
+        assert(q.sql.contains("AS DECIMAL("),
+          s"v31 seed $seed: expected DECIMAL casts in: ${q.sql}")
+        // same surface rule as v27 (r13 verdict #1): rendered columns are
+        // never DECIMAL-typed
+        assert(!q.build(spark, TestSpark.sf0001).schema
+            .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]),
+          s"v31 seed $seed: DECIMAL-typed output column in: ${q.sql}")
+        q.mode.split(":")(1) match {
+          case "group"   => group += 1
+          case "joinkey" => joinkey += 1
+          case "pred"    => pred += 1
+          case other => fail(s"v31 seed $seed: unknown decb shape $other")
+        }
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v31 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v31 seeds matched; $group group, $joinkey joinkey, $pred pred")
+    assert(group >= 15, s"decimal-group-key shape under-drawn: $group")
+    assert(joinkey >= 15, s"decimal-join-key shape under-drawn: $joinkey")
+    assert(pred >= 15, s"decimal-predicate shape under-drawn: $pred")
+  }
+
+  test("grammar v32 (documents ⋈ embeddings partial edge: projection, grouped contrast, coverage probe): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var proj = 0; var group = 0; var coverage = 0; var left = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 32)
+      if (q.mode.startsWith("docemb")) {
+        // the emb fragment is dual-dialect (array syntax differs), so a
+        // distinct spark.sql rendering must exist
+        assert(q.sparkSqlOpt.isDefined,
+          s"v32 seed $seed: docemb query should carry a Spark-dialect SQL")
+        assert(q.sql.contains("doc_id = vec_id"),
+          s"v32 seed $seed: expected the corpus edge in: ${q.sql}")
+        if (q.mode.endsWith(":left")) left += 1
+        q.mode.split(":")(1) match {
+          case "proj"     => proj += 1
+          case "group"    => group += 1
+          case "coverage" => coverage += 1
+          case other => fail(s"v32 seed $seed: unknown docemb shape $other")
+        }
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v32 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v32 seeds matched; $proj proj, $group group, $coverage coverage ($left LEFT)")
+    assert(proj >= 15, s"projection shape under-drawn: $proj")
+    assert(group >= 15, s"grouped-contrast shape under-drawn: $group")
+    assert(coverage >= 15, s"coverage-probe shape under-drawn: $coverage")
+    assert(left >= 25, s"LEFT form under-drawn: $left")
+  }
+
   test("corpus preconditions the generators assume: 64-wide NULL-free embeddings, NULL-free join-edge keys") {
     views
     import org.apache.spark.sql.functions._
@@ -928,6 +1004,42 @@ class FuzzSpec extends AnyFunSuite {
         assert(fNulls == 0 && dNulls == 0,
           s"edge $factT.$fk -> $dimT.$pk carries NULL keys ($fNulls/$dNulls) — " +
             "fullOuterQuery's source-tag derivation would misclassify")
+    }
+    // Every catalog string-literal pool must stay quote-and-backslash free:
+    // strScalarQuery's raw() splices the unquoted text UNESCAPED into
+    // single-quoted shared SQL. raw() itself requires this at draw time,
+    // but that only fires when a sweep happens to draw the bad literal —
+    // assert the whole pool statically here instead (ADVICE r13).
+    FuzzGen.catalog.foreach { case (t, fcols) =>
+      fcols.filter(_.kind == 's').foreach { c =>
+        c.lits.foreach { l =>
+          val r = l.sql.substring(1, l.sql.length - 1)
+          assert(!r.contains('\'') && !r.contains('\\'),
+            s"$t.${c.name} sLit ${l.sql} carries a quote/backslash — " +
+              "raw()'s unescaped splice into shared SQL would break")
+        }
+      }
+    }
+    // v27/v31 decimal modes render their outputs as scale-≤6 strings and
+    // rely on every decSpec column carrying ≤2 corpus decimals (so any
+    // product of two carries ≤4 and the rendered-scale cap never rounds).
+    // DECIMAL(38,6) vs DECIMAL(38,2) casts compare numerically: unequal
+    // means a value with >2 decimals exists.
+    val decTable = Map(
+      "c_acctbal" -> "customer", "s_acctbal" -> "supplier",
+      "p_retailprice" -> "part", "o_totalprice" -> "orders",
+      "l_quantity" -> "lineitem", "l_extendedprice" -> "lineitem",
+      "l_discount" -> "lineitem", "l_tax" -> "lineitem",
+      "value" -> "events")
+    assert(FuzzGen.decSpec.keySet == decTable.keySet,
+      s"decSpec drifted from the precondition's column set: ${FuzzGen.decSpec.keySet}")
+    decTable.foreach { case (c, t) =>
+      val n = spark.table(t)
+        .where(col(c).cast("decimal(38,6)") =!= col(c).cast("decimal(38,2)"))
+        .count()
+      assert(n == 0L,
+        s"$t.$c carries $n values with >2 decimals — v27/v31's rendered-" +
+          "scale cap (and double-literal exactness) would round")
     }
   }
 
@@ -1473,34 +1585,34 @@ class FuzzSpec extends AnyFunSuite {
     "fz18162" -> "03bfd9a9",
     "fz18192" -> "c7d27e50",
     "fz18196" -> "10019c41",
-    "fz19001" -> "ca84ae79",
-    "fz19002" -> "191c9bdd",
-    "fz19003" -> "c9c62d93",
-    "fz19011" -> "52fd9b7a",
-    "fz19013" -> "f2ca2a32",
-    "fz19015" -> "6b49a2a8",
-    "fz19016" -> "ec6da7b3",
-    "fz19022" -> "1185a3a7",
-    "fz19024" -> "a089c8da",
-    "fz19028" -> "1f3aafa9",
-    "fz19030" -> "17a81278",
-    "fz19034" -> "e1df59d3",
-    "fz19040" -> "034445d0",
-    "fz19043" -> "e85b2d47",
-    "fz19070" -> "923a7b3a",
-    "fz19072" -> "70422d95",
-    "fz19081" -> "82c5dc6e",
-    "fz19083" -> "fc227e17",
-    "fz19093" -> "160d9fa4",
-    "fz19100" -> "3032184c",
-    "fz19104" -> "c7187e3e",
-    "fz19112" -> "c17d74d4",
-    "fz19119" -> "61efa7a5",
-    "fz19122" -> "72430318",
-    "fz19133" -> "0e776d2d",
-    "fz19144" -> "448f0237",
-    "fz19195" -> "e6ede99c",
-    "fz19200" -> "2e90bc6a",
+    "fz19002" -> "511f72ac",
+    "fz19003" -> "68f27959",
+    "fz19005" -> "9a9fb10c",
+    "fz19011" -> "0d145da6",
+    "fz19013" -> "d347c078",
+    "fz19015" -> "8594d1cc",
+    "fz19016" -> "59c50b95",
+    "fz19022" -> "0bd56fcf",
+    "fz19024" -> "a69ce31f",
+    "fz19028" -> "edaf390e",
+    "fz19030" -> "47e7a9f5",
+    "fz19034" -> "e2fb054d",
+    "fz19036" -> "3aa09448",
+    "fz19040" -> "6d616413",
+    "fz19043" -> "f9a6b879",
+    "fz19057" -> "337dca7a",
+    "fz19070" -> "e0cc501d",
+    "fz19072" -> "bb0539be",
+    "fz19083" -> "3a761d23",
+    "fz19093" -> "0bbaa38e",
+    "fz19104" -> "1436e366",
+    "fz19112" -> "bb724aa1",
+    "fz19119" -> "6a33f247",
+    "fz19122" -> "939fdba7",
+    "fz19133" -> "01a74835",
+    "fz19144" -> "2a813d35",
+    "fz19195" -> "455f3212",
+    "fz19200" -> "5d1ce36f",
     "fz20002" -> "3c118887",
     "fz20004" -> "3da770ae",
     "fz20005" -> "e25fb896",
@@ -1586,7 +1698,36 @@ class FuzzSpec extends AnyFunSuite {
     "fz22127" -> "e849bb51",
     "fz22142" -> "fb7b3999",
     "fz22159" -> "15a061ae",
-    "fz22170" -> "25b0168e")
+    "fz22170" -> "25b0168e",
+    "fz23001" -> "568c5efa",
+    "fz23003" -> "dbbca52b",
+    "fz23004" -> "1d9c35ae",
+    "fz23007" -> "a1da1c4c",
+    "fz23008" -> "11fa6730",
+    "fz23009" -> "a0f0abb9",
+    "fz23011" -> "38841ced",
+    "fz23012" -> "75636b8c",
+    "fz23014" -> "de305d9c",
+    "fz23021" -> "918b2755",
+    "fz23022" -> "1a561992",
+    "fz23023" -> "9d4b4d0a",
+    "fz23033" -> "c76eebda",
+    "fz23034" -> "84bd4f80",
+    "fz23041" -> "07c56f7f",
+    "fz23048" -> "c97abf45",
+    "fz23062" -> "0bb3ede9",
+    "fz23071" -> "2c676c19",
+    "fz23075" -> "eb4910b1",
+    "fz23080" -> "17b8210c",
+    "fz23095" -> "1fe602da",
+    "fz23113" -> "ce14305b",
+    "fz23121" -> "c60d6116",
+    "fz23122" -> "1faed1d1",
+    "fz23123" -> "5f49d627",
+    "fz23136" -> "bf258bdb",
+    "fz23147" -> "3f36a1f9",
+    "fz23152" -> "3d670c4a",
+    "fz23190" -> "f23434e6")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>

@@ -92,4 +92,27 @@ class QueryCatalogSpec extends AnyFunSuite {
         s"them HUGEINT, Spark BIGINT/DECIMAL — driver hash diverges):\n" +
         bad.mkString("\n"))
   }
+
+  /** Decimal-surface lint (r13 v27 bug class, the rendering layer below
+    * r12's type-parity): the driver's typed hasher renders trailing-zero
+    * DECIMAL cells through a shortest-repr float path on one side and a
+    * scale-preserving path on the other, so a DECIMAL-typed result column
+    * hash-diverges on the first `x.00`/`x.50` value even when every value
+    * and dtype is engine-identical (27/28 frozen v27 seeds, r13). Rule: no
+    * declared query's RESULT schema may contain DecimalType — decimal
+    * arithmetic is fine inside a plan, but the rendered surface must be
+    * DOUBLE, STRING, or integral.
+    */
+  test("no declared query renders a DECIMAL-typed result column (driver hasher guard)") {
+    import org.apache.spark.sql.types.DecimalType
+    val bad = QueryCatalog.all.flatMap { q =>
+      q.build(spark, TestSpark.sf0001).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] =>
+          s"${q.name}.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(bad.isEmpty,
+      "DECIMAL-typed result columns (driver hash diverges on trailing-zero " +
+        "rendering — cast the surface to DOUBLE/STRING):\n" + bad.mkString("\n"))
+  }
 }

@@ -46,9 +46,11 @@ def types_compatible(spark_t, duck_t):
     lands in the same int bucket (Spark rank() is INT32, DuckDB's BIGINT —
     25 such queries hash-passed in r12), but HUGEINT (int128, DuckDB's
     sum(INTEGER) result type) overflows that bucket and renders differently
-    — that is the tpch_q12 bug class this gate exists to catch. DECIMAL is
-    bucketed by scale: precision widening renders identically, scale drift
-    does not. Everything else must match exactly.
+    — that is the tpch_q12 bug class this gate exists to catch. Everything
+    else must match exactly.
+
+    DECIMAL is handled one level up (decimal_cols): a DECIMAL result
+    column is a FAILURE on sight regardless of the other side's type.
     """
     def bucket(t):
         if t in ("TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT",
@@ -56,15 +58,30 @@ def types_compatible(spark_t, duck_t):
             return "int64"
         if t in ("FLOAT", "REAL", "DOUBLE"):
             return "float"
-        if t.startswith("DECIMAL"):
-            scale = t.rstrip(")").split(",")[-1] if "," in t else "0"
-            return f"decimal(s={scale.strip()})"
         if t in ("VARCHAR", "TEXT", "STRING"):
             return "string"
         if t.startswith("TIMESTAMP_") or t == "TIMESTAMP":
             return "timestamp"  # precision variants render alike
         return t  # HUGEINT, DATE, BOOLEAN, lists, … — exact match only
     return bucket(spark_t) == bucket(duck_t)
+
+
+def decimal_cols(types_by_col):
+    """Result columns typed DECIMAL — an automatic FAIL (r13 verdict #2).
+
+    The driver's typed hasher renders trailing-zero decimals through a
+    shortest-repr float path on one side and a scale-preserving path on the
+    other, so a DECIMAL-typed result column hash-diverges on the first
+    `x.00` value even when values and dtypes are engine-identical (27/28
+    frozen v27 seeds in r13; tpch_q12's HUGEINT in r12 was the same
+    hasher-rendering class one type over). This replica previously
+    stringified Decimals identically on both sides (Python str()), making
+    it structurally blind to that divergence — two rounds of shipped
+    regressions. Close the class: the declared surface must never be
+    DECIMAL; engines keep decimal arithmetic INSIDE the plan and render
+    the surface as DOUBLE/STRING/integral.
+    """
+    return [(c, t) for c, t in types_by_col.items() if t.startswith("DECIMAL")]
 
 
 def main(sfdir, outdir):
@@ -107,6 +124,13 @@ def main(sfdir, outdir):
                     f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").types]))
             d_rel2 = con.sql(sql)
             d_types = dict(zip(d_rel2.columns, [str(t) for t in d_rel2.types]))
+            decs = decimal_cols(s_types) + decimal_cols(d_types)
+            if decs:
+                print(f"FAIL {name}: DECIMAL-typed result columns {decs} — "
+                      "driver hasher renders trailing-zero decimals "
+                      "asymmetrically; cast the surface to DOUBLE/STRING")
+                n_fail += 1
+                continue
             drift = [(c, s_types[c], d_types[c]) for c in s_types
                      if c in d_types and not types_compatible(s_types[c], d_types[c])]
             if drift:
