@@ -787,6 +787,40 @@ object FuzzQueries {
       23075, 23080, 23095, 23113, 23121, 23122, 23123, 23136, 23147,
       23152, 23190)
 
+  // Grammar-v32 slice (the documents ⋈ embeddings corpus edge — the one
+  // table pair no other generated mode draws together: documents joins
+  // nothing by FK, embeddings only appears through v16's single-table
+  // derived view. doc_id = vec_id is 1:≤1 and PARTIAL at sf0.1 — 5000
+  // documents vs 2000 vectors — so LEFT forms carry genuine NULL-extended
+  // derived columns, a coverage edge no TPC-H FK chain exhibits. The
+  // embeddings side is the v16 dual-dialect derived-scalar fragment;
+  // everything outside stays one shared SQL text). Whole 24001-24200
+  // range verified against DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200
+  // pass at each, r14, zero divergence first sweep); picks non-empty at
+  // sf0.001 and sf0.01, all genuine v32 draws, seed range 24001+ disjoint
+  // from every older slice by construction. doc_id-keyed projections
+  // across the edge: INNER with LIKE pred (24012), IN-list narrowing to 3
+  // rows (24043), full 500-row inner (24079), BETWEEN at 52 rows (24116),
+  // IN at 152 (24168); LEFT with doc-side pred 72 rows (24001), all-500
+  // NULL-extended (24018), BETWEEN 110→109 (24036), 102→93 (24099),
+  // IN-list at 2 rows (24122), 193→201 — the sf-growing pick (24141).
+  // Grouped count(*)-vs-count(e_a) contrasts: INNER plain (24002),
+  // BETWEEN (24007), 7→8 groups (24026), LIKE (24057), IN at 2→1 groups
+  // — groups VANISH between sfs (24106), IN 13→7 (24180); LEFT plain
+  // label groups incl. the NULL-extension group (24009), pred at 2
+  // groups (24050), single-group edge (24094), BETWEEN (24104), LIKE
+  // (24118), emb-IN (24127). Forced-LEFT coverage probes — per-dim
+  // count(*) / count(vec_id) / sum(CASE WHEN vec_id IS NULL) decomposing
+  // the partial edge: plain (24003), BETWEEN at 5 sources (24014), pred
+  // narrowing to 3 rows (24032), LIKE (24068), BETWEEN at 20 langs
+  // (24081), 20→19 — a group disappears at sf0.01 (24092). Rendered with
+  // query(seed, 32).
+  val declaredSeedsV32: Seq[Int] =
+    Seq(24001, 24002, 24003, 24007, 24009, 24012, 24014, 24018, 24026,
+      24032, 24036, 24043, 24050, 24057, 24068, 24079, 24081, 24092,
+      24094, 24099, 24104, 24106, 24116, 24118, 24122, 24127, 24141,
+      24168, 24180)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -818,7 +852,8 @@ object FuzzQueries {
       declaredSeedsV28.map(s => s -> FuzzGen.query(s, 28)) ++
       declaredSeedsV29.map(s => s -> FuzzGen.query(s, 29)) ++
       declaredSeedsV30.map(s => s -> FuzzGen.query(s, 30)) ++
-      declaredSeedsV31.map(s => s -> FuzzGen.query(s, 31))).map { case (seed, g) =>
+      declaredSeedsV31.map(s => s -> FuzzGen.query(s, 31)) ++
+      declaredSeedsV32.map(s => s -> FuzzGen.query(s, 32))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

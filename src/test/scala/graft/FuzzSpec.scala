@@ -1727,7 +1727,36 @@ class FuzzSpec extends AnyFunSuite {
     "fz23136" -> "bf258bdb",
     "fz23147" -> "3f36a1f9",
     "fz23152" -> "3d670c4a",
-    "fz23190" -> "f23434e6")
+    "fz23190" -> "f23434e6",
+    "fz24001" -> "9baa5b94",
+    "fz24002" -> "54d23ef6",
+    "fz24003" -> "356636a5",
+    "fz24007" -> "f69e88b3",
+    "fz24009" -> "4c3dcdfc",
+    "fz24012" -> "f166600c",
+    "fz24014" -> "cab4617d",
+    "fz24018" -> "6f33b15c",
+    "fz24026" -> "c270333b",
+    "fz24032" -> "81b7e89e",
+    "fz24036" -> "6fbdf078",
+    "fz24043" -> "0234bf68",
+    "fz24050" -> "163d85fd",
+    "fz24057" -> "627172a8",
+    "fz24068" -> "bc174c6d",
+    "fz24079" -> "ac33bf6b",
+    "fz24081" -> "3119a134",
+    "fz24092" -> "b3359c40",
+    "fz24094" -> "4be3e25d",
+    "fz24099" -> "1b89a870",
+    "fz24104" -> "92245057",
+    "fz24106" -> "4f02d2ae",
+    "fz24116" -> "6259a300",
+    "fz24118" -> "1ec88d5a",
+    "fz24122" -> "cab18818",
+    "fz24127" -> "73957560",
+    "fz24141" -> "839e9888",
+    "fz24168" -> "ffe2b293",
+    "fz24180" -> "d7348f27")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
