@@ -42,13 +42,23 @@ object StreamFuzzGen {
 
   final case class StreamGenQuery(
       seed: Int,
-      /** tumbling | sliding | session */
+      /** tumbling | sliding | session | tws */
       shape: String,
       /** human-readable draw summary (window geometry, keys, aggs) */
       desc: String,
       /** drawn watermark delay (applied inside build) */
       delay: String,
-      build: DataFrame => DataFrame)
+      build: DataFrame => DataFrame,
+      /** v3 only: an INDEPENDENT batch reference (plain relational
+        * aggregation) for builds whose streaming operator
+        * (transformWithState) emits per-batch running state rather than a
+        * final answer — the spec reduces the stream's emissions to final
+        * state (max-n per key) and compares against THIS. Keeping the
+        * reference relational makes the differential two genuinely
+        * different code paths (StatefulProcessor vs hash aggregate), not
+        * the same operator run twice.
+        */
+      refBuild: Option[DataFrame => DataFrame] = None)
 
   /** Window sizes in minutes; the sf0.001 events span ~days, so these give
     * from a handful to hundreds of windows.
@@ -78,6 +88,61 @@ object StreamFuzzGen {
 
   def query(seed: Int): StreamGenQuery = query(seed, 1)
 
+  /** v3's seeded StatefulProcessor (ST6 surface): one class, three drawn
+    * state disciplines. Every emission carries the key's MONOTONE running
+    * row count `n`, so the spec can select the final state per key as the
+    * max-n rows no matter how the cut permutation batched the input.
+    * Output row: (k, sub, a, b, n) — sub/"b" unused lanes are pinned to
+    * ""/0 so one schema serves all modes.
+    *   mode 0 totals:   ValueState (sum of integer cents, n)
+    *   mode 1 extremes: ValueState (max cents, min cents, n)
+    *   mode 2 typemap:  MapState event_type → count, emitted as the FULL
+    *                    map snapshot each batch (per-subkey rows all carry
+    *                    the key's n, so the final snapshot is selectable)
+    */
+  private class TwsFuzzProcessor(mode: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, String, Long), (String, String, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var vs: ValueState[(Long, Long, Long)] = _
+    @transient private var ms: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      if (mode == 2)
+        ms = getHandle.getMapState[String, Long](
+          "typemap", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      else
+        vs = getHandle.getValueState[(Long, Long, Long)](
+          "acc", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[(String, String, Long)],
+        tv: TimerValues): Iterator[(String, String, Long, Long, Long)] = mode match {
+      case 0 =>
+        var (a, _, n) = if (vs.exists()) vs.get() else (0L, 0L, 0L)
+        rows.foreach { case (_, _, cents) => a += cents; n += 1 }
+        vs.update((a, 0L, n))
+        Iterator.single((key, "", a, 0L, n))
+      case 1 =>
+        var (hi, lo, n) =
+          if (vs.exists()) vs.get() else (Long.MinValue, Long.MaxValue, 0L)
+        rows.foreach { case (_, _, cents) =>
+          hi = math.max(hi, cents); lo = math.min(lo, cents); n += 1
+        }
+        vs.update((hi, lo, n))
+        Iterator.single((key, "", hi, lo, n))
+      case _ =>
+        var n = 0L
+        ms.iterator().foreach { case (_, c) => n += c }
+        rows.foreach { case (_, sub, _) =>
+          ms.updateValue(sub,
+            (if (ms.containsKey(sub)) ms.getValue(sub) else 0L) + 1L)
+          n += 1
+        }
+        val out = ms.iterator().map { case (sub, c) => (key, sub, c, 0L, n) }
+        out.toVector.sortBy(_._2).iterator
+    }
+  }
+
   /** Versioned entry point (FuzzGen's fall-through discipline): v2 draws
     * one extra up-front mode byte and may dispatch to the STREAM-STATIC
     * JOIN variant; otherwise it falls through to the v1 body with the
@@ -85,6 +150,15 @@ object StreamFuzzGen {
     */
   def query(seed: Int, version: Int): StreamGenQuery = {
     val rnd = new Random(seed)
+    if (version >= 3) {
+      // v3 mode byte: ARBITRARY STATE (transformWithState, the ST6
+      // surface — the one streaming op outside this generator's reach
+      // until r14). Versions ≤ 2 never take this draw; fall-through
+      // continues into the v2 dispatch with the advanced rnd state.
+      val m3 = rnd.nextInt(10)
+      if (m3 < 5) return twsQuery(seed, rnd)
+      // else: fall through to the v2 dispatch with the advanced rnd state
+    }
     if (version >= 2) {
       // v2 mode byte: stream ⋈ static dimension before the windowed
       // aggregation — the stateless enrichment join every real event
@@ -167,6 +241,74 @@ object StreamFuzzGen {
         s"key=seg${if (withType) "+event_type" else ""}, watermark $delay, " +
         s"aggs=[${aggs.map(_._1).mkString(",")}]",
       delay, build)
+  }
+
+  /** v3 dedicated variant: seeded transformWithState stateful processors
+    * (ST6). The stream path runs a [[TwsFuzzProcessor]] under
+    * OutputMode.Update — per-batch running-state emissions whose final
+    * per-key snapshot (max monotone n) must equal [[StreamGenQuery.refBuild]],
+    * an INDEPENDENT plain relational aggregation of the same rows. Key
+    * draw: user_id (one state row per user), a user_id%m bucket (state
+    * merge across users), or event_type (string keys). Payload is integer
+    * cents (`CAST(value*100 AS BIGINT)` — computed in the DataFrame layer
+    * shared by both paths, so per-row truncation is identical) — sums,
+    * extremes and counts over longs are exact and arrival-order-free, the
+    * same discipline as the windowed pool. Requires the RocksDB state
+    * store provider (the spec scopes it).
+    */
+  private def twsQuery(seed: Int, rnd: Random): StreamGenQuery = {
+    val keyDraw = rnd.nextInt(3)
+    val km = 2 + rnd.nextInt(5)
+    val mode = rnd.nextInt(3)
+    val modeName = Vector("totals", "extremes", "typemap")(mode)
+    val keyDesc = keyDraw match {
+      case 0 => "key=user_id"
+      case 1 => s"key=user_id%$km"
+      case _ => "key=event_type"
+    }
+    def keyed(df: DataFrame): DataFrame = {
+      val keyCol = keyDraw match {
+        case 0 => col("user_id").cast("string")
+        case 1 => pmod(col("user_id"), lit(km)).cast("string")
+        case _ => col("event_type")
+      }
+      df.select(keyCol.as("k"), col("event_type").as("sub"),
+        (col("value") * 100).cast("long").as("cents"))
+    }
+    val build = (df0: DataFrame) => {
+      val sp = df0.sparkSession
+      import sp.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      keyed(df0).as[(String, String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TwsFuzzProcessor(mode),
+          TimeMode.None(), OutputMode.Update())
+        .toDF("k", "sub", "a", "b", "n")
+    }
+    val ref = (df0: DataFrame) => {
+      val in = keyed(df0)
+      mode match {
+        case 0 =>
+          in.groupBy(col("k"))
+            .agg(sum(col("cents")).as("a"), count(lit(1)).as("n"))
+            .select(col("k"), lit("").as("sub"), col("a"), lit(0L).as("b"),
+              col("n"))
+        case 1 =>
+          in.groupBy(col("k"))
+            .agg(max(col("cents")).as("a"), min(col("cents")).as("b"),
+              count(lit(1)).as("n"))
+            .select(col("k"), lit("").as("sub"), col("a"), col("b"), col("n"))
+        case _ =>
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+          in.groupBy(col("k"), col("sub"))
+            .agg(count(lit(1)).as("a"))
+            .withColumn("n", sum(col("a")).over(w))
+            .select(col("k"), col("sub"), col("a"), lit(0L).as("b"), col("n"))
+      }
+    }
+    StreamGenQuery(seed, "tws",
+      s"tws $modeName, $keyDesc, monotone-n final-state compare",
+      "none", build, refBuild = Some(ref))
   }
 
   private def queryBody(seed: Int, rnd: Random): StreamGenQuery = {

@@ -113,6 +113,79 @@ class StreamFuzzSpec extends AnyFunSuite {
     assert(missD >= nSeeds / 15, s"missing-user dim size starved: $missD")
   }
 
+  /** Update-mode delivery for the v3 transformWithState draws: the memory
+    * sink accumulates every per-batch state emission; the caller reduces
+    * to final state.
+    */
+  private def streamedUpdate(chunks: Seq[Seq[CutFuzzEvent]],
+                             q: DataFrame => DataFrame): Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[CutFuzzEvent]
+    val name = "streamfz_tws_" + System.nanoTime()
+    val query = q(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    try {
+      chunks.foreach { c =>
+        mem.addData(c)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val rows = spark.table(name).collect().toSeq
+    spark.catalog.dropTempView(name)
+    rows
+  }
+
+  test(s"v3: transformWithState stateful processors over seeds 1..$nSeeds: " +
+    "final stream state over cut permutations ≡ independent batch aggregation") {
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider; scope
+    // it to this test and restore (other tiers keep HDFS-backed state).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      var tws = 0; var totals = 0; var extremes = 0; var typemap = 0
+      (1 to nSeeds).foreach { seed =>
+        val g = StreamFuzzGen.query(seed, 3)
+        if (g.shape == "tws") {
+          tws += 1
+          if (g.desc.contains("tws totals")) totals += 1
+          if (g.desc.contains("tws extremes")) extremes += 1
+          if (g.desc.contains("tws typemap")) typemap += 1
+          val want = g.refBuild.get(allEvents.toDF()).collect()
+            .map(_.toString).sorted.toSeq
+          assert(want.nonEmpty,
+            s"v3 seed $seed (${g.desc}): batch reference is empty — weak evidence")
+          val raw = streamedUpdate(cutChunks(seed), g.build)
+          // final state per key: every emission carries the key's MONOTONE
+          // running count n, so max-n rows are exactly the last snapshot
+          val maxN = raw.groupBy(_.getString(0))
+            .view.mapValues(_.map(_.getLong(4)).max).toMap
+          val got = raw.filter(r => r.getLong(4) == maxN(r.getString(0)))
+            .map(_.toString).sorted.toSeq
+          assert(got == want,
+            s"v3 seed $seed (${g.desc}) diverged from batch reference: " +
+              s"${got.length} vs ${want.length} rows; first diff " +
+              s"${got.zipAll(want, "<missing>", "<missing>")
+                .find { case (a, b) => a != b }}")
+        }
+      }
+      info(s"$tws tws seeds converged ($totals totals, $extremes extremes, " +
+        s"$typemap typemap)")
+      assert(tws >= nSeeds / 3, s"tws variant starved: $tws")
+      assert(totals >= nSeeds / 15, s"totals state shape starved: $totals")
+      assert(extremes >= nSeeds / 15, s"extremes state shape starved: $extremes")
+      assert(typemap >= nSeeds / 15, s"typemap state shape starved: $typemap")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test(s"$nSeeds generated windowed aggregations: stream over cut " +
     "permutations ≡ batch") {
     import spark.implicits._
