@@ -18,6 +18,44 @@ object TextQueries {
 
   private val toks = split(col("text"), " ")
 
+  /** Shared BM25 scorer for tq_bm25 / tq_bm25_topk: per-doc term
+    * frequencies + ONE broadcast 1-row corpus-stats aggregate, returning
+    * doc_id, dl, tf1-tf3 and the UNROUNDED double score as `raw`. Exposed
+    * package-wide so Bm25BoundarySpec can assert the rounding-boundary
+    * margin on the raw scores (ADVICE r13: ln() is not correctly-rounded
+    * IEEE, so a sub-ulp cross-engine difference at a .00005 boundary could
+    * flip the rendered 4-decimal score and with it the top-20 cut; the
+    * spec pins that no corpus score sits near a boundary at any SF).
+    */
+  private[graft] def bm25Scored(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    def tfl(t: String) =
+      size(filter(toks, x => x === t)).cast(LongType)
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast(LongType).as("dl"),
+      tfl("spark").as("tf1"), tfl("join").as("tf2"), tfl("the").as("tf3"))
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("sumdl"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+      sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+    def d2(c: Column) = c.cast(DoubleType)
+    def part(tfc: Column, dfc: Column) =
+      log((d2(col("n") - dfc) + lit(0.5)) / (d2(dfc) + lit(0.5)) + lit(1.0)) *
+        (d2(tfc) * lit(2.2) / (d2(tfc) + lit(1.2) *
+          (lit(0.25) + lit(0.75) * d2(col("dl")) /
+            (d2(col("sumdl")) / d2(col("n"))))))
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        col("tf1"), col("tf2"), col("tf3"),
+        (part(col("tf1"), col("df1"))
+          + part(col("tf2"), col("df2"))
+          + part(col("tf3"), col("df3"))).as("raw"))
+  }
+
   val defs: Seq[Q] = Seq(
     Q(
       "x4_token_freq",
@@ -295,34 +333,13 @@ object TextQueries {
         "avgdl, left-assoc sums), and ln() is the only non-correctly-" +
         "rounded IEEE op — absorbed by the Canon 4-decimal rounding (the " +
         "three-SF oracle runs pin it on the real corpus).",
-      (s, d) => {
-        def tfl(t: String) =
-          size(filter(toks, x => x === t)).cast(LongType)
-        val base = Tables.documents(s, d).select(
-          col("doc_id"),
-          size(toks).cast(LongType).as("dl"),
-          tfl("spark").as("tf1"), tfl("join").as("tf2"), tfl("the").as("tf3"))
-        val stats = base.agg(
-          count(lit(1)).as("n"),
-          sum(col("dl")).as("sumdl"),
-          sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
-          sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
-          sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
-        def d2(c: Column) = c.cast(DoubleType)
-        def part(tfc: Column, dfc: Column) =
-          log((d2(col("n") - dfc) + lit(0.5)) / (d2(dfc) + lit(0.5)) + lit(1.0)) *
-            (d2(tfc) * lit(2.2) / (d2(tfc) + lit(1.2) *
-              (lit(0.25) + lit(0.75) * d2(col("dl")) /
-                (d2(col("sumdl")) / d2(col("n"))))))
-        base.crossJoin(broadcast(stats))
+      (s, d) =>
+        bm25Scored(s, d)
           .select(col("doc_id"), col("dl"),
             col("tf1").as("tf_spark"), col("tf2").as("tf_join"),
             col("tf3").as("tf_the"),
-            round(part(col("tf1"), col("df1"))
-              + part(col("tf2"), col("df2"))
-              + part(col("tf3"), col("df3")), 4).as("bm25"))
-          .orderBy("doc_id")
-      },
+            round(col("raw"), 4).as("bm25"))
+          .orderBy("doc_id"),
       Some("""WITH d AS (
              |  SELECT doc_id,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
@@ -352,33 +369,11 @@ object TextQueries {
         "and equal scores order by doc_id). At scale this is a top-k over " +
         "the scored projection — Spark's TakeOrderedAndProject, no global " +
         "sort materialization.",
-      (s, d) => {
-        def tfl(t: String) =
-          size(filter(toks, x => x === t)).cast(LongType)
-        val base = Tables.documents(s, d).select(
-          col("doc_id"),
-          size(toks).cast(LongType).as("dl"),
-          tfl("spark").as("tf1"), tfl("join").as("tf2"), tfl("the").as("tf3"))
-        val stats = base.agg(
-          count(lit(1)).as("n"),
-          sum(col("dl")).as("sumdl"),
-          sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
-          sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
-          sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
-        def d2(c: Column) = c.cast(DoubleType)
-        def part(tfc: Column, dfc: Column) =
-          log((d2(col("n") - dfc) + lit(0.5)) / (d2(dfc) + lit(0.5)) + lit(1.0)) *
-            (d2(tfc) * lit(2.2) / (d2(tfc) + lit(1.2) *
-              (lit(0.25) + lit(0.75) * d2(col("dl")) /
-                (d2(col("sumdl")) / d2(col("n"))))))
-        base.crossJoin(broadcast(stats))
-          .select(col("doc_id"),
-            round(part(col("tf1"), col("df1"))
-              + part(col("tf2"), col("df2"))
-              + part(col("tf3"), col("df3")), 4).as("bm25"))
+      (s, d) =>
+        bm25Scored(s, d)
+          .select(col("doc_id"), round(col("raw"), 4).as("bm25"))
           .orderBy(col("bm25").desc, col("doc_id").asc)
-          .limit(20)
-      },
+          .limit(20),
       Some("""WITH d AS (
              |  SELECT doc_id,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
