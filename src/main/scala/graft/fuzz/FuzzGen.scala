@@ -867,7 +867,7 @@ object FuzzGen {
     * (r12 advice: the hand-maintained Seq in FuzzDump stopped at 20 while
     * v21–v23 existed). Bump together with each new mode-byte branch below.
     */
-  val maxVersion: Int = 32
+  val maxVersion: Int = 33
 
   def query(seed: Int): GenQuery = query(seed, 1)
 
@@ -879,6 +879,16 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 33) {
+      // v33 mode byte: DECIMAL × NULL — a NULL-injected decimal victim
+      // through NULL-skipping aggregates, NULL decimal group keys,
+      // three-valued comparisons, and typed COALESCE repair. Versions
+      // ≤ 32 never take this draw; fall-through continues into the v32
+      // dispatch with the advanced rnd state.
+      val m33 = rnd.nextInt(10)
+      if (m33 < 7) return decimalNullQuery(seed, rnd, version)
+      // else: fall through to the v32 dispatch with the advanced rnd state
+    }
     if (version >= 32) {
       // v32 mode byte: the documents ⋈ embeddings corpus edge (partial
       // 1:≤1 enrichment join over the v16 derived-scalar view). Versions
@@ -4553,6 +4563,147 @@ object FuzzGen {
             ceil(col(a.name)).cast("long")),
           asStr(Item("ab", s"abs(${a.name})", abs(col(a.name)))))
         emitProj(items, "fns")
+    }
+  }
+
+  /** v33 dedicated mode: DECIMAL × NULL — the composition of the two
+    * semantics tiers that bit hardest (v27/v31's exact-decimal typed view
+    * and v17's deterministic NULL injection): a genuinely-NULL DECIMAL
+    * column through NULL-skipping aggregates, decimal GROUP BY keys with
+    * a real NULL group, three-valued decimal comparisons, and COALESCE
+    * repair at the column's exact type. The derived view casts every
+    * decSpec column to its DECIMAL(p,s) target and NULLs ONE decimal
+    * victim on a (uniquekey % m) = r stripe — one shared SQL text (CASTs
+    * and CASE parse identically in both dialects). Same rendered-surface
+    * rule as v27/v31: outputs are scale-preserving strings (a NULL cell
+    * renders as SQL NULL in both engines) or integral counts. Three
+    * sub-shapes:
+    *   0 NULL-skipping aggregate contrast: count(*) vs count(v) beside
+    *     sum/min/max over the NULL-bearing decimal (groups whose victims
+    *     are ALL NULL yield NULL aggregates in both engines);
+    *   1 the victim AS the GROUP BY key: decimal distinct-equality must
+    *     collect the injected rows into ONE genuine NULL group, ordered
+    *     NULLS FIRST over the rendered key;
+    *   2 three-valued predicates + repair: v {cmp} scale-pinned-literal
+    *     silently drops the NULL stripe, IS [NOT] NULL selects it
+    *     exactly, and COALESCE(v, CAST(lit AS DECIMAL(p,s))) repairs at
+    *     the pinned type so the coalesced rendering is scale-stable.
+    */
+  private def decimalNullQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val pool = Vector("orders", "customer", "supplier", "part", "events")
+    val t = pool(rnd.nextInt(pool.length))
+    val key = uniqueKeys(t).head
+    val decCols = catalog(t).filter(c => decSpec.contains(c.name))
+    val v = decCols(rnd.nextInt(decCols.length))
+    val (vp, vs) = decSpec(v.name)
+    val m = 5 + rnd.nextInt(5)
+    val r = rnd.nextInt(m)
+    def frag: String = {
+      val colSqls = catalog(t).map { c =>
+        val base = decSpec.get(c.name) match {
+          case Some((pp, ss)) => s"CAST(${c.name} AS DECIMAL($pp, $ss))"
+          case None           => c.name
+        }
+        if (c.name == v.name)
+          s"CASE WHEN ($key % $m) = $r THEN NULL ELSE $base END AS ${c.name}"
+        else if (decSpec.contains(c.name)) s"$base AS ${c.name}"
+        else c.name
+      }
+      s"(SELECT ${colSqls.mkString(", ")} FROM $t) $t"
+    }
+    def load(s: SparkSession, d: String): DataFrame =
+      loadFuzzTable(s, d, t).select(catalog(t).map { c =>
+        val base = decSpec.get(c.name) match {
+          case Some((pp, ss)) => col(c.name).cast(s"decimal($pp, $ss)")
+          case None           => col(c.name)
+        }
+        if (c.name == v.name)
+          when((col(key) % m) === r, lit(null)).otherwise(base).as(c.name)
+        else base.as(c.name)
+      }: _*)
+    // Scale-pinned literal from the victim's corpus pool, CAST to the
+    // victim's exact DECIMAL type in both renderings so comparison and
+    // COALESCE output types are pinned, never coerced.
+    def vLit(): (String, Column) = {
+      val l = v.lits(rnd.nextInt(v.lits.length))
+      val bd = new java.math.BigDecimal(l.sql).setScale(vs)
+      (s"CAST(${bd.toPlainString} AS DECIMAL($vp, $vs))",
+        lit(bd).cast(s"decimal($vp, $vs)"))
+    }
+    val groupables = catalog(t).filter(_.groupable)
+    val intCols = catalog(t).filter(_.kind == 'i')
+
+    rnd.nextInt(3) match {
+      case 0 => // NULL-skipping aggregate contrast over the victim
+        val g = groupables(rnd.nextInt(groupables.length))
+        val items = Seq(
+          Item("k0", g.name, col(g.name)),
+          Item("n", "count(*)", count(lit(1))),
+          Item("nn", s"count(${v.name})", count(col(v.name))),
+          Item("s0", s"CAST(CAST(sum(${v.name}) AS DECIMAL(38, $vs)) AS STRING)",
+            sum(col(v.name)).cast(s"decimal(38, $vs)").cast("string")),
+          Item("m0", s"CAST(min(${v.name}) AS STRING)",
+            min(col(v.name)).cast("string")),
+          Item("m1", s"CAST(max(${v.name}) AS STRING)",
+            max(col(v.name)).cast("string")))
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        sb ++= s" FROM $frag GROUP BY ${g.name} ORDER BY k0 ASC NULLS FIRST"
+        val build = (s: SparkSession, d: String) =>
+          load(s, d)
+            .groupBy(col(g.name))
+            .agg(items(1).col.as("n"), items(2).col.as("nn"),
+              items(3).col.as("s0"), items(4).col.as("m0"),
+              items(5).col.as("m1"))
+            .select(col(g.name).as("k0"), col("n"), col("nn"), col("s0"),
+              col("m0"), col("m1"))
+            .orderBy(col("k0").asc_nulls_first)
+        GenQuery(seed, sb.result(), build, mode = s"decn:agg:$t")
+
+      case 1 => // the NULL-injected decimal AS the GROUP BY key
+        val sc2 = intCols(rnd.nextInt(intCols.length))
+        val items = Seq(
+          Item("k0", s"CAST(${v.name} AS STRING)", col(v.name).cast("string")),
+          Item("n", "count(*)", count(lit(1))),
+          Item("s0", s"CAST(sum(${sc2.name}) AS BIGINT)", sum(col(sc2.name))))
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        sb ++= s" FROM $frag GROUP BY ${v.name} " +
+          "ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+        val build = (s: SparkSession, d: String) =>
+          load(s, d)
+            .groupBy(col(v.name))
+            .agg(items(1).col.as("n"), items(2).col.as("s0"))
+            .select(col(v.name).cast("string").as("k0"), col("n"), col("s0"))
+            .orderBy(col("k0").asc_nulls_first)
+            .limit(1000)
+        GenQuery(seed, sb.result(), build, mode = s"decn:group:$t")
+
+      case _ => // three-valued predicate + COALESCE repair projection
+        val (lSql, lCol) = vLit()
+        val pred = rnd.nextInt(4) match {
+          case 0 => P(s"${v.name} IS NULL", col(v.name).isNull)
+          case 1 => P(s"${v.name} IS NOT NULL", col(v.name).isNotNull)
+          case 2 => P(s"${v.name} >= $lSql", col(v.name) >= lCol)
+          case _ => P(s"${v.name} < $lSql", col(v.name) < lCol)
+        }
+        val (rSql, rCol) = vLit()
+        val items = Seq(
+          Item("k0", key, col(key)),
+          Item("c0", s"CAST(${v.name} AS STRING)", col(v.name).cast("string")),
+          Item("c1", s"CAST(COALESCE(${v.name}, $rSql) AS STRING)",
+            coalesce(col(v.name), rCol).cast("string")))
+        val sb = new StringBuilder("SELECT ")
+        sb ++= items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")
+        sb ++= s" FROM $frag WHERE ${pred.sql} " +
+          "ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+        val build = (s: SparkSession, d: String) =>
+          load(s, d)
+            .where(pred.col)
+            .select(items.map(i => i.col.as(i.alias)): _*)
+            .orderBy(col("k0").asc_nulls_first)
+            .limit(1000)
+        GenQuery(seed, sb.result(), build, mode = s"decn:pred:$t")
     }
   }
 

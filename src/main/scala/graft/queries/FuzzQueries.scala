@@ -821,6 +821,42 @@ object FuzzQueries {
       24094, 24099, 24104, 24106, 24116, 24118, 24122, 24127, 24141,
       24168, 24180)
 
+  // Grammar-v33 slice (DECIMAL × NULL — the composition of the two
+  // semantics tiers that bit hardest: v27/v31's exact-decimal typed view
+  // and v17's deterministic NULL injection. Each seed NULLs ONE decimal
+  // victim on a (uniquekey % m) = r stripe inside the DECIMAL-cast view
+  // (one shared SQL text) and drives it through the NULL surfaces:
+  // NULL-skipping aggregates, decimal GROUP BY keys with a genuine NULL
+  // group, three-valued comparisons that silently drop the stripe, and
+  // COALESCE repair CAST to the victim's exact DECIMAL type so the
+  // coalesced rendering is scale-stable. Rendered surface is strings/
+  // counts — never DECIMAL-typed). Whole 25001-25200 range verified
+  // against DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200 pass at each,
+  // r14, zero divergence first sweep); picks non-empty at sf0.001 and
+  // sf0.01, all genuine v33 draws, seed range 25001+ disjoint from every
+  // older slice by construction. NULL-skipping aggregate contrasts —
+  // count(*) vs count(v) beside sum/min/max over the NULL-bearing
+  // decimal: part p_retailprice by brand (25002) and by size at 50
+  // groups (25069), orders by priority (25004) and status (25038),
+  // supplier (25015), events value@(12,4) (25023), customer by segment
+  // (25036) and nation (25042), events 15→150 groups (25062). The
+  // victim AS the GROUP BY key — injected rows collect into ONE genuine
+  // NULL group ordered NULLS FIRST: supplier 10→85 (25006), orders at
+  // full projection scale (25012), part 173→1000 (25013), events
+  // 821→1000 (25014), customer 134→1000 (25022), customer (25031),
+  // part 176→876 — groups vanish between SFs (25094), supplier 9→84
+  // (25110). Three-valued predicates + typed COALESCE repair: < literal
+  // drops the stripe (customer 25003, supplier 25020, orders 10→98
+  // 25108), IS NULL selects exactly the stripe (part 25005, events
+  // 25009, supplier 1→16 25029), >= literal (part 25030, orders 25061,
+  // customer 89→979 25126), IS NOT NULL (orders 25035, events 25043).
+  // Rendered with query(seed, 33).
+  val declaredSeedsV33: Seq[Int] =
+    Seq(25002, 25003, 25004, 25005, 25006, 25009, 25012, 25013, 25014,
+      25015, 25020, 25022, 25023, 25029, 25030, 25031, 25035, 25036,
+      25038, 25042, 25043, 25061, 25062, 25069, 25094, 25108, 25110,
+      25126)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -853,7 +889,8 @@ object FuzzQueries {
       declaredSeedsV29.map(s => s -> FuzzGen.query(s, 29)) ++
       declaredSeedsV30.map(s => s -> FuzzGen.query(s, 30)) ++
       declaredSeedsV31.map(s => s -> FuzzGen.query(s, 31)) ++
-      declaredSeedsV32.map(s => s -> FuzzGen.query(s, 32))).map { case (seed, g) =>
+      declaredSeedsV32.map(s => s -> FuzzGen.query(s, 32)) ++
+      declaredSeedsV33.map(s => s -> FuzzGen.query(s, 33))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

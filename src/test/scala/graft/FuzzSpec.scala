@@ -979,6 +979,40 @@ class FuzzSpec extends AnyFunSuite {
     assert(left >= 25, s"LEFT form under-drawn: $left")
   }
 
+  test("grammar v33 (DECIMAL x NULL: NULL-skipping aggregates, NULL decimal group keys, three-valued predicates + typed COALESCE): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var agg = 0; var group = 0; var pred = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 33)
+      if (q.mode.startsWith("decn")) {
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v33 seed $seed: decimal-null query should carry one SQL text")
+        assert(q.sql.contains("THEN NULL ELSE CAST(") &&
+            q.sql.contains("AS DECIMAL("),
+          s"v33 seed $seed: expected the NULL-injected decimal view in: ${q.sql}")
+        assert(!q.build(spark, TestSpark.sf0001).schema
+            .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]),
+          s"v33 seed $seed: DECIMAL-typed output column in: ${q.sql}")
+        q.mode.split(":")(1) match {
+          case "agg"   => agg += 1
+          case "group" => group += 1
+          case "pred"  => pred += 1
+          case other => fail(s"v33 seed $seed: unknown decn shape $other")
+        }
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v33 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v33 seeds matched; $agg agg, $group group, $pred pred")
+    assert(agg >= 15, s"aggregate-contrast shape under-drawn: $agg")
+    assert(group >= 15, s"null-group-key shape under-drawn: $group")
+    assert(pred >= 15, s"three-valued-predicate shape under-drawn: $pred")
+  }
+
   test("corpus preconditions the generators assume: 64-wide NULL-free embeddings, NULL-free join-edge keys") {
     views
     import org.apache.spark.sql.functions._
@@ -1756,7 +1790,35 @@ class FuzzSpec extends AnyFunSuite {
     "fz24127" -> "73957560",
     "fz24141" -> "839e9888",
     "fz24168" -> "ffe2b293",
-    "fz24180" -> "d7348f27")
+    "fz24180" -> "d7348f27",
+    "fz25002" -> "fefc81ad",
+    "fz25003" -> "8a0d1a47",
+    "fz25004" -> "87e7cc61",
+    "fz25005" -> "f1664cd6",
+    "fz25006" -> "e2982531",
+    "fz25009" -> "b47b475b",
+    "fz25012" -> "9da475aa",
+    "fz25013" -> "710a4c9b",
+    "fz25014" -> "5a204e5a",
+    "fz25015" -> "0216dc13",
+    "fz25020" -> "785540bb",
+    "fz25022" -> "80953f50",
+    "fz25023" -> "822311e4",
+    "fz25029" -> "efedfe81",
+    "fz25030" -> "878cf479",
+    "fz25031" -> "4e0b086f",
+    "fz25035" -> "98630aaa",
+    "fz25036" -> "45cf5728",
+    "fz25038" -> "3268c510",
+    "fz25042" -> "f96ac4b5",
+    "fz25043" -> "3169684b",
+    "fz25061" -> "bcad9c99",
+    "fz25062" -> "e428ad72",
+    "fz25069" -> "213981df",
+    "fz25094" -> "988e0bf2",
+    "fz25108" -> "52ad929c",
+    "fz25110" -> "d7e3d19b",
+    "fz25126" -> "4daef32b")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
