@@ -48,11 +48,25 @@ object Bench {
 
     def runBest(name: String): Double = {
       val first = runOnce(name)
-      if (first < 0) first
-      else (1 until runs).foldLeft(first) { (best, _) =>
+      if (first < 0) return first
+      var best = first
+      var worst = first
+      var n = 1
+      // `runs` (default 2) samples always; a sub-second query whose spread
+      // is noisy (max > 1.5×min) gets up to 5 — ambient co-load on a
+      // shared box routinely doubles a 0.3 s query, and one inflated
+      // sample surviving a min-of-2 becomes a rotating >2× flag the next
+      // round audits by hand (r12–r14 all spent a min-of-5 pass on this).
+      // Quiet queries never pay the extra runs, so the artifact cost is
+      // bounded by the noisy sub-second subset.
+      def target: Int =
+        if (best < 1.0 && worst > 1.5 * best) math.max(runs, 5) else runs
+      while (n < target) {
         val t = runOnce(name)
-        if (t < 0) best else math.min(best, t)
+        if (t >= 0) { best = math.min(best, t); worst = math.max(worst, t) }
+        n += 1
       }
+      best
     }
 
     val names = QueryCatalog.all.map(_.name)
@@ -61,7 +75,15 @@ object Bench {
     // join) so the first measured query doesn't absorb classloading costs.
     runOnce("j1_join_inner")
 
-    val results = names.map(n => n -> runBest(n))
+    // Randomized execution order (r14 verdict #2): ambient co-load at
+    // window start used to concentrate >2× flags on whatever ran FIRST in
+    // catalog order, minting a fresh rotating flag set every round. A
+    // per-window shuffle spreads that load across different names each
+    // run; the artifact itself is keyed by name, so order never affected
+    // comparability. Results are emitted in catalog order for stable diffs.
+    val order = new scala.util.Random(System.nanoTime()).shuffle(names)
+    val timed = order.map(n => n -> runBest(n)).toMap
+    val results = names.map(n => n -> timed(n))
     // Locale.ROOT: the f-interpolator uses the default locale, and a comma
     // decimal separator (de_DE etc.) would break the driver's JSON parse.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)

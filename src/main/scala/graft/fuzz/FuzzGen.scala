@@ -867,7 +867,7 @@ object FuzzGen {
     * (r12 advice: the hand-maintained Seq in FuzzDump stopped at 20 while
     * v21–v23 existed). Bump together with each new mode-byte branch below.
     */
-  val maxVersion: Int = 33
+  val maxVersion: Int = 34
 
   def query(seed: Int): GenQuery = query(seed, 1)
 
@@ -879,6 +879,16 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 34) {
+      // v34 mode byte: JSON-path extraction (events.props direct + a
+      // constructed-JSON derived view) — the get_json_object vs
+      // json_extract_string dialect boundary. Versions ≤ 33 never take
+      // this draw; fall-through continues into the v33 dispatch with the
+      // advanced rnd state.
+      val m34 = rnd.nextInt(10)
+      if (m34 < 7) return jsonQuery(seed, rnd, version)
+      // else: fall through to the v33 dispatch with the advanced rnd state
+    }
     if (version >= 33) {
       // v33 mode byte: DECIMAL × NULL — a NULL-injected decimal victim
       // through NULL-skipping aggregates, NULL decimal group keys,
@@ -4626,7 +4636,7 @@ object FuzzGen {
     // COALESCE output types are pinned, never coerced.
     def vLit(): (String, Column) = {
       val l = v.lits(rnd.nextInt(v.lits.length))
-      val bd = new java.math.BigDecimal(l.sql).setScale(vs)
+      val bd = new java.math.BigDecimal(l.sql).setScale(vs, java.math.RoundingMode.UNNECESSARY)
       (s"CAST(${bd.toPlainString} AS DECIMAL($vp, $vs))",
         lit(bd).cast(s"decimal($vp, $vs)"))
     }
@@ -4818,6 +4828,271 @@ object FuzzGen {
     }
   }
 
+  /** v34 dedicated mode: JSON-path extraction — the one typed corpus
+    * surface with zero generated coverage until now (events.props rode
+    * only the fixed f9/x5/f15/f28 declared entries; VERDICT r14 #3). The
+    * decimal saga (r12 HUGEINT, r13 trailing-zero) proved dialect
+    * RENDERING boundaries are exactly where the driver's hasher diverges,
+    * and JSON extraction is such a boundary: Spark's `get_json_object`
+    * vs DuckDB's `json_extract_string` — different names, same scalar
+    * semantics (present key → its text, missing key → NULL, nested paths
+    * and array indices supported; both verified by the 3-SF sweep). The
+    * function-name split lives INSIDE a v16 TableOverride-style
+    * dual-dialect FROM fragment; every extracted value surfaces as a
+    * plain STRING / TRY_CAST BIGINT column, so everything OUTSIDE the
+    * fragment stays ONE shared SQL text.
+    *
+    * Two sources:
+    *  - events.props DIRECT (the real corpus JSON, shape {"k": int}):
+    *    $.k int-cast and a drawn absent key → NULL;
+    *  - a CONSTRUCTED json view over a drawn base table: the fragment
+    *    string-concats a JSON document from corpus columns — ints and
+    *    enumerated/alphanumeric strings ONLY, doubles never enter the
+    *    text (their cross-engine rendering is exactly the divergence
+    *    class this grammar exists to quarantine) — with key "b" and
+    *    array "e" PRESENT only off a (pk % m) = r stripe, so
+    *    missing-key NULLs are genuine and row-dependent, not constant.
+    *    Extracted inside the fragment: $.a int, $.b string
+    *    (stripe-NULL), $.c.d nested int, $.e[i] array index
+    *    (stripe-NULL), $.zz never-present (always NULL).
+    *
+    * Three outer shapes over the extracted scalars: keyed projection;
+    * extracted value AS the GROUP BY key (count(*) vs count(j_b) NULL
+    * contrast — the missing-key rows collect into a genuine NULL group);
+    * extracted values in WHERE predicates (IS [NOT] NULL selects exactly
+    * the stripe; comparisons reuse the SOURCE column's own corpus
+    * literal pool — exact by construction, the extracted text
+    * round-trips the integer/enum value unchanged).
+    */
+  private def jsonQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    import org.apache.spark.sql.types.LongType
+    val direct = rnd.nextInt(10) < 3
+
+    if (direct) {
+      // ---- events.props direct extraction ----
+      val missKey = Seq("missing", "kk", "zz")(rnd.nextInt(3))
+      def frag(ex: (String, String) => String): String =
+        "(SELECT event_id, user_id, event_type, " +
+          s"TRY_CAST(${ex("props", "$.k")} AS BIGINT) AS j_k, " +
+          s"${ex("props", "$." + missKey)} AS j_miss FROM events) ev"
+      val fragDuck = frag((j, p) => s"json_extract_string($j, '$p')")
+      val fragSpark = frag((j, p) => s"get_json_object($j, '$p')")
+      def load(s: SparkSession, d: String): DataFrame =
+        loadFuzzTable(s, d, "events").select(
+          col("event_id"), col("user_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").try_cast(LongType).as("j_k"),
+          get_json_object(col("props"), "$." + missKey).as("j_miss"))
+      // the extracted int's literal pool: profiled props k values 0..99
+      val kLits = Seq(7, 25, 42, 61, 87)
+
+      rnd.nextInt(3) match {
+        case 0 => // keyed projection
+          val items = Seq(
+            Item("k0", "event_id", col("event_id")),
+            Item("c0", "j_k", col("j_k")),
+            Item("c1", "j_miss", col("j_miss")),
+            Item("c2", "event_type", col("event_type")))
+          def sqlFor(f: String) =
+            s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+              s" FROM $f ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+          GenQuery(seed, sqlFor(fragDuck),
+            (s, d) => load(s, d)
+              .select(items.map(i => i.col.as(i.alias)): _*)
+              .orderBy(col("k0").asc_nulls_first).limit(1000),
+            sparkSqlOpt = Some(sqlFor(fragSpark)), mode = "json:direct:proj")
+
+        case 1 => // extracted int AS the GROUP BY key
+          val items = Seq(
+            Item("k0", "j_k", col("j_k")),
+            Item("n", "count(*)", count(lit(1))),
+            Item("nm", "count(j_miss)", count(col("j_miss"))),
+            Item("s0", "CAST(sum(user_id) AS BIGINT)", sum(col("user_id"))))
+          def sqlFor(f: String) =
+            s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+              s" FROM $f GROUP BY j_k ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+          GenQuery(seed, sqlFor(fragDuck),
+            (s, d) => load(s, d)
+              .groupBy(col("j_k"))
+              .agg(items(1).col.as("n"), items(2).col.as("nm"),
+                items(3).col.as("s0"))
+              .select(col("j_k").as("k0"), col("n"), col("nm"), col("s0"))
+              .orderBy(col("k0").asc_nulls_first).limit(1000),
+            sparkSqlOpt = Some(sqlFor(fragSpark)), mode = "json:direct:group")
+
+        case _ => // extracted int in WHERE
+          val pred = rnd.nextInt(4) match {
+            case 0 =>
+              val l = kLits(rnd.nextInt(kLits.length))
+              P(s"j_k >= $l", col("j_k") >= l)
+            case 1 =>
+              val l = kLits(rnd.nextInt(kLits.length))
+              P(s"j_k < $l", col("j_k") < l)
+            case 2 =>
+              val picked = rnd.shuffle(kLits.toVector).take(2 + rnd.nextInt(2))
+              P(s"j_k IN (${picked.mkString(", ")})",
+                col("j_k").isin(picked: _*))
+            case _ => P("j_miss IS NULL", col("j_miss").isNull)
+          }
+          val items = Seq(
+            Item("k0", "event_id", col("event_id")),
+            Item("c0", "j_k", col("j_k")),
+            Item("c1", "user_id", col("user_id")))
+          def sqlFor(f: String) =
+            s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+              s" FROM $f WHERE ${pred.sql} ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+          GenQuery(seed, sqlFor(fragDuck),
+            (s, d) => load(s, d).where(pred.col)
+              .select(items.map(i => i.col.as(i.alias)): _*)
+              .orderBy(col("k0").asc_nulls_first).limit(1000),
+            sparkSqlOpt = Some(sqlFor(fragSpark)), mode = "json:direct:pred")
+      }
+    } else {
+      // ---- constructed-JSON derived view over a drawn base table ----
+      // (table, pk, JSON-safe string cols, int cols): only enumerated /
+      // alphanumeric+space string columns enter the JSON text — no
+      // quotes, backslashes or control chars exist in these pools, so
+      // the constructed document is valid JSON by construction.
+      val bases = Vector(
+        ("orders", "o_orderkey", Vector("o_orderstatus", "o_orderpriority"),
+          Vector("o_custkey")),
+        ("customer", "c_custkey", Vector("c_mktsegment"), Vector("c_nationkey")),
+        ("part", "p_partkey", Vector("p_brand", "p_type"), Vector("p_size")),
+        ("events", "event_id", Vector("event_type"), Vector("user_id")))
+      val (t, pk, scs, ics) = bases(rnd.nextInt(bases.length))
+      val scName = scs(rnd.nextInt(scs.length))
+      val icName = ics(rnd.nextInt(ics.length))
+      val sc = catalog(t).find(_.name == scName).get
+      val ic = catalog(t).find(_.name == icName).get
+      val pkc = catalog(t).find(_.name == pk).get
+      val m = 4 + rnd.nextInt(5)
+      val r = rnd.nextInt(m)
+      val arrIdx = rnd.nextInt(2)
+
+      // Shared-dialect JSON construction (pure || concat + CASE).
+      val jsSql =
+        s"CASE WHEN ($pk % $m) = $r THEN " +
+          s"""'{"a": ' || CAST($icName AS STRING) || ', "c": {"d": ' || CAST($pk AS STRING) || '}}'""" +
+          " ELSE " +
+          s"""'{"a": ' || CAST($icName AS STRING) || ', "b": "' || $scName || '", "c": {"d": ' || CAST($pk AS STRING) || '}, "e": [' || CAST($pk AS STRING) || ', ' || CAST($icName AS STRING) || ']}'""" +
+          " END"
+      def frag(ex: (String, String) => String): String =
+        s"(SELECT $pk, " +
+          s"TRY_CAST(${ex("js", "$.a")} AS BIGINT) AS j_a, " +
+          s"${ex("js", "$.b")} AS j_b, " +
+          s"TRY_CAST(${ex("js", "$.c.d")} AS BIGINT) AS j_d, " +
+          s"TRY_CAST(${ex("js", s"$$.e[$arrIdx]")} AS BIGINT) AS j_e, " +
+          s"${ex("js", "$.zz")} AS j_miss " +
+          s"FROM (SELECT $pk, $jsSql AS js FROM $t) ${t}_j) $t"
+      val fragDuck = frag((j, p) => s"json_extract_string($j, '$p')")
+      val fragSpark = frag((j, p) => s"get_json_object($j, '$p')")
+      def load(s: SparkSession, d: String): DataFrame = {
+        val jsCol = when((col(pk) % m) === r,
+          concat(lit("{\"a\": "), col(icName).cast("string"),
+            lit(", \"c\": {\"d\": "), col(pk).cast("string"), lit("}}")))
+          .otherwise(concat(lit("{\"a\": "), col(icName).cast("string"),
+            lit(", \"b\": \""), col(scName),
+            lit("\", \"c\": {\"d\": "), col(pk).cast("string"),
+            lit("}, \"e\": ["), col(pk).cast("string"), lit(", "),
+            col(icName).cast("string"), lit("]}")))
+        loadFuzzTable(s, d, t).select(col(pk), jsCol.as("js"))
+          .select(col(pk),
+            get_json_object(col("js"), "$.a").try_cast(LongType).as("j_a"),
+            get_json_object(col("js"), "$.b").as("j_b"),
+            get_json_object(col("js"), "$.c.d").try_cast(LongType).as("j_d"),
+            get_json_object(col("js"), s"$$.e[$arrIdx]")
+              .try_cast(LongType).as("j_e"),
+            get_json_object(col("js"), "$.zz").as("j_miss"))
+      }
+      def jsonPred(): P = rnd.nextInt(6) match {
+        case 0 => P("j_b IS NULL", col("j_b").isNull)
+        case 1 => P("j_b IS NOT NULL", col("j_b").isNotNull)
+        case 2 => // extracted string vs the source column's own literal
+          val l = sc.lits(rnd.nextInt(sc.lits.length))
+          val op = Seq("=", "<>", ">=", "<")(rnd.nextInt(4))
+          val cc = op match {
+            case "="  => col("j_b") === l.col
+            case "<>" => col("j_b") =!= l.col
+            case ">=" => col("j_b") >= l.col
+            case _    => col("j_b") < l.col
+          }
+          P(s"j_b $op ${l.sql}", cc)
+        case 3 => // extracted int vs the source column's own literal
+          val l = ic.lits(rnd.nextInt(ic.lits.length))
+          val op = Seq("<", "<=", ">", ">=")(rnd.nextInt(4))
+          val cc = op match {
+            case "<"  => col("j_a") < l.col
+            case "<=" => col("j_a") <= l.col
+            case ">"  => col("j_a") > l.col
+            case _    => col("j_a") >= l.col
+          }
+          P(s"j_a $op ${l.sql}", cc)
+        case 4 => P("j_e IS NULL", col("j_e").isNull)
+        case _ => // nested int (== pk) vs the pk's literal pool
+          val l = pkc.lits(rnd.nextInt(pkc.lits.length))
+          P(s"j_d >= ${l.sql}", col("j_d") >= l.col)
+      }
+
+      rnd.nextInt(3) match {
+        case 0 => // keyed projection of every extracted scalar
+          val items = Seq(
+            Item("k0", pk, col(pk)),
+            Item("c0", "j_a", col("j_a")),
+            Item("c1", "j_b", col("j_b")),
+            Item("c2", "j_d", col("j_d")),
+            Item("c3", "j_e", col("j_e")),
+            Item("c4", "j_miss", col("j_miss")))
+          def sqlFor(f: String) =
+            s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+              s" FROM $f ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+          GenQuery(seed, sqlFor(fragDuck),
+            (s, d) => load(s, d)
+              .select(items.map(i => i.col.as(i.alias)): _*)
+              .orderBy(col("k0").asc_nulls_first).limit(1000),
+            sparkSqlOpt = Some(sqlFor(fragSpark)), mode = s"json:proj:$t")
+
+        case 1 => // extracted value AS the GROUP BY key
+          val gkey = Seq("j_b", "j_a", "j_e")(rnd.nextInt(3))
+          val items = Seq(
+            Item("k0", gkey, col(gkey)),
+            Item("n", "count(*)", count(lit(1))),
+            Item("nn", "count(j_b)", count(col("j_b"))),
+            Item("s0", "CAST(sum(j_d) AS BIGINT)", sum(col("j_d"))))
+          def sqlFor(f: String) =
+            s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+              s" FROM $f GROUP BY $gkey ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+          GenQuery(seed, sqlFor(fragDuck),
+            (s, d) => load(s, d)
+              .groupBy(col(gkey))
+              .agg(items(1).col.as("n"), items(2).col.as("nn"),
+                items(3).col.as("s0"))
+              .select(col(gkey).as("k0"), col("n"), col("nn"), col("s0"))
+              .orderBy(col("k0").asc_nulls_first).limit(1000),
+            sparkSqlOpt = Some(sqlFor(fragSpark)),
+            mode = s"json:group:$t:$gkey")
+
+        case _ => // extracted values in WHERE predicates
+          val preds = Vector.fill(1 + rnd.nextInt(2))(jsonPred())
+          val items = Seq(
+            Item("k0", pk, col(pk)),
+            Item("c0", "j_a", col("j_a")),
+            Item("c1", "j_b", col("j_b")),
+            Item("c2", "j_e", col("j_e")))
+          def sqlFor(f: String) =
+            s"SELECT ${items.map(i => s"${i.sql} AS ${i.alias}").mkString(", ")}" +
+              s" FROM $f WHERE ${preds.map(_.sql).mkString(" AND ")}" +
+              s" ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+          GenQuery(seed, sqlFor(fragDuck),
+            (s, d) => {
+              var df = load(s, d)
+              preds.foreach(p => df = df.where(p.col))
+              df.select(items.map(i => i.col.as(i.alias)): _*)
+                .orderBy(col("k0").asc_nulls_first).limit(1000)
+            },
+            sparkSqlOpt = Some(sqlFor(fragSpark)), mode = s"json:pred:$t")
+      }
+    }
+  }
+
   /** v31 dedicated mode: DECIMAL at the TYPED BOUNDARIES — v27 only
     * aggregates/projects decimal values; its r13 trailing-zero rendering
     * bug proved typed-boundary surfaces are where engines diverge, so
@@ -4854,9 +5129,26 @@ object FuzzGen {
     val chain =
       if (shape == 1) joinPool(rnd.nextInt(joinPool.length))
       else pool(rnd.nextInt(pool.length))
-    val joinKinds = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
+    val joinKinds0 = chain.joins.map(_ => if (rnd.nextDouble() < 0.25) "LEFT" else "INNER")
     val cols = chain.tables.flatMap(catalog)
     val decCols = cols.filter(c => decSpec.contains(c.name))
+    // ADVICE r14: a three-valued WHERE over a column on the NULL-extended
+    // side of a LEFT join silently reduces LEFT to INNER, so such draws
+    // stopped testing the NULL-extension they appeared to. Mirror
+    // docembQuery's rule: predicates draw only from columns of tables NOT
+    // NULL-extended by any LEFT (column names are globally unique, so the
+    // owner is the table whose catalog carries the column); when that
+    // leaves no decimal column to predicate on, the join kinds fall back
+    // to all-INNER rather than emitting a silently-reduced LEFT.
+    val firstLeft = joinKinds0.indexOf("LEFT")
+    val nullExtendedTables: Set[String] =
+      if (firstLeft < 0) Set.empty else chain.tables.drop(firstLeft + 1).toSet
+    val colOwner: Map[String, String] =
+      chain.tables.flatMap(t => catalog(t).map(_.name -> t)).toMap
+    val predPool0 = decCols.filterNot(c => nullExtendedTables(colOwner(c.name)))
+    val (joinKinds, predPool) =
+      if (predPool0.nonEmpty) (joinKinds0, predPool0)
+      else (joinKinds0.map(_ => "INNER"), decCols)
     val groupables = cols.filter(_.groupable)
     val uk = headOrderCols(chain.tables.head)
 
@@ -4867,14 +5159,14 @@ object FuzzGen {
     def decLit(c: FCol): (String, Column) = {
       val s = decSpec(c.name)._2
       val l = c.lits(rnd.nextInt(c.lits.length))
-      val bd = new java.math.BigDecimal(l.sql).setScale(s)
+      val bd = new java.math.BigDecimal(l.sql).setScale(s, java.math.RoundingMode.UNNECESSARY)
       (bd.toPlainString, lit(bd))
     }
     def decPred(): P = {
-      val c = decCols(rnd.nextInt(decCols.length))
+      val c = predPool(rnd.nextInt(predPool.length))
       rnd.nextInt(6) match {
-        case 0 if decCols.length > 1 => // column vs column, possibly cross-scale
-          val others = decCols.filterNot(_.name == c.name)
+        case 0 if predPool.length > 1 => // column vs column, possibly cross-scale
+          val others = predPool.filterNot(_.name == c.name)
           val o = others(rnd.nextInt(others.length))
           val op = Seq("<", "<=", ">", ">=")(rnd.nextInt(4))
           val cc = op match {
@@ -4888,7 +5180,7 @@ object FuzzGen {
           val k = 2 + rnd.nextInt(2)
           val picked = rnd.shuffle(c.lits.toVector).take(k).map { l =>
             val bd = new java.math.BigDecimal(l.sql)
-              .setScale(decSpec(c.name)._2)
+              .setScale(decSpec(c.name)._2, java.math.RoundingMode.UNNECESSARY)
             (bd.toPlainString, lit(bd))
           }
           P(s"${c.name} IN (${picked.map(_._1).mkString(", ")})",
@@ -4897,8 +5189,8 @@ object FuzzGen {
           val s = decSpec(c.name)._2
           val i = rnd.nextInt(c.lits.length - 1)
           val j = i + 1 + rnd.nextInt(c.lits.length - i - 1)
-          val lo = new java.math.BigDecimal(c.lits(i).sql).setScale(s)
-          val hi = new java.math.BigDecimal(c.lits(j).sql).setScale(s)
+          val lo = new java.math.BigDecimal(c.lits(i).sql).setScale(s, java.math.RoundingMode.UNNECESSARY)
+          val hi = new java.math.BigDecimal(c.lits(j).sql).setScale(s, java.math.RoundingMode.UNNECESSARY)
           P(s"${c.name} BETWEEN ${lo.toPlainString} AND ${hi.toPlainString}",
             col(c.name).between(lit(lo), lit(hi)))
         case _ => // comparison against a scale-pinned literal

@@ -752,17 +752,26 @@ object FuzzQueries {
   // scale-preserving strings. Predicate literals are generated AT THE
   // COLUMN'S decSpec SCALE (plain decimal literals parse as DECIMAL in
   // both dialects), closing ADVICE r13's double-literal coercion
-  // fragility by construction). Whole 23001-23200 range verified against
-  // DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200 pass at each, r14, zero
-  // divergence first sweep); picks non-empty at sf0.001 and sf0.01, all
+  // fragility by construction. r15 ADVICE refinement: predicate columns
+  // draw only from tables NOT NULL-extended by a LEFT join — a
+  // three-valued WHERE over the extended side silently reduced LEFT to
+  // INNER — falling back to all-INNER kinds when no inner-side decimal
+  // exists; the three affected frozen seeds (23121, 23152, and 23095 →
+  // replaced by 23183, the re-draw left it empty) were re-rendered and
+  // the whole range re-swept). Whole 23001-23200 range verified against
+  // DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200 pass at each, r14;
+  // re-swept 200/200 at each after the r15 refreeze, zero divergence
+  // both times); picks non-empty at sf0.001 and sf0.01, all
   // genuine v31 draws, seed range 23001+ disjoint from every older slice
   // by construction. Decimal GROUP BY keys — decimal distinct-equality
   // in the hash aggregate, key rendered STRING: l_tax@(8,4) 9 groups
   // (23004), LEFT orders⋈customer on c_acctbal (23008), p_retailprice
   // 200→1000 (23012), l_quantity with cross-table sum(o_totalprice)
   // (23033), o_totalprice at full projection scale (23071), col-vs-col
-  // predicate feeding the group (23075), LEFT 3-chain col-vs-col on
-  // l_extendedprice (23095), events value@(12,4) (23122), BETWEEN-
+  // predicate feeding the group (23075), LEFT lineitem⋈orders grouping
+  // on the NULL-EXTENDED side's o_totalprice with a head-side pred — the
+  // post-restriction shape the r15 refreeze exists to test (23183),
+  // events value@(12,4) (23122), BETWEEN-
   // filtered c_acctbal 22→149 (23123), BETWEEN supplier growing 1→13
   // groups (23147). Decimal JOIN keys — every FK→PK edge CAST to
   // DECIMAL(18,s) with s drawn independently per side from {0,2,4}, so
@@ -771,21 +780,22 @@ object FuzzQueries {
   // supplier 3-chain 0/2/2/4 growing 1→20 (23011), cross-scale 4/0
   // (23014), LEFT customer 3-chain all-2s (23022), lineitem 3-chain
   // 4/0/4/0 (23023), BETWEEN + scale-2 edge (23041), scale-0/0 — the
-  // integer-rendered decimal key (23062), IN-list + LEFT + 0/4 edge
-  // (23121), LEFT lineitem⋈part at 0/0 (23190). Decimal comparison
+  // integer-rendered decimal key (23062), head-side IN-list + LEFT +
+  // 0/4 edge (23121), LEFT lineitem⋈part at 0/0 (23190). Decimal comparison
   // predicates at pinned scale: supplier >= literal (23001), two decimal
   // projections under one pred (23009), BETWEEN across the
   // orders⋈customer join (23021), BETWEEN + LEFT customer⋈nation
   // (23034), BETWEEN narrowing 38→612 (23048), events value 1→23 —
   // maximal selectivity pressure (23080), column-vs-column
   // o_totalprice vs c_acctbal cross-scale compare (23113), BETWEEN on
-  // lineitem with two rendered decimals (23136), LEFT 3-chain
-  // c_acctbal pred at 83→754 (23152). Rendered with query(seed, 31).
+  // lineitem with two rendered decimals (23136), LEFT lineitem⋈orders
+  // with two head-side decimal preds at 59→575 (23152). Rendered with
+  // query(seed, 31).
   val declaredSeedsV31: Seq[Int] =
     Seq(23001, 23003, 23004, 23007, 23008, 23009, 23011, 23012, 23014,
       23021, 23022, 23023, 23033, 23034, 23041, 23048, 23062, 23071,
-      23075, 23080, 23095, 23113, 23121, 23122, 23123, 23136, 23147,
-      23152, 23190)
+      23075, 23080, 23113, 23121, 23122, 23123, 23136, 23147,
+      23152, 23183, 23190)
 
   // Grammar-v32 slice (the documents ⋈ embeddings corpus edge — the one
   // table pair no other generated mode draws together: documents joins
@@ -857,6 +867,42 @@ object FuzzQueries {
       25038, 25042, 25043, 25061, 25062, 25069, 25094, 25108, 25110,
       25126)
 
+  // Grammar-v34 slice (JSON-path extraction — the one typed corpus surface
+  // with zero generated coverage until r15: events.props rode only the
+  // fixed f9/x5/f15/f28 entries. The get_json_object-vs-json_extract_string
+  // function-name split lives inside a v16-style dual-dialect FROM
+  // fragment; extracted values surface as plain STRING / TRY_CAST BIGINT
+  // columns so everything outside the fragment is ONE shared SQL text.
+  // Two sources: events.props DIRECT ({"k": int} — $.k int-cast plus a
+  // drawn absent key → NULL) and a CONSTRUCTED json view (string-concat
+  // document from corpus ints/enum strings with key "b" / array "e"
+  // missing on a (pk % m) = r stripe — genuine row-dependent missing-key
+  // NULLs; doubles never enter the text). Whole 26001-26200 range verified
+  // against DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200 pass at each,
+  // r15, zero divergence first sweep); picks non-empty at sf0.001 and
+  // sf0.01, all genuine v34 draws, seed range 26001+ disjoint from every
+  // older slice by construction. Direct props: $.k grouped (26006), keyed
+  // projections with $.zz/$.kk absent-key NULLs (26009, 26030, 26055),
+  // extracted-k IN-list predicates (26025, 26053). Constructed-events:
+  // nested j_d predicates (26001), full projection (26011), j_b IS NOT
+  // NULL + j_d (26012), array-element j_e AS GROUP key (26013 at 858
+  // groups, 26119 16→151 — sf-growing), string-vs-enum equality + nested
+  // pred (26144). Customer: projection (26004), j_e group keys with the
+  // genuine NULL group (26043), stripe selection j_e IS NULL AND j_b IS
+  // NULL (26045), j_b group key (26049), j_a >= lit AND j_b IS NULL
+  // (26078), j_a group key (26089), j_b = 'FURNITURE' (26197). Part:
+  // extracted-int pred (26005), projection (26018), j_b IS NOT NULL
+  // (26020), j_b >= 'Brand#44' string-range over extracted text (26038),
+  // two-pred IS-NOT-NULL + range (26041), j_e group (26061), j_a group
+  // (26133). Orders: projection (26029), j_e group (26035), j_a group at
+  // 150→1000 groups (26042), missing-key stripe j_b IS NULL (26126).
+  // Rendered with query(seed, 34).
+  val declaredSeedsV34: Seq[Int] =
+    Seq(26001, 26004, 26005, 26006, 26009, 26011, 26012, 26013, 26018,
+      26020, 26025, 26029, 26030, 26035, 26038, 26041, 26042, 26043,
+      26045, 26049, 26053, 26055, 26061, 26078, 26089, 26119, 26126,
+      26133, 26144, 26197)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -890,7 +936,8 @@ object FuzzQueries {
       declaredSeedsV30.map(s => s -> FuzzGen.query(s, 30)) ++
       declaredSeedsV31.map(s => s -> FuzzGen.query(s, 31)) ++
       declaredSeedsV32.map(s => s -> FuzzGen.query(s, 32)) ++
-      declaredSeedsV33.map(s => s -> FuzzGen.query(s, 33))).map { case (seed, g) =>
+      declaredSeedsV33.map(s => s -> FuzzGen.query(s, 33)) ++
+      declaredSeedsV34.map(s => s -> FuzzGen.query(s, 34))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -11,10 +11,12 @@ import graft.queries.TextQueries
   * integer) could render a different 4th decimal per engine and flip both
   * the tq_bm25 hash and the tq_bm25_topk cut. The three-SF oracle runs pin
   * agreement only empirically; this spec pins it STRUCTURALLY: every raw
-  * corpus score keeps a boundary margin ≥ 1e-6 — about five orders of
-  * magnitude above the ~1e-11 absolute ulp of an O(1-10) double — at every
-  * SF, so no achievable cross-engine ln() difference can flip a rendered
-  * score. Identical rounded scores also freeze the top-20 cut: both engines
+  * corpus score keeps a boundary margin ≥ 1e-6 in score·10⁴ units, i.e.
+  * ≥ 1e-10 in raw-score units — five orders of magnitude above the ~1e-15
+  * ulp of an O(1-10) double, and still orders above the few-ulp deltas
+  * non-correctly-rounded libm ln() implementations actually produce — at
+  * every SF, so no achievable cross-engine ln() difference can flip a
+  * rendered score. Identical rounded scores also freeze the top-20 cut: both engines
   * order by (bm25 DESC, doc_id ASC), and equal rounded scores tie-break on
   * the unique key. If the corpus regenerates and this fails, the fix is a
   * different rounding scale or query-term set, not an epsilon bump.

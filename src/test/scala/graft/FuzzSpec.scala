@@ -1013,6 +1013,63 @@ class FuzzSpec extends AnyFunSuite {
     assert(pred >= 15, s"three-valued-predicate shape under-drawn: $pred")
   }
 
+  test("grammar v34 (JSON-path extraction: props direct + constructed-JSON view, missing-key NULLs, extracted group keys/predicates): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var direct = 0; var proj = 0; var group = 0; var pred = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 34)
+      if (q.mode.startsWith("json")) {
+        // the extraction function name is the ONE dialect split: the duck
+        // text must never leak get_json_object, the spark text never
+        // json_extract_string
+        assert(q.sparkSqlOpt.isDefined,
+          s"v34 seed $seed: json query must carry a spark-dialect SQL")
+        assert(q.sql.contains("json_extract_string") &&
+            !q.sql.contains("get_json_object"),
+          s"v34 seed $seed: duck text has the wrong extraction fn: ${q.sql}")
+        assert(q.sparkSql.contains("get_json_object") &&
+            !q.sparkSql.contains("json_extract_string"),
+          s"v34 seed $seed: spark text has the wrong extraction fn")
+        q.mode.split(":")(1) match {
+          case "direct" => direct += 1
+          case "proj"   => proj += 1
+          case "group"  => group += 1
+          case "pred"   => pred += 1
+          case other    => fail(s"v34 seed $seed: unknown json shape $other")
+        }
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v34 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v34 seeds matched; $direct direct, $proj proj, $group group, $pred pred")
+    assert(direct >= 10, s"events.props direct source under-drawn: $direct")
+    assert(proj >= 10, s"constructed projection shape under-drawn: $proj")
+    assert(group >= 10, s"extracted-group-key shape under-drawn: $group")
+    assert(pred >= 10, s"extracted-predicate shape under-drawn: $pred")
+  }
+
+  test("decSpec literal pools: every dLit value's scale fits its column's DECIMAL scale") {
+    // ADVICE r14: decLit/vLit setScale(s, UNNECESSARY) throws
+    // ArithmeticException AT GENERATION TIME if a future literal-pool edit
+    // carries more decimals than the column's decSpec scale — which would
+    // brick every seed that draws it. Lint the pools statically instead of
+    // waiting for the sweep to explode.
+    FuzzGen.catalog.values.flatten.filter(c => FuzzGen.decSpec.contains(c.name))
+      .foreach { c =>
+        val s = FuzzGen.decSpec(c.name)._2
+        c.lits.foreach { l =>
+          val litScale = new java.math.BigDecimal(l.sql).stripTrailingZeros.scale
+          assert(litScale <= s,
+            s"${c.name}: literal ${l.sql} has scale $litScale > decSpec scale $s — " +
+              "setScale(RoundingMode.UNNECESSARY) will throw at generation time")
+        }
+      }
+  }
+
   test("corpus preconditions the generators assume: 64-wide NULL-free embeddings, NULL-free join-edge keys") {
     views
     import org.apache.spark.sql.functions._
@@ -1753,14 +1810,14 @@ class FuzzSpec extends AnyFunSuite {
     "fz23071" -> "2c676c19",
     "fz23075" -> "eb4910b1",
     "fz23080" -> "17b8210c",
-    "fz23095" -> "1fe602da",
     "fz23113" -> "ce14305b",
-    "fz23121" -> "c60d6116",
+    "fz23121" -> "8f75e903",
     "fz23122" -> "1faed1d1",
     "fz23123" -> "5f49d627",
     "fz23136" -> "bf258bdb",
     "fz23147" -> "3f36a1f9",
-    "fz23152" -> "3d670c4a",
+    "fz23152" -> "c3bebe1d",
+    "fz23183" -> "78d107b4",
     "fz23190" -> "f23434e6",
     "fz24001" -> "9baa5b94",
     "fz24002" -> "54d23ef6",
@@ -1818,7 +1875,37 @@ class FuzzSpec extends AnyFunSuite {
     "fz25094" -> "988e0bf2",
     "fz25108" -> "52ad929c",
     "fz25110" -> "d7e3d19b",
-    "fz25126" -> "4daef32b")
+    "fz25126" -> "4daef32b",
+    "fz26001" -> "3d3989fc",
+    "fz26004" -> "f3bcff7d",
+    "fz26005" -> "796d8c31",
+    "fz26006" -> "9e7a3044",
+    "fz26009" -> "4c679736",
+    "fz26011" -> "8a265a3a",
+    "fz26012" -> "f1a7dd50",
+    "fz26013" -> "3d31d926",
+    "fz26018" -> "c1812b15",
+    "fz26020" -> "f8b87626",
+    "fz26025" -> "cb1d89f9",
+    "fz26029" -> "5b46992b",
+    "fz26030" -> "70214967",
+    "fz26035" -> "908525af",
+    "fz26038" -> "812b7f30",
+    "fz26041" -> "b5de2bbc",
+    "fz26042" -> "b347c7d0",
+    "fz26043" -> "1f8dffe2",
+    "fz26045" -> "ac38c047",
+    "fz26049" -> "5abbcd5e",
+    "fz26053" -> "9075a1b1",
+    "fz26055" -> "4c679736",
+    "fz26061" -> "43dac331",
+    "fz26078" -> "069f1519",
+    "fz26089" -> "96f7376c",
+    "fz26119" -> "e94ebf00",
+    "fz26126" -> "6f904310",
+    "fz26133" -> "4886904c",
+    "fz26144" -> "051f2bfb",
+    "fz26197" -> "0a320041")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>

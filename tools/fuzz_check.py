@@ -56,8 +56,13 @@ def main(sfdir, dumpdir):
                       "cast the rendered surface to DOUBLE/STRING")
                 n_fail += 1
                 continue
-        except Exception as e:  # pragma: no cover - defensive
-            print(f"WARN {name}: decimal-type gate errored: {str(e)[:200]}")
+        except Exception as e:
+            # r14 advice: an errored gate must FAIL, not warn-and-proceed —
+            # the value compare below is structurally blind to the decimal
+            # rendering bug class this gate exists to catch.
+            print(f"FAIL {name}: decimal-type gate errored: {str(e)[:200]}")
+            n_fail += 1
+            continue
         if spark_rows != duck_rows:
             diffs = [(i, a, b) for i, (a, b) in
                      enumerate(zip(spark_rows, duck_rows)) if a != b]
