@@ -58,7 +58,26 @@ object StreamFuzzGen {
         * different code paths (StatefulProcessor vs hash aggregate), not
         * the same operator run twice.
         */
-      refBuild: Option[DataFrame => DataFrame] = None)
+      refBuild: Option[DataFrame => DataFrame] = None,
+      /** v4 only: the late-data draw for append-mode eviction seeds —
+        * (watermark delay minutes, window span minutes, stripe modulo m,
+        * stripe residue r, copies per dropped row). The spec derives the
+        * deterministic late/on-time partition from it: stripe rows sit a
+        * FULL window span (+1 min margin) below the final watermark so
+        * every window copy a stripe row explodes into is itself late —
+        * without the span cushion a sliding/tumbling copy ending past the
+        * watermark would legitimately survive and both the drop count and
+        * the output set would depend on grid alignment. `copies` is the
+        * per-input-row window multiplicity (size/slide for sliding, 1
+        * otherwise): numRowsDroppedByWatermark counts at the stateful
+        * operator's input, which sits AFTER the window explosion AND the
+        * map-side partial aggregation — in-task (window, key) collisions
+        * combine late copies before the counter sees them, so the metric
+        * is bounded by (0, |stripe| × copies], exact only collision-free
+        * (found empirically in the r15 sweep; the structural pin is that
+        * the stripe batch updates ZERO state rows).
+        */
+      lateDraw: Option[(Int, Int, Int, Int, Int)] = None)
 
   /** Window sizes in minutes; the sf0.001 events span ~days, so these give
     * from a handful to hundreds of windows.
@@ -150,6 +169,17 @@ object StreamFuzzGen {
     */
   def query(seed: Int, version: Int): StreamGenQuery = {
     val rnd = new Random(seed)
+    if (version >= 4) {
+      // v4 mode byte: APPEND-mode WATERMARK EVICTION (seeded late data) —
+      // the one streaming semantic v1-v3 could not touch: they run in
+      // complete/update modes where the watermark neither drops input nor
+      // finalizes windows. Versions ≤ 3 never take this draw;
+      // fall-through continues into the v3 dispatch with the advanced rnd
+      // state.
+      val m4 = rnd.nextInt(10)
+      if (m4 < 5) return ldQuery(seed, rnd)
+      // else: fall through to the v3 dispatch with the advanced rnd state
+    }
     if (version >= 3) {
       // v3 mode byte: ARBITRARY STATE (transformWithState, the ST6
       // surface — the one streaming op outside this generator's reach
@@ -309,6 +339,94 @@ object StreamFuzzGen {
     StreamGenQuery(seed, "tws",
       s"tws $modeName, $keyDesc, monotone-n final-state compare",
       "none", build, refBuild = Some(ref))
+  }
+
+  /** v4 dedicated variant: APPEND-mode watermark eviction under seeded
+    * late data. Window geometry / keys / aggregates draw from the v1
+    * pools; the delay draws SMALL (30 min - 6 h against the corpus's
+    * ~30-day event-time span, so most windows close) and the seed draws a
+    * late stripe: `event_id % m = r` among rows with
+    * `ts < maxTs − delay − windowSpan − 1 min` — a full window span below
+    * the final watermark, so EVERY window copy a stripe row explodes into
+    * ends before the watermark (the drop is total, never a grid-alignment
+    * case), with a minute of margin so no decision sits on a boundary.
+    * The SPEC's delivery protocol makes the dropped set exactly
+    * the stripe, deterministic under any cut placement:
+    *   - on-time rows (everything off the stripe) are delivered in
+    *     event-time-ASCENDING order across the seeded cuts — ascending ⇒
+    *     every batch's rows are at or ahead of the watermark the previous
+    *     batch established ⇒ zero on-time drops;
+    *   - then the stripe, shuffled — the watermark is already
+    *     maxTs − delay, every stripe row is strictly older ⇒ all dropped
+    *     (and the watermark never regresses).
+    * Expected output: the batch build over ON-TIME rows restricted to
+    * windows with `w_end ≤ maxTs − delay` (append mode only emits
+    * finalized windows; later windows are still open when the stream
+    * stops). Eviction is pinned structurally (the stripe batch updates
+    * ZERO state rows) plus a bounded numRowsDroppedByWatermark check —
+    * see [[StreamGenQuery.lateDraw]]. Window ends sit on the
+    * minute grid (sessions on the microsecond grid of last-event + gap)
+    * while the watermark carries the corpus max ts's microsecond offset,
+    * so `w_end = watermark` ties cannot occur and the ≤ filter is
+    * unambiguous.
+    */
+  private def ldQuery(seed: Int, rnd: Random): StreamGenQuery = {
+    val shape = rnd.nextInt(3)
+    val size = sizesMin(rnd.nextInt(sizesMin.length))
+    val divisors = Vector(2, 3, 4).filter(size % _ == 0)
+    val slide = size / divisors(rnd.nextInt(divisors.length))
+    val gap = sessionGapsMin(rnd.nextInt(sessionGapsMin.length))
+    val delayMin = Vector(30, 60, 180, 360)(rnd.nextInt(4))
+    val keyDraw0 = rnd.nextInt(3)
+    // session_window global aggregation is unsupported (see queryBody)
+    val keyDraw = if (shape == 2 && keyDraw0 == 0) 1 else keyDraw0
+    val km = 2 + rnd.nextInt(5)
+    val m = 4 + rnd.nextInt(5)
+    val r = rnd.nextInt(m)
+    val aggs = aggPool(rnd)
+
+    val (shapeName, winDesc) = shape match {
+      case 0 => ("tumbling", s"window($size min)")
+      case 1 => ("sliding", s"window($size min, slide $slide min)")
+      case _ => ("session", s"session_window(gap $gap min)")
+    }
+    val keyDesc = keyDraw match {
+      case 0 => "no extra key"
+      case 1 => "key=event_type"
+      case _ => s"key=user_id%$km"
+    }
+    val build = (df0: DataFrame) => {
+      val df = df0.withColumn("ts", col("ts").cast(TimestampType))
+        .withWatermark("ts", s"$delayMin minutes")
+      val winCol: Column = shape match {
+        case 0 => window(col("ts"), s"$size minutes")
+        case 1 => window(col("ts"), s"$size minutes", s"$slide minutes")
+        case _ => session_window(col("ts"), s"$gap minutes")
+      }
+      val winName = if (shape == 2) "session_window" else "window"
+      val keyCols: Seq[Column] = keyDraw match {
+        case 0 => Nil
+        case 1 => Seq(col("event_type").as("k0"))
+        case _ => Seq(pmod(col("user_id"), lit(km)).cast("long").as("k0"))
+      }
+      val grouped = df.groupBy((winCol +: keyCols): _*)
+        .agg(aggs.head._2.as(aggs.head._1),
+          aggs.tail.map { case (n, c) => c.as(n) }: _*)
+      val outCols =
+        Seq(col(s"$winName.start").as("w_start"),
+          col(s"$winName.end").as("w_end")) ++
+          keyCols.indices.map(i => col(s"k$i")) ++
+          aggs.map { case (n, _) => col(n) }
+      grouped.select(outCols: _*)
+    }
+
+    val spanMin = if (shape == 2) gap else size
+    val copies = if (shape == 1) size / slide else 1
+    StreamGenQuery(seed, "latedrop",
+      s"latedrop $shapeName $winDesc, $keyDesc, watermark $delayMin min, " +
+        s"late stripe event_id%$m=$r, aggs=[${aggs.map(_._1).mkString(",")}]",
+      s"$delayMin minutes", build,
+      lateDraw = Some((delayMin, spanMin, m, r, copies)))
   }
 
   private def queryBody(seed: Int, rnd: Random): StreamGenQuery = {

@@ -394,6 +394,63 @@ object TextQueries {
              |  + ln((CAST(n - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5) + 1.0) * (CAST(tf3 AS DOUBLE) * 2.2 / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
              |  ) * 10000 + 0.5) / 10000 AS bm25
              |FROM d, st ORDER BY bm25 DESC NULLS LAST, doc_id ASC LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "tq_unigram_llk",
+      "TQ9: corpus-unigram log-likelihood quality score (the CCNet-style " +
+        "LM filter: documents whose tokens are improbable under the " +
+        "corpus's own unigram model score high cross-entropy and get " +
+        "culled). Determinism shape: ln() is taken ONCE per distinct " +
+        "vocabulary count and immediately quantized to exact integer " +
+        "micro-nats — floor(ln(cnt)·1e6) AS BIGINT — so every per-document " +
+        "accumulation is an INTEGER sum (order-free, engine-identical; the " +
+        "x15/x20 rule: never accumulate floats across rows). The final " +
+        "per-token average is one correctly-rounded divide of two exact " +
+        "integers, bit-identical cross-engine; Tq9BoundarySpec pins that " +
+        "no ln(cnt)·1e6 sits within 1e-6 of an integer at any SF, so no " +
+        "achievable cross-engine ln() ulp can flip a floor. Scale: two " +
+        "token-stream shuffles (vocab build, per-doc aggregate) + one " +
+        "vocabulary equality join (AQE-broadcast at tested SFs, shuffled " +
+        "hash at web scale) + a 1-row broadcast total — linear, no " +
+        "all-pairs, no driver collect.",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("token"))
+        val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        val vl = vocab.select(col("token"),
+          floor(log(col("cnt").cast(DoubleType)) * 1000000).cast(LongType)
+            .as("lmicro"))
+        val tot = vocab.agg(
+          floor(log(sum(col("cnt")).cast(DoubleType)) * 1000000)
+            .cast(LongType).as("ltot"))
+        tok.join(vl, "token")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("dl"), sum(col("lmicro")).as("lsum"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("dl"),
+            (col("dl") * col("ltot") - col("lsum")).as("xent_micro"),
+            round((col("dl") * col("ltot") - col("lsum")).cast(DoubleType)
+              / (col("dl").cast(DoubleType) * lit(1000000.0)), 4).as("xent"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |vocab AS (
+             |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+             |vl AS (
+             |  SELECT token, CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS lmicro
+             |  FROM vocab),
+             |tot AS (
+             |  SELECT CAST(floor(ln(CAST(sum(cnt) AS DOUBLE)) * 1000000) AS BIGINT) AS ltot
+             |  FROM vocab),
+             |agg AS (
+             |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS dl,
+             |    CAST(sum(v.lmicro) AS BIGINT) AS lsum
+             |  FROM tok t JOIN vl v USING (token) GROUP BY t.doc_id)
+             |SELECT doc_id, dl, CAST(dl * ltot - lsum AS BIGINT) AS xent_micro,
+             |  floor((CAST(dl * ltot - lsum AS DOUBLE)
+             |    / (CAST(dl AS DOUBLE) * 1000000.0)) * 10000 + 0.5) / 10000 AS xent
+             |FROM agg, tot ORDER BY doc_id""".stripMargin)
     )
   )
 }

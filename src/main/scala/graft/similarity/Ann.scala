@@ -125,8 +125,10 @@ object Ann {
   // Random 64-dim vectors are the adversarial case for hyperplane LSH
   // (cosines concentrate near 0, so "near" neighbors barely separate from
   // the bulk); shorter codes + more OR-ed tables trade candidate count for
-  // recall. 6 bits × 8 tables ≈ n/8 candidates per query at recall ~0.4-0.6
-  // on this corpus; structured embeddings do far better at the same cost.
+  // recall. 6 bits × 8 tables × 3 query-side probes ≈ 3n/8 candidates per
+  // query at recall 0.65 on this corpus (AnnSpec, r15 — 0.38 single-probe);
+  // structured embeddings reach ≥0.9 at the same cost (planted-cluster
+  // gate).
   val NumPlanes = 6  // bits per table → 64 buckets
   val NumTables = 8  // OR-amplification: candidate if ANY table collides
 
@@ -156,14 +158,49 @@ object Ann {
     array((0 until NumTables).map(t =>
       struct(lit(t).as("t"), lshBucket(e, t).as("b"))): _*)
 
-  /** Approximate top-k: candidates = any-table bucket collision (ids only
-    * through the join), then exact cosine rank on the deduped candidate set.
-    * At scale this is the whole point: the join is an equality shuffle on
-    * (table, bucket), never an all-pairs scan.
+  /** Query-side probes per table (multi-probe LSH, Lv et al. VLDB'07):
+    * the exact bucket PLUS the buckets reached by flipping the
+    * `nProbe - 1` sign bits with the smallest projection magnitude — the
+    * bits most likely to differ for a true neighbor sitting just across a
+    * hyperplane. Query-side only: the corpus is still indexed at ONE
+    * bucket per table (no extra index storage or corpus shuffle width),
+    * and candidates grow by at most nProbe× — the standard recall knob
+    * that does NOT touch the index.
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  val LshProbes = 3
+  private def tableProbes(e: Column, table: Int, nProbe: Int): Seq[Column] = {
+    val js = (table * NumPlanes until (table + 1) * NumPlanes).toSeq
+    val projs = js.map(j =>
+      graft.expressions.VectorExpressions.dotF(e, typedLit(planeVec(j))))
+    val bucket = projs.foldLeft(lit(0L)) { (acc, p) =>
+      acc * 2 + when(p > 0, 1L).otherwise(0L)
+    }
+    // bit drawn i-th (0-based) carries weight 2^(NumPlanes-1-i) in the
+    // fold above; sort ascending by |projection| to find the flips
+    val weighted = projs.zipWithIndex.map { case (p, i) =>
+      struct(abs(p).as("m"), lit(1L << (NumPlanes - 1 - i)).as("w"))
+    }
+    val sorted = sort_array(array(weighted: _*))
+    bucket +: (1 until nProbe).map(i =>
+      bucket.bitwiseXOR(element_at(sorted, i).getField("w")))
+  }
+
+  /** Query-side (table, bucket) probe pairs: NumTables × LshProbes. */
+  private def probePairs(e: Column, nProbe: Int): Column =
+    array((0 until NumTables).flatMap(t =>
+      tableProbes(e, t, nProbe).map(b =>
+        struct(lit(t).as("t"), b.as("b")))): _*)
+
+  /** Approximate top-k: candidates = any-table bucket collision (ids only
+    * through the join) with query-side multi-probe, then exact cosine rank
+    * on the deduped candidate set. At scale this is the whole point: the
+    * join is an equality shuffle on (table, bucket), never an all-pairs
+    * scan, and multi-probe widens only the query side of it.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nProbe: Int = LshProbes): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      explode(bucketPairs(col("embedding"))).as("tb"))
+      explode(probePairs(col("embedding"), nProbe)).as("tb"))
     val c = corpus.select(col("vec_id").as("vid"),
       explode(bucketPairs(col("embedding"))).as("tb"))
     val candidates = c.join(broadcast(q.select(col("qid"), col("tb"))), Seq("tb"))

@@ -308,7 +308,7 @@ object Ivf {
     * flat-path indexes; a two-level index's `centroids` array works here
     * too but embeds k literals — prune via `topCentroids` first at large k.)
     */
-  def ivfTopK(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+  def ivfTopK(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
       explode(probeCells(col("embedding"), index.centroids, nProbe)).as("cell"))
     val cos = VectorExpressions.cosineF(col("qe"), col("ve"))

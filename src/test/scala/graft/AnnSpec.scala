@@ -41,30 +41,32 @@ class AnnSpec extends AnyFunSuite {
     val approx = Ann.lshTopK(queries, emb, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // Corpus, hyperplanes, and tie-breaks are all deterministic, so recall
-    // is a stable number (measured 0.38 on this corpus) — gate it at
+    // is a stable number (measured 0.65 on this corpus with query-directed
+    // multi-probe ×3, r15 — up from 0.38 single-probe) — gate it at
     // measured − 0.1 (r11 verdict item #6: a 0.2 floor would pass a badly
     // broken index).
     assert(approx.nonEmpty)
     val recall = exact.intersect(approx).size.toDouble / exact.size
     info(s"recall@5 = $recall")
-    assert(recall >= 0.28,
-      s"LSH recall regressed below measured-minus-margin (0.38 - 0.1): $recall")
+    assert(recall >= 0.55,
+      s"LSH recall regressed below measured-minus-margin (0.65 - 0.1): $recall")
   }
 
   test("IVF top-k: valid structure and recall competitive with probing rate") {
     val queries = emb.where(col("vec_id") < 20)
     val index = graft.similarity.Ivf.build(emb, nCells = 8)
-    val approx = graft.similarity.Ivf.ivfTopK(index, queries, k = 5, nProbe = 2)
+    val approx = graft.similarity.Ivf.ivfTopK(index, queries, k = 5, nProbe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(approx.nonEmpty)
     val exact = Ann.bruteForceTopK(queries, emb, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    info(s"ivf recall@5 = $recall (2/8 cells probed)")
-    // deterministic k-means seed + corpus → stable recall (measured 0.48);
-    // floor = measured − 0.1 (r11 verdict item #6)
-    assert(recall >= 0.38,
-      s"IVF recall regressed below measured-minus-margin (0.48 - 0.1): $recall")
+    info(s"ivf recall@5 = $recall (3/8 cells probed)")
+    // deterministic k-means seed + corpus → stable recall (measured 0.60
+    // at nProbe=3, r15 — up from 0.48 at nProbe=2); floor = measured − 0.1
+    // (r11 verdict item #6)
+    assert(recall >= 0.5,
+      s"IVF recall regressed below measured-minus-margin (0.60 - 0.1): $recall")
   }
 
   test("allPairsTopN: blocked grid covers every pair exactly once (multi-block == single-block == local reference)") {

@@ -186,6 +186,122 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** Append-mode delivery for the v4 late-drop draws: returns the sink's
+    * appended rows, the total numRowsDroppedByWatermark across every
+    * progress event, and the state rows UPDATED by the final data batch
+    * (the stripe batch — zero iff eviction was total).
+    */
+  private def streamedAppend(chunks: Seq[Seq[CutFuzzEvent]],
+                             q: DataFrame => DataFrame): (Seq[String], Long, Long) = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[CutFuzzEvent]
+    val name = "streamfz_ld_" + System.nanoTime()
+    val query = q(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val (dropped, lastUpdated) =
+      try {
+        chunks.foreach { c =>
+          mem.addData(c)
+          query.processAllAvailable()
+        }
+        val progress = query.recentProgress
+        val d = progress
+          .map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+        val u = progress.filter(_.numInputRows > 0).lastOption
+          .map(_.stateOperators.map(_.numRowsUpdated).sum).getOrElse(-1L)
+        (d, u)
+      } finally query.stop()
+    val rows = spark.table(name).collect().map(_.toString).sorted.toSeq
+    spark.catalog.dropTempView(name)
+    (rows, dropped, lastUpdated)
+  }
+
+  test(s"v4: append-mode watermark eviction over seeds 1..$nSeeds: " +
+    "emitted windows ≡ batch over on-time rows ∧ drop count ≡ late stripe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val maxTs = allEvents.map(_.ts).max
+    var ld = 0; var shapes = Map.empty[String, Int].withDefaultValue(0)
+    (1 to nSeeds).foreach { seed =>
+      val g = StreamFuzzGen.query(seed, 4)
+      if (g.shape == "latedrop") {
+        ld += 1
+        val (delayMin, spanMin, m, r, copies) = g.lateDraw.get
+        val wmCut = maxTs.minusMinutes(delayMin)
+        val lateCutoff = wmCut.minusMinutes(spanMin + 1)
+        val (stripe, onTime0) = allEvents.partition(e =>
+          e.ts.isBefore(lateCutoff) && e.event_id % m == r)
+        assert(stripe.nonEmpty,
+          s"v4 seed $seed (${g.desc}): empty late stripe — weak evidence")
+        // on-time rows in event-time-ascending order across seeded cuts:
+        // ascending ⇒ no on-time row ever falls behind the watermark a
+        // previous batch established ⇒ the dropped set is EXACTLY the
+        // stripe regardless of where the cut boundaries land
+        val onTime = onTime0.sortBy(e => (e.ts, e.event_id))
+        val rnd = new Random(seed)
+        val k = 2 + rnd.nextInt(3)
+        val points = Seq.fill(k - 1)(1 + rnd.nextInt(onTime.length - 1))
+          .distinct.sorted
+        val bounds = (0 +: points) :+ onTime.length
+        val chunks = bounds.sliding(2)
+          .map { case Seq(a, b) => onTime.slice(a, b) }.toSeq :+
+          rnd.shuffle(stripe)
+        val (got, dropped, stripeUpdated) = streamedAppend(chunks, g.build)
+        // expected: batch over on-time rows, restricted to the windows the
+        // final watermark (maxTs − delay) has closed. The restriction MUST
+        // happen on the MATERIALIZED aggregate output: w_end is part of
+        // the session_window grouping expression, so Catalyst pushes a
+        // `w_end <= T` filter BELOW the aggregation — which for session
+        // windows filters the PRE-MERGE per-row candidate sessions
+        // ([ts, ts+gap)) and silently truncates merged sessions (found by
+        // this suite's first run: seed 15's batch reference lost rows
+        // 996-999 of a chained session and reported a session end the
+        // stream correctly never emits). Collect first, then filter over
+        // the materialized rows where no aggregate sits below the filter.
+        val full = g.build(onTime.toDF())
+        val fullRows = full.collect()
+        val want = spark.createDataFrame(
+            spark.sparkContext.parallelize(fullRows.toSeq), full.schema)
+          .where(col("w_end") <= to_timestamp(lit(wmCut.format(fmt))))
+          .collect().map(_.toString).sorted.toSeq
+        assert(want.nonEmpty,
+          s"v4 seed $seed (${g.desc}): no closed windows — weak evidence")
+        assert(got == want,
+          s"v4 seed $seed (${g.desc}) diverged from batch-over-on-time: " +
+            s"${got.length} vs ${want.length} rows; first diff " +
+            s"${got.zipAll(want, "<missing>", "<missing>")
+              .find { case (a, b) => a != b }}")
+        // Eviction pins. The STRUCTURAL one: the stripe batch wrote ZERO
+        // state rows — no late copy entered any group, partition layout
+        // notwithstanding. The metric one is bounded, not exact:
+        // numRowsDroppedByWatermark counts at the stateful operator's
+        // input, which sits AFTER the map-side partial aggregation, so
+        // two late copies landing in the same (window, key) group within
+        // one task combine into ONE counted row (found empirically, seed
+        // 4: 498 window copies, one in-partition collision, metric 497,
+        // state untouched). The count is a partition-collision-dependent
+        // quantity in (0, |stripe| × copies]; the upper bound is exact
+        // when no in-task collision occurs.
+        assert(stripeUpdated == 0L,
+          s"v4 seed $seed (${g.desc}): the late stripe batch UPDATED " +
+            s"$stripeUpdated state rows — late rows entered state")
+        assert(dropped > 0L && dropped <= stripe.size.toLong * copies,
+          s"v4 seed $seed (${g.desc}): numRowsDroppedByWatermark $dropped " +
+            s"outside (0, ${stripe.size} × $copies]")
+        shapes = shapes.updated(g.desc.split(" ")(1),
+          shapes(g.desc.split(" ")(1)) + 1)
+      }
+    }
+    info(s"$ld latedrop seeds converged; per-shape: $shapes")
+    assert(ld >= nSeeds / 3, s"latedrop variant starved: $ld")
+    Seq("tumbling", "sliding", "session").foreach { s =>
+      assert(shapes(s) >= nSeeds / 15, s"latedrop $s starved: $shapes")
+    }
+  }
+
   test(s"$nSeeds generated windowed aggregations: stream over cut " +
     "permutations ≡ batch") {
     import spark.implicits._
