@@ -867,7 +867,7 @@ object FuzzGen {
     * (r12 advice: the hand-maintained Seq in FuzzDump stopped at 20 while
     * v21–v23 existed). Bump together with each new mode-byte branch below.
     */
-  val maxVersion: Int = 34
+  val maxVersion: Int = 35
 
   def query(seed: Int): GenQuery = query(seed, 1)
 
@@ -879,6 +879,17 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 35) {
+      // v35 mode byte: collation portability — ORDER BY / GROUP BY /
+      // min-max / comparison predicates over constructed non-ASCII and
+      // mixed-case strings (both engines claim binary UTF-8 order; until
+      // v35 that was unpinned — VERDICT r14 #8). Versions ≤ 34 never take
+      // this draw; fall-through continues into the v34 dispatch with the
+      // advanced rnd state.
+      val m35 = rnd.nextInt(10)
+      if (m35 < 7) return collationQuery(seed, rnd, version)
+      // else: fall through to the v34 dispatch with the advanced rnd state
+    }
     if (version >= 34) {
       // v34 mode byte: JSON-path extraction (events.props direct + a
       // constructed-JSON derived view) — the get_json_object vs
@@ -5090,6 +5101,253 @@ object FuzzGen {
             },
             sparkSqlOpt = Some(sqlFor(fragSpark)), mode = s"json:pred:$t")
       }
+    }
+  }
+
+  /** v35's collation fragment pool — every Unicode shape where a binary
+    * (code-unit / byte) order and a collation-aware order VISIBLY differ,
+    * written as \\u escapes because the build runs under a POSIX locale
+    * (scalac's source charset follows file.encoding; raw UTF-8 literals
+    * would mis-compile silently). `caseSafe = false` marks the one probed
+    * upper/lower divergence: Spark (java.lang.String semantics) maps
+    * U+00DF LATIN SMALL LETTER SHARP S to "SS" while DuckDB (utf8proc)
+    * maps it to U+1E9E LATIN CAPITAL LETTER SHARP S — so case functions
+    * are never drawn over a pool containing it. Everything else was
+    * probed IDENTICAL across the two engines (upper/lower over Latin-1 /
+    * Greek / Cyrillic / full-width, code-point length/substr, unsigned
+    * byte-wise comparison and LIKE).
+    */
+  private final case class CollFrag(s: String, caseSafe: Boolean = true)
+  private val collFrags: Vector[CollFrag] = Vector(
+    CollFrag(""),                        // empty prefix: shortest-string boundary
+    CollFrag(" sp"),                     // leading space (0x20, lowest printable)
+    CollFrag("A1"), CollFrag("Z~"),      // ASCII upper + highest printable 0x7E
+    CollFrag("apple"), CollFrag("APPLE"),// ASCII case pair ('A' 0x41 < 'a' 0x61)
+    CollFrag("zebra"),                   // highest ASCII lower block
+    CollFrag("\u00C1baco"),              // Á: Latin-1, 2-byte UTF-8 0xC3 0x81
+    CollFrag("\u00C9cole"),              // É / é case pair: binary-DISTINCT,
+    CollFrag("\u00E9cole"),              //   case-fold-EQUAL groups
+    CollFrag("e\u0301cole"),             // DECOMPOSED e+U+0301 ≠ precomposed é
+    CollFrag("\u00FCber"),               // ü 0xC3 0xBC (top of Latin-1)
+    CollFrag("stra\u00DFe", caseSafe = false), // ß: upper() diverges (doc above)
+    CollFrag("\u03B1\u03B2"),            // Greek αβ / Αβ case pair
+    CollFrag("\u0391\u03B2"),
+    CollFrag("\u041C\u043E\u0441"),      // Cyrillic Мос
+    CollFrag("\u4E2D\u6587"),            // CJK 中文 (3-byte UTF-8 0xE4..)
+    CollFrag("\u65E5\u672C"),            // 日本 (0xE6..)
+    CollFrag("\uD55C\uAD6D"),            // Hangul 한국 (0xED.. — above CJK)
+    CollFrag("\uFF11\uFF12"),            // full-width digits １２ (0xEF..)
+    CollFrag("\uFF21b"),                 // full-width Ａ + ASCII tail
+    CollFrag("\uD83C\uDF89p"))           // 🎉: supplementary plane, 4-byte 0xF0
+
+  /** Named code points of the sensitive pool entries, for FuzzSpec's
+    * encoding canary (the pool is \\u-escaped in source precisely because
+    * the build's locale is POSIX; the canary fails loudly if a future
+    * re-encoding ships mojibake that both query renderings would agree on).
+    */
+  private[graft] def collationCanary: Map[String, Int] = Map(
+    "latin1Upper" -> collFrags(7).s.codePointAt(0),          // A-acute
+    "decomposedSecondCp" -> collFrags(10).s.codePointAt(1),  // U+0301
+    "sharpS" -> collFrags(12).s.codePointAt(4),              // U+00DF
+    "cjk" -> collFrags(16).s.codePointAt(0),                 // U+4E2D
+    "hangul" -> collFrags(18).s.codePointAt(0),              // U+D55C
+    "fullwidth" -> collFrags(19).s.codePointAt(0),           // U+FF11
+    "emoji" -> collFrags(21).s.codePointAt(0))               // U+1F389
+
+  /** Unsigned UTF-8 byte order — the order BOTH engines implement for
+    * string comparison (verified by probe and pinned by every v35 sweep).
+    * Used at GENERATION time to draw BETWEEN bounds lo < hi.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** v35 dedicated mode: COLLATION portability — string ORDERING as data.
+    * Both engines document binary (unsigned UTF-8 byte-wise) string
+    * comparison, and the driver's hasher compares rows POSITIONALLY, so
+    * ORDER BY over non-ASCII / mixed-case keys is a genuine differential
+    * surface that no older grammar touches (every corpus string pool is
+    * plain ASCII). The constructed view maps (pk % m) through a drawn
+    * subset of [[collFrags]] and CONCATENATES a corpus string column (and
+    * the frags cover 1/2/3/4-byte UTF-8 leads, case pairs, decomposed
+    * combining marks, full-width forms and the empty string), optionally
+    * NULLing one residue class so the NULLS FIRST/LAST discipline rides
+    * the same draw.
+    *
+    * TWO probed engine facts shape the construction — both documented
+    * here because they are the kind of silent divergence this grammar
+    * exists to quarantine:
+    *   - a sort key that is DIRECTLY the output of a CASE whose THEN
+    *     branches are string literals comes back from DuckDB 1.0.0 in
+    *     SIGNED-byte order (non-ASCII block first; flat computed vectors
+    *     and parquet-scanned columns sort correctly unsigned — plausibly
+    *     its dictionary-vector sort path). Every v35 key is therefore
+    *     concat-DERIVED (`CASE .. END || col`), never a bare CASE output
+    *     — which the uniqueness construction wants anyway;
+    *   - upper('straße') is 'STRASSE' in Spark but 'STRAẞE' in
+    *     DuckDB (see [[collFrags]]), so the case-function shape draws
+    *     from the caseSafe pool only.
+    *
+    * Five sub-shapes: (0) total ORDER BY over the collation key ±
+    * direction with code-point length/substr projections; (1) the
+    * collation key as GROUP BY key, ordered; (2) min/max/count-DISTINCT
+    * of the key, grouped by an ASCII dim; (3) byte-order predicates
+    * (>=, <, BETWEEN with generation-time utf8-ordered bounds, LIKE
+    * prefix/contains, IS [NOT] NULL); (4) case-fold grouping by
+    * lower(key) (merges the É/é-prefixed groups) or ordering by
+    * upper(key).
+    */
+  private def collationQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val bases = Vector(
+      ("customer", "c_custkey", "c_mktsegment"),
+      ("orders", "o_orderkey", "o_orderpriority"),
+      ("part", "p_partkey", "p_brand"),
+      ("events", "event_id", "event_type"),
+      ("documents", "doc_id", "lang"))
+    val (t, pk, src) = bases(rnd.nextInt(bases.length))
+    val shape = rnd.nextInt(5)
+    val pool = if (shape == 4) collFrags.filter(_.caseSafe) else collFrags
+    val m = 8 + rnd.nextInt(7) // 8..14 residue classes
+    val frags = rnd.shuffle(pool).take(m)
+    val nullIdx = if (rnd.nextInt(2) == 0) Some(rnd.nextInt(m)) else None
+    val prefix = rnd.nextInt(4) > 0 // 3:1 prefix (frag leads the key bytes)
+
+    // ---- the shared-dialect derived view: cs = frag-CASE || src ----
+    val branches = frags.zipWithIndex.map { case (f, i) =>
+      if (nullIdx.contains(i)) s"WHEN $i THEN NULL"
+      else s"WHEN $i THEN '${f.s}'"
+    }.mkString(" ")
+    val caseSql = s"CASE ($pk % $m) $branches END"
+    val csSql = if (prefix) s"$caseSql || $src" else s"$src || $caseSql"
+    val frag =
+      s"(SELECT $pk AS pk, $csSql AS cs, $src AS sv FROM $t) $t"
+    def load(s: SparkSession, d: String): DataFrame = {
+      var cc: Column = null
+      frags.zipWithIndex.foreach { case (f, i) =>
+        val v =
+          if (nullIdx.contains(i)) lit(null).cast("string") else lit(f.s)
+        cc = if (cc == null) when((col(pk) % m) === i, v)
+             else cc.when((col(pk) % m) === i, v)
+      }
+      val cs = if (prefix) concat(cc, col(src)) else concat(col(src), cc)
+      loadFuzzTable(s, d, t)
+        .select(col(pk).as("pk"), cs.as("cs"), col(src).as("sv"))
+    }
+    // explicit two-engine direction rendering (Spark defaults NULLS FIRST
+    // for ASC, DuckDB NULLS LAST — the grammar-wide rule)
+    val desc = rnd.nextInt(2) == 1
+    val dirSql = if (desc) "DESC NULLS LAST" else "ASC NULLS FIRST"
+    def dirCol(c: Column) = if (desc) c.desc_nulls_last else c.asc_nulls_first
+
+    shape match {
+      case 0 => // total ORDER BY the collation key; length/substr ride along
+        val sql =
+          s"SELECT pk AS k0, cs AS c0, CAST(length(cs) AS BIGINT) AS c1, " +
+            s"substr(cs, 1, 3) AS c2 FROM $frag " +
+            s"ORDER BY c0 $dirSql, k0 ASC NULLS FIRST LIMIT 1000"
+        GenQuery(seed, sql,
+          (s, d) => load(s, d).select(
+            col("pk").as("k0"), col("cs").as("c0"),
+            length(col("cs")).cast("long").as("c1"),
+            substring(col("cs"), 1, 3).as("c2"))
+            .orderBy(dirCol(col("c0")), col("k0").asc_nulls_first)
+            .limit(1000),
+          mode = s"coll:order:$t")
+
+      case 1 => // the collation key AS the GROUP BY key, ordered
+        val sql =
+          s"SELECT cs AS k0, count(*) AS n, min(sv) AS mn, max(sv) AS mx " +
+            s"FROM $frag GROUP BY cs ORDER BY k0 $dirSql LIMIT 1000"
+        GenQuery(seed, sql,
+          (s, d) => load(s, d).groupBy(col("cs"))
+            .agg(count(lit(1)).as("n"), min(col("sv")).as("mn"),
+              max(col("sv")).as("mx"))
+            .select(col("cs").as("k0"), col("n"), col("mn"), col("mx"))
+            .orderBy(dirCol(col("k0"))).limit(1000),
+          mode = s"coll:group:$t")
+
+      case 2 => // min/max/count-DISTINCT of the key, grouped by an ASCII dim
+        val sql =
+          s"SELECT sv AS k0, min(cs) AS mn, max(cs) AS mx, " +
+            s"count(DISTINCT cs) AS nd FROM $frag " +
+            s"GROUP BY sv ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+        GenQuery(seed, sql,
+          (s, d) => load(s, d).groupBy(col("sv"))
+            .agg(min(col("cs")).as("mn"), max(col("cs")).as("mx"),
+              countDistinct(col("cs")).as("nd"))
+            .select(col("sv").as("k0"), col("mn"), col("mx"), col("nd"))
+            .orderBy(col("k0").asc_nulls_first).limit(1000),
+          mode = s"coll:minmax:$t")
+
+      case 3 => // byte-order predicates over the key
+        val lits = frags.zipWithIndex
+          .filterNot { case (_, i) => nullIdx.contains(i) }
+          .map(_._1.s).filter(_.nonEmpty)
+        def pick(): String = lits(rnd.nextInt(lits.length))
+        val pred: P = rnd.nextInt(6) match {
+          case 0 =>
+            val l = pick(); P(s"cs >= '$l'", col("cs") >= l)
+          case 1 =>
+            val l = pick(); P(s"cs < '$l'", col("cs") < l)
+          case 2 =>
+            val a = pick(); val b = pick()
+            if (a == b) P(s"cs = '$a'", col("cs") === a)
+            else {
+              val (lo, hi) = if (utf8Lt(a, b)) (a, b) else (b, a)
+              P(s"cs BETWEEN '$lo' AND '$hi'", col("cs").between(lo, hi))
+            }
+          case 3 if prefix =>
+            val l = pick(); P(s"cs LIKE '$l%'", col("cs").like(s"$l%"))
+          case 3 =>
+            // first CODE POINT (charAt would split the emoji frag's
+            // surrogate pair into invalid UTF-8 inside the SQL text)
+            val f = pick()
+            val ch = new String(Character.toChars(f.codePointAt(0)))
+            P(s"cs LIKE '%$ch%'", col("cs").like(s"%$ch%"))
+          case 4 => P("cs IS NULL", col("cs").isNull)
+          case _ => P("cs IS NOT NULL", col("cs").isNotNull)
+        }
+        val sql =
+          s"SELECT pk AS k0, cs AS c0, sv AS c1 FROM $frag " +
+            s"WHERE ${pred.sql} ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+        GenQuery(seed, sql,
+          (s, d) => load(s, d).where(pred.col)
+            .select(col("pk").as("k0"), col("cs").as("c0"),
+              col("sv").as("c1"))
+            .orderBy(col("k0").asc_nulls_first).limit(1000),
+          mode = s"coll:pred:$t")
+
+      case _ => // case-fold: GROUP BY lower(cs) or ORDER BY upper(cs)
+        if (rnd.nextInt(2) == 0) {
+          val sql =
+            s"SELECT lower(cs) AS k0, count(*) AS n, max(cs) AS mx " +
+              s"FROM $frag GROUP BY lower(cs) " +
+              s"ORDER BY k0 $dirSql LIMIT 1000"
+          GenQuery(seed, sql,
+            (s, d) => load(s, d).groupBy(lower(col("cs")).as("k0"))
+              .agg(count(lit(1)).as("n"), max(col("cs")).as("mx"))
+              .select(col("k0"), col("n"), col("mx"))
+              .orderBy(dirCol(col("k0"))).limit(1000),
+            mode = s"coll:fold:$t")
+        } else {
+          val sql =
+            s"SELECT pk AS k0, upper(cs) AS c0 FROM $frag " +
+              s"ORDER BY c0 $dirSql, k0 ASC NULLS FIRST LIMIT 1000"
+          GenQuery(seed, sql,
+            (s, d) => load(s, d)
+              .select(col("pk").as("k0"), upper(col("cs")).as("c0"))
+              .orderBy(dirCol(col("c0")), col("k0").asc_nulls_first)
+              .limit(1000),
+            mode = s"coll:upper:$t")
+        }
     }
   }
 

@@ -903,6 +903,36 @@ object FuzzQueries {
       26045, 26049, 26053, 26055, 26061, 26078, 26089, 26119, 26126,
       26133, 26144, 26197)
 
+  // Grammar-v35 slice (collation portability — string ORDERING as data:
+  // non-ASCII / mixed-case / decomposed-combining / full-width /
+  // supplementary-plane fragments concatenated onto corpus columns, then
+  // pushed through every ordering surface: total ORDER BY ± direction,
+  // GROUP BY keys, min/max/count-DISTINCT aggregates, byte-order
+  // predicates (>= / < / BETWEEN with generation-time UTF-8-ordered
+  // bounds / LIKE / IS [NOT] NULL), and case folding (lower() group
+  // merges, upper() orderings — the sharp-s frag is excluded from case
+  // draws: Spark upper() gives 'SS', DuckDB U+1E9E). Keys are always
+  // concat-DERIVED, never a bare CASE-literal output (DuckDB 1.0.0 sorts
+  // those in SIGNED-byte order — see collationQuery's doc; FuzzSpec pins
+  // the construction). ONE shared SQL text — no dialect split. Whole
+  // 27001-27200 range verified against DuckDB at sf0.001, sf0.01 AND
+  // sf0.1 (200/200 at each, r15, zero divergence first sweep); picks
+  // non-empty at sf0.001+sf0.01, one per shape × table (30, at the
+  // r15 freeze budget): case-fold groups (27187, 27031, 27061, 27094,
+  // 27026), collation GROUP BY keys (27021, 27062, 27024, 27030, 27002
+  // part at 147→324 sf-growing groups), grouped min/max/count-DISTINCT
+  // (27012, 27038, 27025, 27017, 27029), total orderings ± direction
+  // with length/substr (27046 DESC + NULL stripe, 27004, 27069, 27008,
+  // 27005), predicates (27071 >= A-acute, 27114 IS NULL stripe, 27066
+  // IS NOT NULL, 27006 LIKE %Alpha%, 27015 BETWEEN A-acute..E-acute,
+  // 27033 BETWEEN leading-space..sharp-s), upper() orderings (27023,
+  // 27150, 27042, 27036). Rendered with query(seed, 35).
+  val declaredSeedsV35: Seq[Int] =
+    Seq(27002, 27004, 27005, 27006, 27008, 27012, 27015, 27017, 27021,
+      27023, 27024, 27025, 27026, 27029, 27030, 27031, 27033, 27036,
+      27038, 27042, 27046, 27061, 27062, 27066, 27069, 27071, 27094,
+      27114, 27150, 27187)
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++
@@ -937,7 +967,8 @@ object FuzzQueries {
       declaredSeedsV31.map(s => s -> FuzzGen.query(s, 31)) ++
       declaredSeedsV32.map(s => s -> FuzzGen.query(s, 32)) ++
       declaredSeedsV33.map(s => s -> FuzzGen.query(s, 33)) ++
-      declaredSeedsV34.map(s => s -> FuzzGen.query(s, 34))).map { case (seed, g) =>
+      declaredSeedsV34.map(s => s -> FuzzGen.query(s, 34)) ++
+      declaredSeedsV35.map(s => s -> FuzzGen.query(s, 35))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -1052,6 +1052,63 @@ class FuzzSpec extends AnyFunSuite {
     assert(pred >= 10, s"extracted-predicate shape under-drawn: $pred")
   }
 
+  test("grammar v35 (collation: non-ASCII ORDER BY/GROUP BY/min-max/predicates, case folding): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var order = 0; var group = 0; var minmax = 0; var pred = 0; var fold = 0
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 35)
+      if (q.mode.startsWith("coll")) {
+        // shared-dialect grammar: ONE SQL text for both engines
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v35 seed $seed: collation SQL must be dialect-shared")
+        // every collation key is concat-DERIVED: a bare CASE-literal sort
+        // key hits DuckDB 1.0.0's signed-byte dictionary-sort path (see
+        // collationQuery doc) — pin the construction, not just the draws
+        assert(q.sql.contains("END || ") || q.sql.contains(" || CASE"),
+          s"v35 seed $seed: collation key must concat the CASE output: ${q.sql}")
+        q.mode.split(":")(1) match {
+          case "order"  => order += 1
+          case "group"  => group += 1
+          case "minmax" => minmax += 1
+          case "pred"   => pred += 1
+          case "fold" | "upper" => fold += 1
+          case other    => fail(s"v35 seed $seed: unknown coll shape $other")
+        }
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v35 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v35 seeds matched; $order order, $group group, $minmax minmax, " +
+      s"$pred pred, $fold fold/upper")
+    assert(order >= 8, s"total-order shape under-drawn: $order")
+    assert(group >= 8, s"collation-group shape under-drawn: $group")
+    assert(minmax >= 8, s"string-minmax shape under-drawn: $minmax")
+    assert(pred >= 8, s"byte-order-predicate shape under-drawn: $pred")
+    assert(fold >= 8, s"case-fold shape under-drawn: $fold")
+  }
+
+  test("v35 fragment pool: compiled literals carry the intended code points (encoding canary)") {
+    // The pool is written as \u escapes so the POSIX-locale build cannot
+    // corrupt it; this canary pins the COMPILED values' code points, so a
+    // future re-encoding of the source file (e.g. an editor normalizing
+    // escapes back to raw UTF-8 under a non-UTF-8 scalac charset) fails
+    // loudly instead of silently shipping mojibake that both renderings
+    // would agree on.
+    val byFirstCp = FuzzGen.collationCanary
+    assert(byFirstCp("latin1Upper") == 0x00C1, "A-acute fragment corrupted")
+    assert(byFirstCp("decomposedSecondCp") == 0x0301,
+      "decomposed combining-acute fragment corrupted")
+    assert(byFirstCp("sharpS") == 0x00DF, "sharp-s fragment corrupted")
+    assert(byFirstCp("cjk") == 0x4E2D, "CJK fragment corrupted")
+    assert(byFirstCp("hangul") == 0xD55C, "Hangul fragment corrupted")
+    assert(byFirstCp("emoji") == 0x1F389, "supplementary-plane fragment corrupted")
+    assert(byFirstCp("fullwidth") == 0xFF11, "full-width fragment corrupted")
+  }
+
   test("decSpec literal pools: every dLit value's scale fits its column's DECIMAL scale") {
     // ADVICE r14: decLit/vLit setScale(s, UNNECESSARY) throws
     // ArithmeticException AT GENERATION TIME if a future literal-pool edit
@@ -1905,7 +1962,37 @@ class FuzzSpec extends AnyFunSuite {
     "fz26126" -> "6f904310",
     "fz26133" -> "4886904c",
     "fz26144" -> "051f2bfb",
-    "fz26197" -> "0a320041")
+    "fz26197" -> "0a320041",
+    "fz27002" -> "59d7f876",
+    "fz27004" -> "8f922004",
+    "fz27005" -> "3369264e",
+    "fz27006" -> "75147f36",
+    "fz27008" -> "22d782cf",
+    "fz27012" -> "88d18208",
+    "fz27015" -> "7b7b8a59",
+    "fz27017" -> "2d33da12",
+    "fz27021" -> "dfc7d521",
+    "fz27023" -> "b1164d06",
+    "fz27024" -> "38c93e0a",
+    "fz27025" -> "6a18d7dc",
+    "fz27026" -> "4c9ed846",
+    "fz27029" -> "b550ef0b",
+    "fz27030" -> "85a896c2",
+    "fz27031" -> "3d5f5659",
+    "fz27033" -> "b9c0e437",
+    "fz27036" -> "e470b2e4",
+    "fz27038" -> "89ffe094",
+    "fz27042" -> "79e8163e",
+    "fz27046" -> "f056c6fa",
+    "fz27061" -> "c2d8192a",
+    "fz27062" -> "32fc1236",
+    "fz27066" -> "c7705be5",
+    "fz27069" -> "01a46fe1",
+    "fz27071" -> "96c8465c",
+    "fz27094" -> "3c8988e2",
+    "fz27114" -> "cf8f4a65",
+    "fz27150" -> "834fe749",
+    "fz27187" -> "f4ff1080")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
