@@ -19,6 +19,8 @@ import graft.queries.QueryCatalog
   * Knobs (all env, all optional):
   *  - SPARK_GRAFT_BENCH_RUNS: runs per query, timing = min (default 2)
   *  - SPARK_GRAFT_BENCH_QUERIES: comma-separated name filter (default all)
+  *  - SPARK_GRAFT_BENCH_ALL=1: include the soak-only-rotated v1-v8 fuzz
+  *    slices in the timed window (see FuzzQueries.soakOnlySeeds)
   *  - SPARK_GRAFT_BENCH_OUT: path for the COMPLETE per-query JSON artifact
   *    (default BENCH_FULL.json in the cwd; empty string disables). The
   *    driver's capture truncates long stdout lines, so the file is the
@@ -69,8 +71,17 @@ object Bench {
       best
     }
 
+    // Bench-budget rotation (BASELINE r15 policy): the v1-v8 fuzz slices
+    // are timed only under an explicit filter or SPARK_GRAFT_BENCH_ALL=1;
+    // their correctness coverage (Verify + driver oracle + pins + soaks)
+    // is untouched — this trims the per-round bench window only.
+    val rotated: Set[String] =
+      if (filter.isDefined || sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+        Set.empty
+      else graft.queries.FuzzQueries.soakOnlySeeds.map("fz" + _).toSet
     val names = QueryCatalog.all.map(_.name)
       .filter(n => filter.forall(_.contains(n)))
+      .filterNot(rotated)
     // JVM/codegen warmup on a representative query (parquet scan + shuffle
     // join) so the first measured query doesn't absorb classloading costs.
     runOnce("j1_join_inner")

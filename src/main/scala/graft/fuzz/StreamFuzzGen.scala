@@ -169,6 +169,16 @@ object StreamFuzzGen {
     */
   def query(seed: Int, version: Int): StreamGenQuery = {
     val rnd = new Random(seed)
+    if (version >= 5) {
+      // v5 mode byte: STREAM-STREAM interval joins (the ST5 surface — the
+      // one stateful streaming operator the generated tiers never drew;
+      // v2's joins are stream-static and stateless). Versions ≤ 4 never
+      // take this draw; fall-through continues into the v4 dispatch with
+      // the advanced rnd state.
+      val m5 = rnd.nextInt(10)
+      if (m5 < 5) return ssjQuery(seed, rnd)
+      // else: fall through to the v4 dispatch with the advanced rnd state
+    }
     if (version >= 4) {
       // v4 mode byte: APPEND-mode WATERMARK EVICTION (seeded late data) —
       // the one streaming semantic v1-v3 could not touch: they run in
@@ -427,6 +437,84 @@ object StreamFuzzGen {
         s"late stripe event_id%$m=$r, aggs=[${aggs.map(_._1).mkString(",")}]",
       s"$delayMin minutes", build,
       lateDraw = Some((delayMin, spanMin, m, r, copies)))
+  }
+
+  /** v5 dedicated variant: STREAM-STREAM interval joins — both join
+    * inputs are streams (a seeded self-join: the event source split by
+    * event_id parity, so the dual-mode build needs no second table), keyed
+    * on user_id or a user_id%m bucket, under the canonical time-interval
+    * condition `r_ts BETWEEN l_ts - A AND l_ts + B` (both bounds always
+    * present: outer joins REQUIRE a state horizon, and the bounds are what
+    * give join state a finite lifetime at 100 TB). Three sub-draws:
+    *
+    *   - INNER with a WIDE watermark ("10000 hours"): no state is ever
+    *     evicted, so stream(cuts) ≡ batch join must hold EXACTLY under
+    *     ARBITRARY shuffled delivery — the pure state-merge differential,
+    *     same discipline as the v1 complete-mode tier;
+    *   - INNER with a FINITE delay under event-time-ASCENDING delivery:
+    *     eviction is live, but ascending arrival means a right row that
+    *     could match an evicted left row would itself be below the
+    *     watermark (and vice versa), so equality with the batch join stays
+    *     EXACT — eviction exercised without losing determinism;
+    *   - LEFT OUTER with a FINITE delay under ascending delivery: matches
+    *     must equal the batch inner part exactly; NULL-extensions are
+    *     emitted only when the watermark passes a left row's match horizon
+    *     (l_ts + B), so the spec asserts a horizon-banded property — every
+    *     unmatched left row a 1-minute margin PAST the final watermark
+    *     horizon must have emitted, none before it may have (the margin
+    *     absorbs the microsecond offsets; delivery appends one sacrificial
+    *     LATE row as a final batch because eviction applies the watermark
+    *     computed at the PREVIOUS batch's close).
+    *
+    * Payloads are integer cents (exact, order-free). The corpus guarantees
+    * genuine unmatched left rows: at sf0.001 each key sees tens of rows
+    * across a ~30-day span while A+B ≤ 10 h, so match gaps are real.
+    */
+  private def ssjQuery(seed: Int, rnd: Random): StreamGenQuery = {
+    val aMin = Vector(0, 30, 120)(rnd.nextInt(3))
+    val bMin = Vector(15, 60, 240, 600)(rnd.nextInt(4))
+    val km = Vector(3, 5)(rnd.nextInt(2))
+    val keyed = rnd.nextBoolean() // true: user_id%km, false: raw user_id
+    val sub = rnd.nextInt(10) // 0-3 inner-wide, 4-6 inner-finite, 7-9 leftouter
+    val (joinType, delayMin) = sub match {
+      case s if s < 4 => ("inner", -1) // wide
+      case s if s < 7 => ("inner", Vector(120, 360)(rnd.nextInt(2)))
+      case _          => ("left_outer", Vector(120, 360)(rnd.nextInt(2)))
+    }
+    val delayStr = if (delayMin < 0) "10000 hours" else s"$delayMin minutes"
+    val keyDesc = if (keyed) s"user_id%$km" else "user_id"
+
+    val build = (df0: DataFrame) => {
+      val base = df0.withColumn("ts", col("ts").cast(TimestampType))
+      def keyCol = if (keyed) pmod(col("user_id"), lit(km)).cast("long")
+                   else col("user_id").cast("long")
+      val lhs = base.filter(col("event_id") % 2 === 0).select(
+        keyCol.as("lk"), col("event_id").as("l_id"), col("ts").as("l_ts"),
+        (col("value") * 100).cast("long").as("l_cents"))
+        .withWatermark("l_ts", delayStr)
+      val rhs = base.filter(col("event_id") % 2 === 1).select(
+        keyCol.as("rk"), col("event_id").as("r_id"), col("ts").as("r_ts"),
+        (col("value") * 100).cast("long").as("r_cents"))
+        .withWatermark("r_ts", delayStr)
+      lhs.join(rhs,
+        col("lk") === col("rk") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $aMin minutes") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $bMin minutes"),
+        joinType)
+        .select(col("lk").as("k"), col("l_id"), col("r_id"),
+          col("l_cents"), col("r_cents"), col("l_ts"), col("r_ts"))
+    }
+
+    val mode = sub match {
+      case s if s < 4 => "ssj-inner-wide"
+      case s if s < 7 => "ssj-inner-finite"
+      case _          => "ssj-leftouter"
+    }
+    StreamGenQuery(seed, mode,
+      s"$mode key=$keyDesc interval=[-$aMin min, +$bMin min] " +
+        s"watermark=$delayStr",
+      delayStr, build,
+      lateDraw = if (delayMin > 0) Some((delayMin, bMin, 0, 0, 0)) else None)
   }
 
   private def queryBody(seed: Int, rnd: Random): StreamGenQuery = {

@@ -933,6 +933,21 @@ object FuzzQueries {
       27038, 27042, 27046, 27061, 27062, 27066, 27069, 27071, 27094,
       27114, 27150, 27187)
 
+  /** The grammar-v1..v8 frozen slices, rotated to SOAK-ONLY bench coverage
+    * (BASELINE r15 bench-budget policy: the per-round bench window crossed
+    * the 12-minute rotation trigger at 942 queries × min-of-2, and these
+    * are the oldest slices — stable for ≥8 rounds). Rotation affects the
+    * BENCH artifact only: every seed here still runs through Verify and
+    * the driver's DuckDB oracle each round (correctness coverage
+    * unchanged), still carries its SQL-hash pin and plan signature, and
+    * still rides the FuzzDump mass soaks. Bench includes them again under
+    * an explicit SPARK_GRAFT_BENCH_QUERIES filter or
+    * SPARK_GRAFT_BENCH_ALL=1.
+    */
+  val soakOnlySeeds: Seq[Int] =
+    declaredSeeds ++ declaredSeedsV2 ++ declaredSeedsV3 ++ declaredSeedsV4 ++
+      declaredSeedsV5 ++ declaredSeedsV6 ++ declaredSeedsV7 ++ declaredSeedsV8
+
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
       declaredSeedsV2.map(s => s -> FuzzGen.query(s, 2)) ++

@@ -217,6 +217,137 @@ class StreamFuzzSpec extends AnyFunSuite {
     (rows, dropped, lastUpdated)
   }
 
+  /** Append-mode delivery returning raw Rows (the v5 stream-stream joins
+    * need typed access to the NULL-extended columns).
+    */
+  private def streamedAppendRows(chunks: Seq[Seq[CutFuzzEvent]],
+                                 q: DataFrame => DataFrame): Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[CutFuzzEvent]
+    val name = "streamfz_ssj_" + System.nanoTime()
+    val query = q(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        mem.addData(c)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val rows = spark.table(name).collect().toSeq
+    spark.catalog.dropTempView(name)
+    rows
+  }
+
+  test(s"v5: stream-stream interval joins over seeds 1..$nSeeds: inner ≡ " +
+    "batch under shuffled and ascending delivery; outer NULL-extensions " +
+    "horizon-banded") {
+    import spark.implicits._
+    var wide = 0; var finite = 0; var outer = 0
+    var unmatchedTotal = 0; var mustEmitTotal = 0
+    (1 to nSeeds).foreach { seed =>
+      val g = StreamFuzzGen.query(seed, 5)
+      if (g.shape.startsWith("ssj")) {
+        val batchRows = g.build(allEvents.toDF()).collect().toSeq
+        assert(batchRows.nonEmpty,
+          s"v5 seed $seed (${g.desc}): batch reference is empty — weak evidence")
+        g.shape match {
+          case "ssj-inner-wide" =>
+            wide += 1
+            // no eviction at 10000h delay ⇒ exact under ARBITRARY shuffled
+            // cuts — the pure join-state-merge differential
+            val got = streamedAppendRows(cutChunks(seed), g.build)
+              .map(_.toString).sorted
+            val want = batchRows.map(_.toString).sorted
+            assert(got == want,
+              s"v5 seed $seed (${g.desc}) diverged from batch join: " +
+                s"${got.length} vs ${want.length} rows; first diff " +
+                s"${got.zipAll(want, "<missing>", "<missing>")
+                  .find { case (a, b) => a != b }}")
+
+          case "ssj-inner-finite" =>
+            finite += 1
+            // eviction live, but event-time-ascending delivery means a row
+            // that could match an evicted partner would itself be below
+            // the watermark ⇒ still exact
+            val asc = allEvents.sortBy(e => (e.ts, e.event_id))
+            val rnd = new Random(seed)
+            val k = 2 + rnd.nextInt(3)
+            val points = Seq.fill(k - 1)(1 + rnd.nextInt(asc.length - 1))
+              .distinct.sorted
+            val bounds = (0 +: points) :+ asc.length
+            val chunks = bounds.sliding(2)
+              .map { case Seq(a, b) => asc.slice(a, b) }.toSeq
+            val got = streamedAppendRows(chunks, g.build)
+              .map(_.toString).sorted
+            val want = batchRows.map(_.toString).sorted
+            assert(got == want,
+              s"v5 seed $seed (${g.desc}) diverged from batch join under " +
+                s"ascending eviction: ${got.length} vs ${want.length} rows; " +
+                s"first diff ${got.zipAll(want, "<missing>", "<missing>")
+                  .find { case (a, b) => a != b }}")
+
+          case _ => // ssj-leftouter
+            outer += 1
+            val (delayMin, bMin, _, _, _) = g.lateDraw.get
+            val asc = allEvents.sortBy(e => (e.ts, e.event_id))
+            val rnd = new Random(seed)
+            val k = 2 + rnd.nextInt(3)
+            val points = Seq.fill(k - 1)(1 + rnd.nextInt(asc.length - 1))
+              .distinct.sorted
+            val bounds = (0 +: points) :+ asc.length
+            // one sacrificial LATE row (the corpus min-ts event, redelivered
+            // last) forces a final batch: eviction applies the watermark
+            // computed at the PREVIOUS batch's close, so without it the
+            // last real batch's NULL-extensions would still sit in state
+            val chunks = bounds.sliding(2)
+              .map { case Seq(a, b) => asc.slice(a, b) }.toSeq :+ Seq(asc.head)
+            val got = streamedAppendRows(chunks, g.build)
+            val (gotNull, gotInner) = got.partition(_.isNullAt(2)) // r_id
+            val (wantNull, wantInner) = batchRows.partition(_.isNullAt(2))
+            // matches: exact (same argument as inner-finite)
+            assert(gotInner.map(_.toString).sorted ==
+                wantInner.map(_.toString).sorted,
+              s"v5 seed $seed (${g.desc}): matched part diverged " +
+                s"(${gotInner.length} vs ${wantInner.length})")
+            // NULL-extensions: a left row emits iff the final watermark
+            // passed its match horizon l_ts + B. Final watermark =
+            // min(branch max ts) − delay; the 1-minute band absorbs the
+            // corpus's microsecond offsets at the boundary.
+            val maxL = allEvents.filter(_.event_id % 2 == 0).map(_.ts).max
+            val maxR = allEvents.filter(_.event_id % 2 == 1).map(_.ts).max
+            val wm = (if (maxL.isBefore(maxR)) maxL else maxR)
+              .minusMinutes(delayMin.toLong)
+            def horizon(r: org.apache.spark.sql.Row) =
+              r.getTimestamp(5).toLocalDateTime.plusMinutes(bMin.toLong)
+            val mustEmit = wantNull
+              .filter(r => horizon(r).isBefore(wm.minusMinutes(1)))
+              .map(_.getLong(1)).toSet
+            val mayEmit = wantNull
+              .filter(r => horizon(r).isBefore(wm.plusMinutes(1)))
+              .map(_.getLong(1)).toSet
+            val gotNullIds = gotNull.map(_.getLong(1)).toSet
+            assert(mustEmit.subsetOf(gotNullIds),
+              s"v5 seed $seed (${g.desc}): ${(mustEmit -- gotNullIds).size} " +
+                s"past-horizon unmatched left rows never NULL-extended")
+            assert(gotNullIds.subsetOf(mayEmit),
+              s"v5 seed $seed (${g.desc}): ${(gotNullIds -- mayEmit).size} " +
+                s"NULL-extensions emitted BEFORE the watermark passed their horizon")
+            unmatchedTotal += wantNull.length
+            mustEmitTotal += mustEmit.size
+        }
+      }
+    }
+    info(s"${wide + finite + outer} ssj seeds converged " +
+      s"($wide inner-wide, $finite inner-finite, $outer left-outer; " +
+      s"$unmatchedTotal unmatched drawn, $mustEmitTotal past-horizon)")
+    assert(wide >= nSeeds / 10, s"inner-wide variant starved: $wide")
+    assert(finite >= nSeeds / 15, s"inner-finite variant starved: $finite")
+    assert(outer >= nSeeds / 15, s"left-outer variant starved: $outer")
+    assert(mustEmitTotal > 0, "no past-horizon NULL-extension ever drawn — " +
+      "the eviction side of the outer property was never exercised")
+  }
+
   test(s"v4: append-mode watermark eviction over seeds 1..$nSeeds: " +
     "emitted windows ≡ batch over on-time rows ∧ drop count ≡ late stripe") {
     import spark.implicits._
