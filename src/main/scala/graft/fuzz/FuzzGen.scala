@@ -867,7 +867,7 @@ object FuzzGen {
     * (r12 advice: the hand-maintained Seq in FuzzDump stopped at 20 while
     * v21–v23 existed). Bump together with each new mode-byte branch below.
     */
-  val maxVersion: Int = 35
+  val maxVersion: Int = 36
 
   def query(seed: Int): GenQuery = query(seed, 1)
 
@@ -879,6 +879,17 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 36) {
+      // v36 mode byte: RANGE / BAND joins — non-equi join refinements
+      // (temporal and numeric BETWEEN bands beside an equality anchor),
+      // the batch analogue of streaming v5 and the generated coverage for
+      // the fixed j8 form. Versions ≤ 35 never take this draw;
+      // fall-through continues into the v35 dispatch with the advanced
+      // rnd state.
+      val m36 = rnd.nextInt(10)
+      if (m36 < 7) return rangeJoinQuery(seed, rnd, version)
+      // else: fall through to the v35 dispatch with the advanced rnd state
+    }
     if (version >= 35) {
       // v35 mode byte: collation portability — ORDER BY / GROUP BY /
       // min-max / comparison predicates over constructed non-ASCII and
@@ -5101,6 +5112,135 @@ object FuzzGen {
             },
             sparkSqlOpt = Some(sqlFor(fragSpark)), mode = s"json:pred:$t")
       }
+    }
+  }
+
+  /** v36 dedicated mode: RANGE / BAND joins — the one JOIN-condition class
+    * no older grammar draws (every generated join is pure FK equality;
+    * the fixed j8 form was the only range-join coverage). Every draw
+    * anchors the band on an EQUALITY key, so both engines plan a hash /
+    * sort-merge join with the band as a join filter — never a nested
+    * loop (the plan-signature gate pins this for the frozen slice), which
+    * is also the only shape that survives 100 TB. Three chain templates:
+    *
+    *   - orders ⋈ lineitem on the FK plus a TEMPORAL band
+    *     `l_shipdate BETWEEN o_orderdate + INTERVAL lo DAY AND
+    *      o_orderdate + INTERVAL hi DAY` (the corpus ships l_shipdate
+    *     1..~120 days after o_orderdate, so drawn bands genuinely split
+    *     matched from unmatched; shared unquoted INTERVAL syntax — the
+    *     v22 portability fact);
+    *   - events SELF-join (event_id parity split) on user_id plus a
+    *     two-sided ts band `r.ts BETWEEN l.ts - INTERVAL a HOUR AND
+    *     l.ts + INTERVAL b HOUR` — the batch analogue of streaming v5;
+    *   - part ⋈ lineitem on the FK plus a NUMERIC band
+    *     `l_extendedprice BETWEEN p_retailprice * lo AND
+    *      p_retailprice * hi` (double × int literal is one IEEE multiply
+    *     — deterministic in both engines; comparisons over doubles are
+    *     exact, the grammar-wide rule).
+    *
+    * INNER and LEFT kinds (LEFT misses are genuine — produced by the
+    * BAND, not by key containment, which no older LEFT draw could do
+    * without NULL injection). Output shapes: grouped counts with the
+    * count(*) vs count(right-key) LEFT contrast, and keyed projections
+    * under a total ORDER BY + LIMIT.
+    */
+  private def rangeJoinQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val template = rnd.nextInt(3)
+    val left = rnd.nextInt(10) < 4
+    val kind = if (left) "LEFT JOIN" else "JOIN"
+
+    // (fromSql, dfJoin, head-groupable (sqlName, col), head pk, right pk)
+    val (fromSql, joined, grpCol, headPk, rightPk): (String,
+        (SparkSession, String) => DataFrame, (String, Column), String, String) =
+      template match {
+        case 0 => // orders ⋈ lineitem, temporal day band
+          val lo = Vector(0, 15, 30)(rnd.nextInt(3))
+          val hi = lo + Vector(30, 60, 120)(rnd.nextInt(3))
+          val from =
+            s"orders $kind lineitem ON l_orderkey = o_orderkey AND " +
+              s"l_shipdate BETWEEN o_orderdate + INTERVAL $lo DAY " +
+              s"AND o_orderdate + INTERVAL $hi DAY"
+          val build = (s: SparkSession, d: String) => {
+            val o = loadFuzzTable(s, d, "orders")
+            val l = loadFuzzTable(s, d, "lineitem")
+            o.join(l, l("l_orderkey") === o("o_orderkey") &&
+              l("l_shipdate").between(
+                o("o_orderdate") + expr(s"INTERVAL $lo DAY"),
+                o("o_orderdate") + expr(s"INTERVAL $hi DAY")),
+              if (left) "left" else "inner")
+          }
+          (from, build, ("o_orderstatus", col("o_orderstatus")),
+            "o_orderkey", "l_linenumber")
+
+        case 1 => // events self-join, two-sided hour band on user_id
+          val a = Vector(0, 2, 6)(rnd.nextInt(3))
+          val b = Vector(1, 6, 24)(rnd.nextInt(3))
+          val from =
+            "(SELECT event_id AS l_id, user_id AS l_uid, ts AS l_ts, " +
+              "event_type AS l_type FROM events WHERE (event_id % 2) = 0) le " +
+              s"$kind (SELECT event_id AS r_id, user_id AS r_uid, ts AS r_ts " +
+              "FROM events WHERE (event_id % 2) = 1) re " +
+              "ON r_uid = l_uid AND " +
+              s"r_ts BETWEEN l_ts - INTERVAL $a HOUR AND l_ts + INTERVAL $b HOUR"
+          val build = (s: SparkSession, d: String) => {
+            val ev = loadFuzzTable(s, d, "events")
+            val le = ev.where((col("event_id") % 2) === 0).select(
+              col("event_id").as("l_id"), col("user_id").as("l_uid"),
+              col("ts").as("l_ts"), col("event_type").as("l_type"))
+            val re = ev.where((col("event_id") % 2) === 1).select(
+              col("event_id").as("r_id"), col("user_id").as("r_uid"),
+              col("ts").as("r_ts"))
+            le.join(re, col("r_uid") === col("l_uid") &&
+              col("r_ts").between(
+                col("l_ts") - expr(s"INTERVAL $a HOUR"),
+                col("l_ts") + expr(s"INTERVAL $b HOUR")),
+              if (left) "left" else "inner")
+          }
+          (from, build, ("l_type", col("l_type")), "l_id", "r_id")
+
+        case _ => // part ⋈ lineitem, numeric multiple band
+          val lo = Vector(1, 2, 5)(rnd.nextInt(3))
+          val hi = lo + Vector(10, 40, 80)(rnd.nextInt(3))
+          val from =
+            s"part $kind lineitem ON l_partkey = p_partkey AND " +
+              s"l_extendedprice BETWEEN p_retailprice * $lo " +
+              s"AND p_retailprice * $hi"
+          val build = (s: SparkSession, d: String) => {
+            val p = loadFuzzTable(s, d, "part")
+            val l = loadFuzzTable(s, d, "lineitem")
+            p.join(l, l("l_partkey") === p("p_partkey") &&
+              l("l_extendedprice").between(
+                p("p_retailprice") * lo, p("p_retailprice") * hi),
+              if (left) "left" else "inner")
+          }
+          (from, build, ("p_brand", col("p_brand")), "p_partkey", "l_linenumber")
+      }
+
+    if (rnd.nextInt(2) == 0) {
+      // grouped counts: the LEFT count(*) vs count(right-key) contrast is
+      // the band-miss detector (NULL right keys skip count(col))
+      val (gSql, gCol) = grpCol
+      val sql =
+        s"SELECT $gSql AS k0, count(*) AS n, count($rightPk) AS nm " +
+          s"FROM $fromSql GROUP BY $gSql ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+      GenQuery(seed, sql,
+        (s, d) => joined(s, d)
+          .groupBy(gCol.as("k0"))
+          .agg(count(lit(1)).as("n"), count(col(rightPk)).as("nm"))
+          .select(col("k0"), col("n"), col("nm"))
+          .orderBy(col("k0").asc_nulls_first).limit(1000),
+        mode = s"range:group:$template:${if (left) "left" else "inner"}")
+    } else {
+      // keyed projection under a total ORDER BY (both pks) + LIMIT
+      val sql =
+        s"SELECT $headPk AS k0, $rightPk AS k1 FROM $fromSql " +
+          s"ORDER BY k0 ASC NULLS FIRST, k1 ASC NULLS FIRST LIMIT 1000"
+      GenQuery(seed, sql,
+        (s, d) => joined(s, d)
+          .select(col(headPk).as("k0"), col(rightPk).as("k1"))
+          .orderBy(col("k0").asc_nulls_first, col("k1").asc_nulls_first)
+          .limit(1000),
+        mode = s"range:proj:$template:${if (left) "left" else "inner"}")
     }
   }
 

@@ -944,6 +944,30 @@ object FuzzQueries {
     * an explicit SPARK_GRAFT_BENCH_QUERIES filter or
     * SPARK_GRAFT_BENCH_ALL=1.
     */
+  // Grammar-v36 slice (range/band joins — the one JOIN-condition class no
+  // older grammar draws: every generated join was pure FK equality, the
+  // fixed j8 form being the only range coverage. Every draw anchors the
+  // band on an EQUALITY key so both engines plan a hash/sort-merge join
+  // with the band as a join filter — never a nested loop (plan-signature
+  // pinned). Templates: orders⋈lineitem temporal day band over the
+  // shared INTERVAL syntax, events self-join two-sided hour band on
+  // user_id (the batch analogue of streaming fuzz v5), part⋈lineitem
+  // numeric multiple band (one IEEE multiply, exact both engines). INNER
+  // and LEFT kinds — LEFT misses are genuine band misses, a NULL source
+  // no older LEFT draw had without injection. Whole 28001-28200 range
+  // verified against DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200 each,
+  // r15, zero divergence first sweep); picks non-empty at both smaller
+  // SFs, two per shape × template × kind (24): grouped count contrasts
+  // (orders 28013/28022 inner, 28001/28009 left; events 28033/28052
+  // inner, 28008/28027 left; part 28006/28019 inner, 28026/28051 left),
+  // keyed projections (orders 28020/28024 inner, 28018/28049 left;
+  // events 28004/28016 inner, 28003/28015 left; part 28010/28035 inner,
+  // 28014/28039 left). Rendered with query(seed, 36).
+  val declaredSeedsV36: Seq[Int] =
+    Seq(28001, 28003, 28004, 28006, 28008, 28009, 28010, 28013, 28014,
+      28015, 28016, 28018, 28019, 28020, 28022, 28024, 28026, 28027,
+      28033, 28035, 28039, 28049, 28051, 28052)
+
   val soakOnlySeeds: Seq[Int] =
     declaredSeeds ++ declaredSeedsV2 ++ declaredSeedsV3 ++ declaredSeedsV4 ++
       declaredSeedsV5 ++ declaredSeedsV6 ++ declaredSeedsV7 ++ declaredSeedsV8
@@ -983,7 +1007,8 @@ object FuzzQueries {
       declaredSeedsV32.map(s => s -> FuzzGen.query(s, 32)) ++
       declaredSeedsV33.map(s => s -> FuzzGen.query(s, 33)) ++
       declaredSeedsV34.map(s => s -> FuzzGen.query(s, 34)) ++
-      declaredSeedsV35.map(s => s -> FuzzGen.query(s, 35))).map { case (seed, g) =>
+      declaredSeedsV35.map(s => s -> FuzzGen.query(s, 35)) ++
+      declaredSeedsV36.map(s => s -> FuzzGen.query(s, 36))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -1091,6 +1091,44 @@ class FuzzSpec extends AnyFunSuite {
     assert(fold >= 8, s"case-fold shape under-drawn: $fold")
   }
 
+  test("grammar v36 (range/band joins: temporal + numeric BETWEEN refinements on equality anchors, INNER/LEFT): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var group = 0; var proj = 0; var leftK = 0
+    val templates = scala.collection.mutable.Set.empty[String]
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 36)
+      if (q.mode.startsWith("range")) {
+        assert(q.sparkSqlOpt.isEmpty,
+          s"v36 seed $seed: range-join SQL must be dialect-shared")
+        // every band is anchored on an equality key — the plan must never
+        // be a nested loop; pin the SQL shape (equality before the band)
+        assert(q.sql.contains(" = ") && q.sql.contains(" BETWEEN "),
+          s"v36 seed $seed: band without an equality anchor: ${q.sql}")
+        val parts = q.mode.split(":")
+        parts(1) match {
+          case "group" => group += 1
+          case "proj"  => proj += 1
+          case other   => fail(s"v36 seed $seed: unknown range shape $other")
+        }
+        templates += parts(2)
+        if (parts(3) == "left") leftK += 1
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v36 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v36 seeds matched; $group group, $proj proj, $leftK LEFT, " +
+      s"templates=${templates.toSeq.sorted.mkString(",")}")
+    assert(group >= 20, s"grouped-count shape under-drawn: $group")
+    assert(proj >= 20, s"projection shape under-drawn: $proj")
+    assert(leftK >= 15, s"LEFT kind under-drawn: $leftK")
+    assert(templates == Set("0", "1", "2"),
+      s"chain templates starved: $templates")
+  }
+
   test("v35 fragment pool: compiled literals carry the intended code points (encoding canary)") {
     // The pool is written as \u escapes so the POSIX-locale build cannot
     // corrupt it; this canary pins the COMPILED values' code points, so a
@@ -1992,7 +2030,31 @@ class FuzzSpec extends AnyFunSuite {
     "fz27094" -> "3c8988e2",
     "fz27114" -> "cf8f4a65",
     "fz27150" -> "834fe749",
-    "fz27187" -> "f4ff1080")
+    "fz27187" -> "f4ff1080",
+    "fz28001" -> "4ff56e96",
+    "fz28003" -> "19129e3b",
+    "fz28004" -> "4f8f7b48",
+    "fz28006" -> "e7d031c7",
+    "fz28008" -> "e3139874",
+    "fz28009" -> "9793cf9e",
+    "fz28010" -> "f9495d1a",
+    "fz28013" -> "2a0d5f81",
+    "fz28014" -> "1dcb18bb",
+    "fz28015" -> "068c7b7e",
+    "fz28016" -> "d4b9e1dd",
+    "fz28018" -> "d3ca9fd2",
+    "fz28019" -> "aa66d70e",
+    "fz28020" -> "8699c537",
+    "fz28022" -> "72cae031",
+    "fz28024" -> "38d483a7",
+    "fz28026" -> "21f5a85f",
+    "fz28027" -> "813399e5",
+    "fz28033" -> "c3838f17",
+    "fz28035" -> "7406cf69",
+    "fz28039" -> "da9413ff",
+    "fz28049" -> "9e2f8d8c",
+    "fz28051" -> "055b29c7",
+    "fz28052" -> "b68020bc")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
