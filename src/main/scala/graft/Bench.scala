@@ -19,12 +19,19 @@ import graft.queries.QueryCatalog
   * Knobs (all env, all optional):
   *  - SPARK_GRAFT_BENCH_RUNS: runs per query, timing = min (default 2)
   *  - SPARK_GRAFT_BENCH_QUERIES: comma-separated name filter (default all)
-  *  - SPARK_GRAFT_BENCH_ALL=1: include the soak-only-rotated v1-v8 fuzz
+  *  - SPARK_GRAFT_BENCH_ALL=1: include the soak-only-rotated v1-v12 fuzz
   *    slices in the timed window (see FuzzQueries.soakOnlySeeds)
   *  - SPARK_GRAFT_BENCH_OUT: path for the COMPLETE per-query JSON artifact
   *    (default BENCH_FULL.json in the cwd; empty string disables). The
   *    driver's capture truncates long stdout lines, so the file is the
   *    durable full record for round-over-round comparison.
+  *  - SPARK_GRAFT_BENCH_BASELINE: path to the committed per-query baseline
+  *    (default BENCH_BASELINE.json in the cwd; missing file = no gate).
+  *    Any query whose measured min still exceeds 2x its committed baseline
+  *    gets re-run up to 5 total samples before the artifact is written
+  *    (r15 verdict #5: the sub-second rotating-flag class was ambient
+  *    co-load surviving min-of-2; the baseline gate catches EVERY such
+  *    inflation, not just the noisy-spread sub-second ones).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,6 +40,24 @@ object Bench {
     val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // Committed per-query baselines (same JSON shape as the artifact this
+    // main writes). Parsed with a two-regex scan instead of a JSON library:
+    // the artifact is machine-written on one line with "name":1.234 pairs
+    // and build.sbt deliberately adds no dependencies beyond Spark.
+    val baseline: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json"))
+      if (!java.nio.file.Files.isReadable(p)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val qs = """"queries"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(qs)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0).toMap
+      }
+    }
     val spark = GraftSession.getOrCreate("graft-bench")
 
     def runOnce(name: String): Double = {
@@ -61,8 +86,17 @@ object Bench {
       // round audits by hand (r12–r14 all spent a min-of-5 pass on this).
       // Quiet queries never pay the extra runs, so the artifact cost is
       // bounded by the noisy sub-second subset.
+      // The committed-baseline gate (r15 verdict #5) extends the same
+      // resampling to ANY query still reading >2x its committed number —
+      // the historic rotating-flag class was exactly these: one co-loaded
+      // sample surviving min-of-2, hand-audited at idle the next round.
+      // Floor of 0.15 s on the threshold: a 0.05 s baseline would make
+      // 0.11 s a "flag", and sub-0.15 s deltas are pure noise.
       def target: Int =
-        if (best < 1.0 && worst > 1.5 * best) math.max(runs, 5) else runs
+        if (best < 1.0 && worst > 1.5 * best) math.max(runs, 5)
+        else if (baseline.get(name).exists(b => best > math.max(2 * b, 0.15)))
+          math.max(runs, 5)
+        else runs
       while (n < target) {
         val t = runOnce(name)
         if (t >= 0) { best = math.min(best, t); worst = math.max(worst, t) }
@@ -71,8 +105,8 @@ object Bench {
       best
     }
 
-    // Bench-budget rotation (BASELINE r15 policy): the v1-v8 fuzz slices
-    // are timed only under an explicit filter or SPARK_GRAFT_BENCH_ALL=1;
+    // Bench-budget rotation (BASELINE r15/r16 policy): the v1-v12 fuzz
+    // slices are timed only under an explicit filter or SPARK_GRAFT_BENCH_ALL=1;
     // their correctness coverage (Verify + driver oracle + pins + soaks)
     // is untouched — this trims the per-round bench window only.
     val rotated: Set[String] =

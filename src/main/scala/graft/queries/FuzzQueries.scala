@@ -933,17 +933,6 @@ object FuzzQueries {
       27038, 27042, 27046, 27061, 27062, 27066, 27069, 27071, 27094,
       27114, 27150, 27187)
 
-  /** The grammar-v1..v8 frozen slices, rotated to SOAK-ONLY bench coverage
-    * (BASELINE r15 bench-budget policy: the per-round bench window crossed
-    * the 12-minute rotation trigger at 942 queries × min-of-2, and these
-    * are the oldest slices — stable for ≥8 rounds). Rotation affects the
-    * BENCH artifact only: every seed here still runs through Verify and
-    * the driver's DuckDB oracle each round (correctness coverage
-    * unchanged), still carries its SQL-hash pin and plan signature, and
-    * still rides the FuzzDump mass soaks. Bench includes them again under
-    * an explicit SPARK_GRAFT_BENCH_QUERIES filter or
-    * SPARK_GRAFT_BENCH_ALL=1.
-    */
   // Grammar-v36 slice (range/band joins — the one JOIN-condition class no
   // older grammar draws: every generated join was pure FK equality, the
   // fixed j8 form being the only range coverage. Every draw anchors the
@@ -968,9 +957,22 @@ object FuzzQueries {
       28015, 28016, 28018, 28019, 28020, 28022, 28024, 28026, 28027,
       28033, 28035, 28039, 28049, 28051, 28052)
 
+  /** The grammar-v1..v12 frozen slices, rotated to SOAK-ONLY bench coverage
+    * (BASELINE bench-budget policy: v1-v8 rotated at r15 when the per-round
+    * bench window crossed the 12-minute rotation trigger at 942 queries ×
+    * min-of-2; v9-v12 rotated at r16 after the r15 driver window confirmed
+    * the 15-minute budget overage at 15.2 min — these are the next-oldest
+    * slices, stable for ≥6 rounds). Rotation affects the BENCH artifact
+    * only: every seed here still runs through Verify and the driver's
+    * DuckDB oracle each round (correctness coverage unchanged), still
+    * carries its SQL-hash pin and plan signature, and still rides the
+    * FuzzDump mass soaks. Bench includes them again under an explicit
+    * SPARK_GRAFT_BENCH_QUERIES filter or SPARK_GRAFT_BENCH_ALL=1.
+    */
   val soakOnlySeeds: Seq[Int] =
     declaredSeeds ++ declaredSeedsV2 ++ declaredSeedsV3 ++ declaredSeedsV4 ++
-      declaredSeedsV5 ++ declaredSeedsV6 ++ declaredSeedsV7 ++ declaredSeedsV8
+      declaredSeedsV5 ++ declaredSeedsV6 ++ declaredSeedsV7 ++ declaredSeedsV8 ++
+      declaredSeedsV9 ++ declaredSeedsV10 ++ declaredSeedsV11 ++ declaredSeedsV12
 
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++

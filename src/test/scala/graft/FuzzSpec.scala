@@ -1101,9 +1101,17 @@ class FuzzSpec extends AnyFunSuite {
         assert(q.sparkSqlOpt.isEmpty,
           s"v36 seed $seed: range-join SQL must be dialect-shared")
         // every band is anchored on an equality key — the plan must never
-        // be a nested loop; pin the SQL shape (equality before the band)
-        assert(q.sql.contains(" = ") && q.sql.contains(" BETWEEN "),
-          s"v36 seed $seed: band without an equality anchor: ${q.sql}")
+        // be a nested loop; pin the JOIN condition itself: the ON clause
+        // must carry one of the three template key equalities, and the
+        // BETWEEN band must follow it (template 1's parity filters also
+        // contain " = ", so a bare contains(" = ") would not pin this)
+        val anchorIdx = Seq("ON l_orderkey = o_orderkey AND",
+          "ON r_uid = l_uid AND",
+          "ON l_partkey = p_partkey AND").map(q.sql.indexOf).find(_ >= 0)
+        assert(anchorIdx.nonEmpty,
+          s"v36 seed $seed: ON clause lost its equality anchor: ${q.sql}")
+        assert(q.sql.indexOf(" BETWEEN ", anchorIdx.get) > anchorIdx.get,
+          s"v36 seed $seed: band does not follow the equality anchor: ${q.sql}")
         val parts = q.mode.split(":")
         parts(1) match {
           case "group" => group += 1
