@@ -867,7 +867,7 @@ object FuzzGen {
     * (r12 advice: the hand-maintained Seq in FuzzDump stopped at 20 while
     * v21–v23 existed). Bump together with each new mode-byte branch below.
     */
-  val maxVersion: Int = 36
+  val maxVersion: Int = 37
 
   def query(seed: Int): GenQuery = query(seed, 1)
 
@@ -879,6 +879,17 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 37) {
+      // v37 mode byte: multimodal META scalars — the documents table as
+      // the derived media-metadata view (byte length / first byte / frame
+      // counts / stride-sampled frame counts / format tag), the last
+      // table-family edge with zero generated coverage. Versions ≤ 36
+      // never take this draw; fall-through continues into the v36
+      // dispatch with the advanced rnd state.
+      val m37 = rnd.nextInt(10)
+      if (m37 < 7) return mediaMetaQuery(seed, rnd, version)
+      // else: fall through to the v36 dispatch with the advanced rnd state
+    }
     if (version >= 36) {
       // v36 mode byte: RANGE / BAND joins — non-equi join refinements
       // (temporal and numeric BETWEEN bands beside an equality anchor),
@@ -5112,6 +5123,145 @@ object FuzzGen {
             },
             sparkSqlOpt = Some(sqlFor(fragSpark)), mode = s"json:pred:$t")
       }
+    }
+  }
+
+  /** v37 dedicated mode: multimodal META scalars — the documents table
+    * re-shaped as the media-metadata view the multimodal suite's fixed
+    * queries consume (mm_binary_meta's byte length / first byte,
+    * mm_frame_sample's frame count, MultimodalQueries.scala:29,71), the
+    * one derived-column family with zero generated coverage before r16
+    * (the v32 lesson: partial-coverage edges hide genuine semantics — the
+    * binary PAYLOAD is not DuckDB-portable, but every META column is a
+    * plain scalar). Per-seed draws: frame size F ∈ {32,64,128} chars,
+    * sampling stride S ∈ {2,3,4}, a format-tag modulus M ∈ {3,4,5}, a
+    * meta predicate, and one of three shapes. The derived view (the v16
+    * TableOverride pattern):
+    *
+    *   n_bytes     = octet_length(text)           — the ONE dialect split:
+    *                 DuckDB needs encode() first (its octet_length takes
+    *                 BLOB), Spark takes STRING directly; both count UTF-8
+    *                 bytes of the same parquet value
+    *   first_byte  = ascii(substr(text, 1, 1))    — shared dialect
+    *   n_frames    = greatest(ceil(length(text)/F), 1) — mm_frame_sample's
+    *                 frame count (length() = CHARACTERS in both engines)
+    *   kept_frames = ceil(n_frames/S)              — frames a stride-S
+    *                 sampler keeps (#{f < n_frames : f % S = 0})
+    *   fmt         = CASE n_bytes % M → 'png'/'jpeg'/'webp' — a synthetic
+    *                 format tag making the meta surface groupable
+    *
+    * All integer-exact: ceil() of a small-int / small-double division is
+    * exact in IEEE double well past these magnitudes; %, greatest and
+    * CASE are shared dialect. Shapes: per-format grouped aggregates
+    * (count / summed kept_frames / min-max byte stats), a first_byte
+    * histogram (the ascii distribution), and a keyed meta projection
+    * under a drawn predicate with a total ORDER BY + LIMIT.
+    */
+  private def mediaMetaQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val f = Vector(32, 64, 128)(rnd.nextInt(3))
+    val s = Vector(2, 3, 4)(rnd.nextInt(3))
+    val m = Vector(3, 4, 5)(rnd.nextInt(3))
+
+    def innerFrom(octet: String): String =
+      s"(SELECT doc_id, n_bytes, first_byte, n_frames, " +
+        s"CAST(ceil(n_frames / $s.0) AS BIGINT) AS kept_frames, " +
+        s"CASE WHEN n_bytes % $m = 0 THEN 'png' " +
+        s"WHEN n_bytes % $m = 1 THEN 'jpeg' ELSE 'webp' END AS fmt " +
+        s"FROM (SELECT doc_id, CAST($octet AS BIGINT) AS n_bytes, " +
+        s"CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte, " +
+        s"greatest(CAST(ceil(length(text) / $f.0) AS BIGINT), " +
+        s"CAST(1 AS BIGINT)) AS n_frames FROM documents) b) media"
+    val fromDuck = innerFrom("octet_length(encode(text))")
+    val fromSpark = innerFrom("octet_length(text)")
+    val load = (sp: SparkSession, d: String) => {
+      val base = loadFuzzTable(sp, d, "documents").select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
+        greatest(ceil(length(col("text")) / lit(f.toDouble)).cast("long"),
+          lit(1L)).as("n_frames"))
+      base.select(col("doc_id"), col("n_bytes"), col("first_byte"),
+        col("n_frames"),
+        ceil(col("n_frames") / lit(s.toDouble)).cast("long").as("kept_frames"),
+        when(col("n_bytes") % m === 0, "png")
+          .when(col("n_bytes") % m === 1, "jpeg")
+          .otherwise("webp").as("fmt"))
+    }
+
+    // meta predicate pool (applies to all shapes; bounds sized to the
+    // corpus envelope — 10-99 words × short vocab ≈ 40-700 bytes — so
+    // draws stay non-empty-capable at every SF)
+    val (predSql, predCol): (String, Column) = rnd.nextInt(5) match {
+      case 0 =>
+        val lo = Vector(100, 200, 300)(rnd.nextInt(3))
+        val hi = lo + Vector(150, 250, 350)(rnd.nextInt(3))
+        (s"n_bytes BETWEEN $lo AND $hi",
+          col("n_bytes").between(lo, hi))
+      case 1 =>
+        val v = Vector(2L, 3L)(rnd.nextInt(2))
+        (s"n_frames >= $v", col("n_frames") >= v)
+      case 2 =>
+        val tag = Vector("png", "jpeg", "webp")(rnd.nextInt(3))
+        (s"fmt <> '$tag'", col("fmt") =!= tag)
+      case 3 =>
+        val v = Vector(98L, 106L, 116L)(rnd.nextInt(3)) // around a-z ascii
+        (s"first_byte < $v", col("first_byte") < v)
+      case _ =>
+        val v = Vector(1L, 2L)(rnd.nextInt(2))
+        (s"kept_frames > $v", col("kept_frames") > v)
+    }
+
+    rnd.nextInt(3) match {
+      case 0 => // per-format grouped aggregates
+        val sql =
+          s"SELECT fmt AS k0, count(*) AS n, " +
+            s"CAST(sum(kept_frames) AS BIGINT) AS sk, " +
+            s"min(first_byte) AS mn, max(n_bytes) AS mx " +
+            s"FROM $fromDuck WHERE $predSql " +
+            s"GROUP BY fmt ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+        val spkSql = sql.replace(fromDuck, fromSpark)
+        GenQuery(seed, sql,
+          (sp, d) => load(sp, d).where(predCol)
+            .groupBy(col("fmt").as("k0"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("kept_frames")).as("sk"),
+              min(col("first_byte")).as("mn"),
+              max(col("n_bytes")).as("mx"))
+            .select(col("k0"), col("n"), col("sk"), col("mn"), col("mx"))
+            .orderBy(col("k0").asc_nulls_first).limit(1000),
+          sparkSqlOpt = Some(spkSql),
+          mode = s"media:group:f$f:s$s")
+      case 1 => // first_byte histogram
+        val sql =
+          s"SELECT first_byte AS k0, count(*) AS n, " +
+            s"CAST(sum(n_bytes) AS BIGINT) AS sb, " +
+            s"CAST(sum(n_frames) AS BIGINT) AS sf " +
+            s"FROM $fromDuck WHERE $predSql " +
+            s"GROUP BY first_byte ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+        val spkSql = sql.replace(fromDuck, fromSpark)
+        GenQuery(seed, sql,
+          (sp, d) => load(sp, d).where(predCol)
+            .groupBy(col("first_byte").as("k0"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_bytes")).as("sb"),
+              sum(col("n_frames")).as("sf"))
+            .select(col("k0"), col("n"), col("sb"), col("sf"))
+            .orderBy(col("k0").asc_nulls_first).limit(1000),
+          sparkSqlOpt = Some(spkSql),
+          mode = s"media:hist:f$f:s$s")
+      case _ => // keyed meta projection
+        val sql =
+          s"SELECT doc_id AS k0, n_bytes, n_frames, kept_frames, fmt " +
+            s"FROM $fromDuck WHERE $predSql " +
+            s"ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+        val spkSql = sql.replace(fromDuck, fromSpark)
+        GenQuery(seed, sql,
+          (sp, d) => load(sp, d).where(predCol)
+            .select(col("doc_id").as("k0"), col("n_bytes"), col("n_frames"),
+              col("kept_frames"), col("fmt"))
+            .orderBy(col("k0").asc_nulls_first).limit(1000),
+          sparkSqlOpt = Some(spkSql),
+          mode = s"media:proj:f$f:s$s")
     }
   }
 

@@ -56,14 +56,16 @@ object SimilarityQueries {
     ),
     Q(
       "sim_ann_ivf",
-      "IVF approximate top-5: k-means coarse cells (seeded), 2-probe " +
-        "search, exact cosine re-rank on candidates — the inverted-file " +
-        "scale path beside LSH. Rows-only check (k-means assignment isn't " +
+      "IVF approximate top-5: k-means coarse cells (seeded), margin-" +
+        "adaptive probing (4 nearest cells always, margin-qualified extras " +
+        "up to 6 — boundary queries buy probes, interior queries don't), " +
+        "exact cosine re-rank on candidates — the inverted-file scale path " +
+        "beside LSH. Rows-only check (k-means assignment isn't " +
         "DuckDB-reproducible); recall vs brute force asserted in AnnSpec.",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val index = graft.similarity.Ivf.build(emb, nCells = 16)
-        graft.similarity.Ivf.ivfTopK(index, emb.where(col("vec_id") < 10), k = 5)
+        graft.similarity.Ivf.ivfTopKAdaptive(index, emb.where(col("vec_id") < 10), k = 5)
       },
       None
     ),
@@ -85,9 +87,10 @@ object SimilarityQueries {
     ),
     Q(
       "sim_ann_lsh",
-      "LSH-bucketed approximate top-5 (random-hyperplane sign buckets): the " +
-        "100 TB path — candidates come from an equality join on the bucket " +
-        "key. Rows-only check; recall vs brute force asserted in AnnSpec.",
+      "LSH-bucketed approximate top-5 (random-hyperplane sign buckets, " +
+        "query-side multi-probe x5): the 100 TB path — candidates come " +
+        "from an equality join on the bucket key. Rows-only check; recall " +
+        "vs brute force asserted in AnnSpec.",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Ann.lshTopK(emb.where(col("vec_id") < 10), emb, k = 5)

@@ -451,6 +451,101 @@ object TextQueries {
              |  floor((CAST(dl * ltot - lsum AS DOUBLE)
              |    / (CAST(dl AS DOUBLE) * 1000000.0)) * 10000 + 0.5) / 10000 AS xent
              |FROM agg, tot ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "tq_gopher_gates",
+      "TQ10: Gopher document-level gates (Rae et al. 2021 'Scaling " +
+        "Language Models', table A1): word count in [50, 100000], mean " +
+        "word length in [3, 10], symbol-to-word ratio ('#' chars + '...' " +
+        "runs) <= 0.1, and >= 80% of words containing an alphabetic " +
+        "character. Every gate BOOLEAN is computed by INTEGER cross-" +
+        "multiplication (3n <= chars <= 10n, 10*symbols <= words, " +
+        "5*alpha >= 4*words) — no float compare can diverge cross-engine; " +
+        "the rounded DOUBLE ratios ride beside them for inspection only. " +
+        "Zero-shuffle per-document projection; the only exchange is the " +
+        "output sort.",
+      (s, d) => {
+        val nW = size(toks).cast(LongType)
+        // total word chars = text minus separators (single-space corpus)
+        val chars = length(regexp_replace(col("text"), " ", "")).cast(LongType)
+        val symbols = (length(col("text"))
+          - length(regexp_replace(col("text"), "#", ""))).cast(LongType) +
+          regexp_count(col("text"), lit("\\.\\.\\.")).cast(LongType)
+        val alphaW = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast(LongType)
+        Tables.documents(s, d).select(
+          col("doc_id"), nW.as("n_words"),
+          round(chars.cast(DoubleType) / nW.cast(DoubleType), 4).as("mean_word_len"),
+          round(symbols.cast(DoubleType) / nW.cast(DoubleType), 4).as("symbol_ratio"),
+          round(alphaW.cast(DoubleType) / nW.cast(DoubleType), 4).as("alpha_frac"),
+          (nW >= 50 && nW <= 100000).as("pass_word_count"),
+          (chars >= lit(3L) * nW && chars <= lit(10L) * nW).as("pass_mean_len"),
+          (lit(10L) * symbols <= nW).as("pass_symbol"),
+          (lit(5L) * alphaW >= lit(4L) * nW).as("pass_alpha"),
+          (nW >= 50 && nW <= 100000 &&
+            chars >= lit(3L) * nW && chars <= lit(10L) * nW &&
+            lit(10L) * symbols <= nW &&
+            lit(5L) * alphaW >= lit(4L) * nW).as("pass_all")
+        ).orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+             |    CAST(length(text) - length(replace(text, '#', ''))
+             |      + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS symbols,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS alpha_w
+             |  FROM documents)
+             |SELECT doc_id, n_words,
+             |  floor((CAST(chars AS DOUBLE) / CAST(n_words AS DOUBLE)) * 10000 + 0.5) / 10000 AS mean_word_len,
+             |  floor((CAST(symbols AS DOUBLE) / CAST(n_words AS DOUBLE)) * 10000 + 0.5) / 10000 AS symbol_ratio,
+             |  floor((CAST(alpha_w AS DOUBLE) / CAST(n_words AS DOUBLE)) * 10000 + 0.5) / 10000 AS alpha_frac,
+             |  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+             |  (chars >= 3 * n_words AND chars <= 10 * n_words) AS pass_mean_len,
+             |  (10 * symbols <= n_words) AS pass_symbol,
+             |  (5 * alpha_w >= 4 * n_words) AS pass_alpha,
+             |  (n_words >= 50 AND n_words <= 100000
+             |    AND chars >= 3 * n_words AND chars <= 10 * n_words
+             |    AND 10 * symbols <= n_words
+             |    AND 5 * alpha_w >= 4 * n_words) AS pass_all
+             |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "tq_stopword_gate",
+      "TQ11: Gopher stopword gate — a document passes when it contains at " +
+        "least 2 DISTINCT members of the published 8-stopword list (the, " +
+        "be, to, of, and, that, have, with — thresholds kept EXACTLY as " +
+        "published, not tuned to the corpus: the synthetic vocabulary " +
+        "carries only 'the' from the list, so every document fails the " +
+        "gate at every SF while n_stopwords (0/1) and the stopword-token " +
+        "fraction vary and carry the oracle comparison). The distinct-" +
+        "member count and gate are pure integer/set operations (exact " +
+        "cross-engine); only the display fraction rounds. Zero-shuffle " +
+        "per-document projection plus the output sort.",
+      (s, d) => {
+        val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        val nW = size(toks).cast(LongType)
+        val present = size(array_intersect(array_distinct(toks),
+          array(stops.map(lit): _*))).cast(LongType)
+        val stopToks = size(filter(toks,
+          t => t.isin(stops.map(x => x: Any): _*))).cast(LongType)
+        Tables.documents(s, d).select(
+          col("doc_id"), nW.as("n_words"),
+          present.as("n_stopwords"),
+          round(stopToks.cast(DoubleType) / nW.cast(DoubleType), 4).as("stop_frac"),
+          (present >= 2).as("pass_stopwords")
+        ).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+             |    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stopwords,
+             |  floor((CAST(len(list_filter(string_split(text, ' '),
+             |      t -> t IN ('the','be','to','of','and','that','have','with'))) AS DOUBLE)
+             |    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 10000 + 0.5) / 10000 AS stop_frac,
+             |  (len(list_intersect(list_distinct(string_split(text, ' ')),
+             |    ['the','be','to','of','and','that','have','with'])) >= 2) AS pass_stopwords
+             |FROM documents ORDER BY doc_id""".stripMargin)
     )
   )
 }

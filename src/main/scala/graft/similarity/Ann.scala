@@ -125,10 +125,10 @@ object Ann {
   // Random 64-dim vectors are the adversarial case for hyperplane LSH
   // (cosines concentrate near 0, so "near" neighbors barely separate from
   // the bulk); shorter codes + more OR-ed tables trade candidate count for
-  // recall. 6 bits × 8 tables × 3 query-side probes ≈ 3n/8 candidates per
-  // query at recall 0.65 on this corpus (AnnSpec, r15 — 0.38 single-probe);
-  // structured embeddings reach ≥0.9 at the same cost (planted-cluster
-  // gate).
+  // recall. 6 bits × 8 tables × 5 query-side probes ≈ 5n/8 candidates per
+  // query at recall@5 0.70 on this corpus (AnnSpec, r16 — 0.38
+  // single-probe, 0.65 at ×3); structured embeddings reach ≥0.9 at a
+  // fraction of the cost (planted-cluster gate).
   val NumPlanes = 6  // bits per table → 64 buckets
   val NumTables = 8  // OR-amplification: candidate if ANY table collides
 
@@ -165,9 +165,12 @@ object Ann {
     * hyperplane. Query-side only: the corpus is still indexed at ONE
     * bucket per table (no extra index storage or corpus shuffle width),
     * and candidates grow by at most nProbe× — the standard recall knob
-    * that does NOT touch the index.
+    * that does NOT touch the index. 3 → 5 at r16 (verdict #6 next-notch):
+    * recall@5 0.65 → 0.70, recall@10 0.515 → 0.61 on the adversarial
+    * corpus (IvfTune), candidates ≤5n/8 per query, idle bench within the
+    * committed envelope (BASELINE.md r16).
     */
-  val LshProbes = 3
+  val LshProbes = 5
   private def tableProbes(e: Column, table: Int, nProbe: Int): Seq[Column] = {
     val js = (table * NumPlanes until (table + 1) * NumPlanes).toSeq
     val projs = js.map(j =>

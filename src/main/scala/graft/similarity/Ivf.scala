@@ -226,6 +226,43 @@ object Ivf {
     slice(transform(array_sort(scored), s => s.getField("cell")), 1, nProbe)
   }
 
+  /** Margin-adaptive probe set (r15 verdict #6, probe ordering by centroid
+    * margin): the `minProbe` nearest cells always, then cells
+    * minProbe+1..maxProbe only while their squared distance stays within
+    * `(1 + margin)` of the nearest cell's. The margin extension targets
+    * Voronoi-BOUNDARY queries — a tiny gap to the runner-up cells means the
+    * cell that actually holds the true neighbors is ambiguous, so those
+    * queries buy extra probes; deep-interior queries (big gap) stay at
+    * minProbe. The minProbe floor is load-bearing: measured on the
+    * adversarial uniform-random corpus (IvfTune, r16), a PURE margin gate
+    * under-performs fixed probing at equal average budget (margin 0.1 →
+    * 2.35 avg probes, recall@5 0.51 vs fixed-3's 0.60) because uniform
+    * vectors put no signal in the margin — true neighbors are uncorrelated
+    * with cell geometry there, so only raw probe count helps. On clustered
+    * corpora (the planted fixture, and real embedding corpora) the margin
+    * arm is what catches the boundary queries fixed probing misses. The
+    * per-query probe count is data-dependent but the JOIN is still a
+    * bucket-id equality after the explode — plan shape and 100 TB posture
+    * identical to [[probeCells]].
+    *
+    * `greatest(bestD, 0)`: dSq is exact squared L2 so mathematically ≥ 0,
+    * but the |x|²−2x·c+|c|² float form can read ~−1e-7 when the vector
+    * equals a centroid; a negative base would flip the margin inequality
+    * and drop even the nearest cells. The index arm keeps them regardless.
+    */
+  def probeCellsMargin(e: Column, centroids: Array[Array[Float]],
+                       minProbe: Int, maxProbe: Int, margin: Double): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(distSqTo(e, c).as("d"), lit(i).as("cell"))
+    }: _*)
+    val sorted = array_sort(scored)
+    val bestD = element_at(sorted, 1).getField("d")
+    val kept = filter(sorted, (s, i) =>
+      i < minProbe ||
+        s.getField("d") <= greatest(bestD, lit(0.0)) * lit(1.0 + margin))
+    slice(transform(kept, s => s.getField("cell")), 1, maxProbe)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"):
     * k-means-cluster the embeddings, then dedup WITHIN each cell only —
@@ -308,9 +345,24 @@ object Ivf {
     * flat-path indexes; a two-level index's `centroids` array works here
     * too but embeds k literals — prune via `topCentroids` first at large k.)
     */
-  def ivfTopK(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
+  def ivfTopK(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 3): DataFrame =
+    ivfTopKImpl(index, queries, k, probeCells(col("embedding"), index.centroids, nProbe))
+
+  /** [[ivfTopK]] with the margin-adaptive probe set ([[probeCellsMargin]]):
+    * `minProbe` cells always, margin-qualified extras up to `maxProbe`.
+    * Default tuning and measured recall are documented at the catalog entry
+    * (sim_ann_ivf) and pinned in AnnSpec.
+    */
+  def ivfTopKAdaptive(index: IvfIndex, queries: DataFrame, k: Int,
+                      minProbe: Int = 4, maxProbe: Int = 6,
+                      margin: Double = 0.1): DataFrame =
+    ivfTopKImpl(index, queries, k,
+      probeCellsMargin(col("embedding"), index.centroids, minProbe, maxProbe, margin))
+
+  private def ivfTopKImpl(index: IvfIndex, queries: DataFrame, k: Int,
+                          probes: Column): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      explode(probeCells(col("embedding"), index.centroids, nProbe)).as("cell"))
+      explode(probes).as("cell"))
     val cos = VectorExpressions.cosineF(col("qe"), col("ve"))
     val w = Window.partitionBy(col("qid")).orderBy(cos.desc, col("vid").asc)
     index.assigned

@@ -345,6 +345,11 @@ object EventStreams {
     * older value (the WHEN MATCHED AND source.ts > target.ts form of
     * MERGE), and applying the same batch twice is a no-op.
     */
+  /** Table property pinning a merge table's bucket count (see the layout
+    * guard inside [[mergeBatchUpsert]]).
+    */
+  val BucketsProp = "graft.merge.nbuckets"
+
   def mergeBatchUpsert(batch0: DataFrame, table: String, keyCol: String,
                        tsCol: String, seqCol: String, nBuckets: Int): Unit = {
     val spark = batch0.sparkSession
@@ -365,7 +370,28 @@ object EventStreams {
       if (batch.isEmpty) return
       if (!spark.catalog.tableExists(table)) {
         latestWins(batch).write.partitionBy("_bucket").saveAsTable(table)
+        spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+          s"('$BucketsProp' = '$nBuckets')")
         return
+      }
+      // Bucket-count pin (found by SinkFuzzSpec r16, drawn-restart tier):
+      // `_bucket = pmod(hash(key), nBuckets)` is part of the TABLE LAYOUT —
+      // a later merge with a different nBuckets computes different buckets
+      // for the same keys, its partition-pruned read misses the stored
+      // rows, and the table silently ends up with the same key in two
+      // partitions (duplicate keys, broken pruning). The count is pinned
+      // as a table property at create time and every merge must match;
+      // tables created before the pin existed adopt the caller's count.
+      val storedBuckets = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .collectFirst { case r if r.getString(0) == BucketsProp => r.getString(1) }
+      storedBuckets match {
+        case Some(b) => require(b.toInt == nBuckets,
+          s"mergeBatchUpsert: $table is bucketed with nBuckets=$b but this " +
+            s"merge drew nBuckets=$nBuckets — the bucket count is part of " +
+            "the table layout; a mismatch would silently split keys across " +
+            "partitions. Re-create the table to re-bucket.")
+        case None => spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+          s"('$BucketsProp' = '$nBuckets')")
       }
       // insertInto below binds by POSITION — select in the TABLE's column
       // order, never the batch's (a reordered batch would silently swap

@@ -34,39 +34,44 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
-  test("lshTopK results are a subset of same-bucket candidates with decent recall@5") {
+  test("lshTopK results are a subset of same-bucket candidates with decent recall@5/@10") {
     val queries = emb.where(col("vec_id") < 20)
-    val exact = Ann.bruteForceTopK(queries, emb, k = 5).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Ann.lshTopK(queries, emb, k = 5).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
     // Corpus, hyperplanes, and tie-breaks are all deterministic, so recall
-    // is a stable number (measured 0.65 on this corpus with query-directed
-    // multi-probe ×3, r15 — up from 0.38 single-probe) — gate it at
-    // measured − 0.1 (r11 verdict item #6: a 0.2 floor would pass a badly
-    // broken index).
-    assert(approx.nonEmpty)
-    val recall = exact.intersect(approx).size.toDouble / exact.size
-    info(s"recall@5 = $recall")
-    assert(recall >= 0.55,
-      s"LSH recall regressed below measured-minus-margin (0.65 - 0.1): $recall")
+    // is a stable number (measured 0.70@5 / 0.61@10 on this corpus with
+    // query-directed multi-probe ×5, r16 — 0.38 single-probe, 0.65@5 at
+    // ×3) — gate each at measured − 0.1 (r11 verdict item #6: a 0.2 floor
+    // would pass a badly broken index).
+    Seq((5, 0.6, 0.70), (10, 0.5, 0.61)).foreach { case (k, floor, measured) =>
+      val exact = Ann.bruteForceTopK(queries, emb, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = Ann.lshTopK(queries, emb, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(approx.nonEmpty)
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      info(s"recall@$k = $recall")
+      assert(recall >= floor,
+        s"LSH recall@$k regressed below measured-minus-margin ($measured - ~0.1): $recall")
+    }
   }
 
-  test("IVF top-k: valid structure and recall competitive with probing rate") {
+  test("IVF top-k: valid structure and recall competitive with probing rate (margin-adaptive)") {
     val queries = emb.where(col("vec_id") < 20)
     val index = graft.similarity.Ivf.build(emb, nCells = 8)
-    val approx = graft.similarity.Ivf.ivfTopK(index, queries, k = 5, nProbe = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(approx.nonEmpty)
-    val exact = Ann.bruteForceTopK(queries, emb, k = 5).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = exact.intersect(approx).size.toDouble / exact.size
-    info(s"ivf recall@5 = $recall (3/8 cells probed)")
-    // deterministic k-means seed + corpus → stable recall (measured 0.60
-    // at nProbe=3, r15 — up from 0.48 at nProbe=2); floor = measured − 0.1
-    // (r11 verdict item #6)
-    assert(recall >= 0.5,
-      s"IVF recall regressed below measured-minus-margin (0.60 - 0.1): $recall")
+    // margin-adaptive probing (r16, verdict #6): minProbe=4 nearest cells
+    // always, margin-qualified extras up to 6 — measured 0.74@5 / 0.76@10
+    // at 4.3 avg probes on this corpus (IvfTune; fixed nProbe=4 reads
+    // 0.71/0.73, fixed 3 read 0.60/0.625 pre-r16). Floors = measured − ~0.1.
+    Seq((5, 0.6, 0.74), (10, 0.6, 0.76)).foreach { case (k, floor, measured) =>
+      val approx = graft.similarity.Ivf.ivfTopKAdaptive(index, queries, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(approx.nonEmpty)
+      val exact = Ann.bruteForceTopK(queries, emb, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      info(s"ivf recall@$k = $recall (adaptive 4..6 of 8 cells probed)")
+      assert(recall >= floor,
+        s"IVF recall@$k regressed below measured-minus-margin ($measured - ~0.1): $recall")
+    }
   }
 
   test("allPairsTopN: blocked grid covers every pair exactly once (multi-block == single-block == local reference)") {
@@ -249,6 +254,29 @@ class AnnSpec extends AnyFunSuite {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     info(s"planted IVF recall@5 = $recall")
     assert(recall >= 0.9, s"IVF recall regressed on clustered fixture: $recall")
+  }
+
+  test("planted clusters: margin-adaptive probing holds recall >= 0.9 at ~1 avg probe") {
+    // The payoff case for probeCellsMargin: clustered queries sit DEEP in
+    // their cells, so the margin arm collapses the probe count to ~1 where
+    // fixed probing pays 2+ — recall stays ≥ 0.9 (measured 0.96 at 1.15 avg
+    // probes, IvfTune r16). The avg-probe ceiling pins the adaptivity claim
+    // itself, not just recall.
+    val queries = planted.where(col("vec_id") % 25 === 0)
+    val index = graft.similarity.Ivf.build(planted, nCells = 16)
+    val exact = Ann.bruteForceTopK(queries, planted, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.similarity.Ivf
+      .ivfTopKAdaptive(index, queries, k = 5, minProbe = 1, maxProbe = 4, margin = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    val avgProbes = queries.select(size(graft.similarity.Ivf.probeCellsMargin(
+        col("embedding"), index.centroids, 1, 4, 0.5)).as("n"))
+      .agg(avg(col("n"))).collect()(0).getDouble(0)
+    info(s"planted adaptive IVF recall@5 = $recall at avgProbes = $avgProbes")
+    assert(recall >= 0.9, s"adaptive IVF recall regressed on clustered fixture: $recall")
+    assert(avgProbes <= 2.0,
+      s"margin arm stopped collapsing interior probe counts: $avgProbes")
   }
 
   test("lsh bucket is deterministic") {

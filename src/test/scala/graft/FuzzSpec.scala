@@ -1137,6 +1137,48 @@ class FuzzSpec extends AnyFunSuite {
       s"chain templates starved: $templates")
   }
 
+  test("grammar v37 (multimodal meta scalars: byte/frame/format derived view): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var group = 0; var hist = 0; var proj = 0
+    val frames = scala.collection.mutable.Set.empty[String]
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 37)
+      if (q.mode.startsWith("media")) {
+        // the octet_length dialect split (DuckDB needs encode()) means a
+        // media draw ALWAYS carries a distinct Spark rendering — and the
+        // oracle text must carry the DuckDB-only encode() form
+        assert(q.sparkSqlOpt.nonEmpty,
+          s"v37 seed $seed: media draw lost its Spark rendering")
+        assert(q.sql.contains("octet_length(encode(text))"),
+          s"v37 seed $seed: oracle text lost the DuckDB encode() form: ${q.sql}")
+        assert(q.sparkSql.contains("octet_length(text)") &&
+          !q.sparkSql.contains("encode("),
+          s"v37 seed $seed: Spark text carries the DuckDB-only encode(): ${q.sparkSql}")
+        val parts = q.mode.split(":")
+        parts(1) match {
+          case "group" => group += 1
+          case "hist"  => hist += 1
+          case "proj"  => proj += 1
+          case other   => fail(s"v37 seed $seed: unknown media shape $other")
+        }
+        frames += parts(2)
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v37 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v37 seeds matched; $group group, $hist hist, $proj proj, " +
+      s"frame sizes=${frames.toSeq.sorted.mkString(",")}")
+    assert(group >= 15, s"grouped shape under-drawn: $group")
+    assert(hist >= 15, s"histogram shape under-drawn: $hist")
+    assert(proj >= 15, s"projection shape under-drawn: $proj")
+    assert(frames == Set("f32", "f64", "f128"),
+      s"frame-size draws starved: $frames")
+  }
+
   test("v35 fragment pool: compiled literals carry the intended code points (encoding canary)") {
     // The pool is written as \u escapes so the POSIX-locale build cannot
     // corrupt it; this canary pins the COMPILED values' code points, so a
