@@ -957,6 +957,25 @@ object FuzzQueries {
       28015, 28016, 28018, 28019, 28020, 28022, 28024, 28026, 28027,
       28033, 28035, 28039, 28049, 28051, 28052)
 
+  // Grammar-v37 slice (multimodal META scalars — the documents table as
+  // the derived media-metadata view the multimodal suite's fixed queries
+  // consume: octet byte length (the one dialect split — DuckDB needs
+  // encode() first), ascii first byte, frame count at drawn frame size
+  // F ∈ {32,64,128}, stride-S kept-frame count, and a modulus format tag.
+  // The last table-family edge with zero generated coverage (the v32
+  // lesson). Whole 29001-29200 range verified against DuckDB at sf0.001,
+  // sf0.01 AND sf0.1 (200/200 each, r16, zero divergence first sweep);
+  // picks non-empty at both smaller SFs, stride-diverse per shape × frame
+  // size (26): per-format grouped aggregates (f32 29019/29038/29063, f64
+  // 29001/29010/29030, f128 29007/29040), first_byte histograms (f32
+  // 29002/29027/29033, f64 29005/29020/29037, f128 29008/29024/29043),
+  // keyed meta projections (f32 29022/29102/29147, f64 29009/29025/29106,
+  // f128 29003/29084/29087). Rendered with query(seed, 37).
+  val declaredSeedsV37: Seq[Int] =
+    Seq(29001, 29002, 29003, 29005, 29007, 29008, 29009, 29010, 29019,
+      29020, 29022, 29024, 29025, 29027, 29030, 29033, 29037, 29038,
+      29040, 29043, 29063, 29084, 29087, 29102, 29106, 29147)
+
   /** The grammar-v1..v12 frozen slices, rotated to SOAK-ONLY bench coverage
     * (BASELINE bench-budget policy: v1-v8 rotated at r15 when the per-round
     * bench window crossed the 12-minute rotation trigger at 942 queries ×
@@ -1010,7 +1029,8 @@ object FuzzQueries {
       declaredSeedsV33.map(s => s -> FuzzGen.query(s, 33)) ++
       declaredSeedsV34.map(s => s -> FuzzGen.query(s, 34)) ++
       declaredSeedsV35.map(s => s -> FuzzGen.query(s, 35)) ++
-      declaredSeedsV36.map(s => s -> FuzzGen.query(s, 36))).map { case (seed, g) =>
+      declaredSeedsV36.map(s => s -> FuzzGen.query(s, 36)) ++
+      declaredSeedsV37.map(s => s -> FuzzGen.query(s, 37))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -2104,7 +2104,33 @@ class FuzzSpec extends AnyFunSuite {
     "fz28039" -> "da9413ff",
     "fz28049" -> "9e2f8d8c",
     "fz28051" -> "055b29c7",
-    "fz28052" -> "b68020bc")
+    "fz28052" -> "b68020bc",
+    "fz29001" -> "290ebb08",
+    "fz29002" -> "a2e13eab",
+    "fz29003" -> "aa4c7d02",
+    "fz29005" -> "d602ba6b",
+    "fz29007" -> "d6c378d3",
+    "fz29008" -> "f09195fe",
+    "fz29009" -> "535a95e3",
+    "fz29010" -> "38841598",
+    "fz29019" -> "2c634810",
+    "fz29020" -> "1dc96178",
+    "fz29022" -> "9c86336e",
+    "fz29024" -> "e25abb0a",
+    "fz29025" -> "b62d8270",
+    "fz29027" -> "6777315b",
+    "fz29030" -> "4aeec86c",
+    "fz29033" -> "127d3727",
+    "fz29037" -> "b2ef8605",
+    "fz29038" -> "8f375a2f",
+    "fz29040" -> "0a18766c",
+    "fz29043" -> "8777ad07",
+    "fz29063" -> "2aaedf9e",
+    "fz29084" -> "05004a38",
+    "fz29087" -> "5cbd487b",
+    "fz29102" -> "42825990",
+    "fz29106" -> "e00da38f",
+    "fz29147" -> "bd7d8171")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
