@@ -546,6 +546,56 @@ object TextQueries {
              |  (len(list_intersect(list_distinct(string_split(text, ' ')),
              |    ['the','be','to','of','and','that','have','with'])) >= 2) AS pass_stopwords
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "x21_gopher_prep",
+      "Composed Gopher corpus-prep pipeline: the TQ10 gate conjunction as " +
+        "a corpus FILTER (word count, mean word length, symbol ratio, " +
+        "alpha fraction — the same integer cross-multiplied forms) -> " +
+        "per-language survivor stats (doc count, total words, corpus mean " +
+        "word length from exact integer sums). The end-to-end shape of a " +
+        "published-gate quality pass over a 100 TB corpus: one codegen'd " +
+        "scan-filter (no gate needs a shuffle), one partial+final hash " +
+        "aggregate at language cardinality.",
+      (s, d) => {
+        val nW = size(toks).cast(LongType)
+        val chars = length(regexp_replace(col("text"), " ", "")).cast(LongType)
+        val symbols = (length(col("text"))
+          - length(regexp_replace(col("text"), "#", ""))).cast(LongType) +
+          regexp_count(col("text"), lit("\\.\\.\\.")).cast(LongType)
+        val alphaW = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast(LongType)
+        Tables.documents(s, d)
+          .where(nW >= 50 && nW <= 100000 &&
+            chars >= lit(3L) * nW && chars <= lit(10L) * nW &&
+            lit(10L) * symbols <= nW &&
+            lit(5L) * alphaW >= lit(4L) * nW)
+          .select(col("lang"), nW.as("n_words"), chars.as("chars"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("total_words"),
+            round(sum(col("chars")).cast(DoubleType)
+              / sum(col("n_words")).cast(DoubleType), 4).as("mean_word_len"))
+          .orderBy("lang")
+      },
+      Some("""WITH m AS (
+             |  SELECT lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+             |    CAST(length(text) - length(replace(text, '#', ''))
+             |      + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS symbols,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS alpha_w
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_words) AS BIGINT) AS total_words,
+             |  floor((CAST(sum(chars) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE))
+             |    * 10000 + 0.5) / 10000 AS mean_word_len
+             |FROM m
+             |WHERE n_words >= 50 AND n_words <= 100000
+             |  AND chars >= 3 * n_words AND chars <= 10 * n_words
+             |  AND 10 * symbols <= n_words
+             |  AND 5 * alpha_w >= 4 * n_words
+             |GROUP BY lang ORDER BY lang""".stripMargin)
     )
   )
 }
