@@ -34,6 +34,29 @@ import graft.queries.QueryCatalog
   *    inflation, not just the noisy-spread sub-second ones).
   */
 object Bench {
+
+  /** Parse the committed per-query baseline out of a BENCH artifact line.
+    * A two-regex scan instead of a JSON library: the artifact is
+    * machine-written on one line with "name":1.234 pairs inside a flat
+    * "queries" object, and build.sbt deliberately adds no dependencies
+    * beyond Spark. Non-positive entries (failed runs) are dropped.
+    */
+  def parseBaseline(txt: String): Map[String, Double] = {
+    val qs = """"queries"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(qs)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter(_._2 > 0).toMap
+  }
+
+  /** The committed-baseline resample trigger (r15 verdict #5): a measured
+    * min still above max(2 x committed, 0.15 s) buys the extra samples.
+    * The 0.15 s floor keeps sub-noise baselines (a 0.05 s query reading
+    * 0.11 s) from burning runs on pure jitter.
+    */
+  def overBaseline(baseline: Option[Double], best: Double): Boolean =
+    baseline.exists(b => best > math.max(2 * b, 0.15))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
@@ -41,22 +64,13 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     // Committed per-query baselines (same JSON shape as the artifact this
-    // main writes). Parsed with a two-regex scan instead of a JSON library:
-    // the artifact is machine-written on one line with "name":1.234 pairs
-    // and build.sbt deliberately adds no dependencies beyond Spark.
+    // main writes); missing file = no gate.
     val baseline: Map[String, Double] = {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json"))
       if (!java.nio.file.Files.isReadable(p)) Map.empty
-      else {
-        val txt = new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val qs = """"queries"\s*:\s*\{([^}]*)\}""".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(qs)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 > 0).toMap
-      }
+      else parseBaseline(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8))
     }
     val spark = GraftSession.getOrCreate("graft-bench")
 
@@ -94,8 +108,7 @@ object Bench {
       // 0.11 s a "flag", and sub-0.15 s deltas are pure noise.
       def target: Int =
         if (best < 1.0 && worst > 1.5 * best) math.max(runs, 5)
-        else if (baseline.get(name).exists(b => best > math.max(2 * b, 0.15)))
-          math.max(runs, 5)
+        else if (overBaseline(baseline.get(name), best)) math.max(runs, 5)
         else runs
       while (n < target) {
         val t = runOnce(name)
