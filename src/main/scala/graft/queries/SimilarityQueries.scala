@@ -70,6 +70,23 @@ object SimilarityQueries {
       None
     ),
     Q(
+      "sim_ann_ivf2",
+      "IVF approximate top-5 through the TWO-LEVEL index (200 cells > " +
+        "flatKMax) and the two-level search path: sqrt(k) top-centroid " +
+        "literals per query, broadcast sub-centroid join, nProbe-nearest " +
+        "sub-cells, exact cosine re-rank — the literal-bounded search " +
+        "shape for SemDeDup-scale cell counts (k ~ 1e5). Rows-only check; " +
+        "row-identity with the flat literal path at full top coverage is " +
+        "pinned in AnnSpec.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val index = graft.similarity.Ivf.build(emb, nCells = 200)
+        graft.similarity.Ivf.ivfTopKTwoLevel(index,
+          emb.where(col("vec_id") < 10), k = 5)
+      },
+      None
+    ),
+    Q(
       "sim_semantic_dedup",
       "SemDeDup-style semantic deduplication: k-means cells (the IVF coarse " +
         "quantizer) + within-cell min-id survivorship at a cosine " +

@@ -360,9 +360,16 @@ object Ivf {
       probeCellsMargin(col("embedding"), index.centroids, minProbe, maxProbe, margin))
 
   private def ivfTopKImpl(index: IvfIndex, queries: DataFrame, k: Int,
-                          probes: Column): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      explode(probes).as("cell"))
+                          probes: Column): DataFrame =
+    rankCandidates(index,
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probes).as("cell")), k)
+
+  /** Exact-cosine re-rank of the probe set: (qid, qe, cell) rows → top-k
+    * per query via an equality join on the cell id. Shared tail of every
+    * search path — flat literals, margin-adaptive, and two-level.
+    */
+  private def rankCandidates(index: IvfIndex, q: DataFrame, k: Int): DataFrame = {
     val cos = VectorExpressions.cosineF(col("qe"), col("ve"))
     val w = Window.partitionBy(col("qid")).orderBy(cos.desc, col("vid").asc)
     index.assigned
@@ -373,5 +380,58 @@ object Ivf {
         row_number().over(w).cast(LongType).as("rn"))
       .where(col("rn") <= k)
       .orderBy("qid", "rn")
+  }
+
+  /** Top-k search for TWO-LEVEL indexes at large cell counts — the search
+    * counterpart of [[buildTwoLevel]]'s assignment path. [[ivfTopK]] embeds
+    * all k centroids as codegen literals, which is exactly right at
+    * k ≤ [[flatKMax]] and exactly wrong at the SemDeDup posture (k ≈ 10⁵:
+    * 10⁵ × d expression nodes per query row kills codegen long before it
+    * kills correctness). Here the per-row literal cost is k₁ = ⌈√k⌉ top
+    * centroids; each query explodes to its `topProbe` nearest TOP cells,
+    * broadcast-joins the (top_cell → sub-centroid) table — the same
+    * ≤ k·d·4-byte broadcast the assignment path already ships — scores the
+    * ~topProbe·k₂ candidate sub-cells with the codegen'd distance
+    * expression, and keeps the `nProbe` nearest per query (deterministic
+    * (d, cell) tie-break, the probeCells order). The candidate join after
+    * that is the shared cell-id equality — identical plan shape to the
+    * flat path, so the whole search is literal-bounded by √k at any k.
+    *
+    * With `topProbe = k₁` (no top-level pruning) the selected probe set is
+    * EXACTLY [[probeCells]]' nProbe-nearest over all k centroids — pinned
+    * in AnnSpec as an equivalence against [[ivfTopK]]. Smaller topProbe
+    * trades top-level boundary misses for a k₂-fold smaller scoring fan;
+    * the assignment path's top cell is always among the probed ones when
+    * topProbe ≥ 1, so a query's own cell is never missed.
+    */
+  def ivfTopKTwoLevel(index: IvfIndex, queries: DataFrame, k: Int,
+                      nProbe: Int = 4, topProbe: Int = 3): DataFrame = {
+    val top = index.topCentroids.getOrElse(throw new IllegalArgumentException(
+      "ivfTopKTwoLevel: index was built by the flat path (no top level); " +
+        "use ivfTopK/ivfTopKAdaptive"))
+    val cellTop = index.cellTop.get
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val subTable = index.centroids.zipWithIndex.map { case (c, i) =>
+      (cellTop(i), i, c.toSeq, c.map(v => v.toDouble * v.toDouble).sum)
+    }.toSeq.toDF("top_cell", "cell", "centroid", "c_norm_sq")
+      .withColumn("centroid", col("centroid").cast(ArrayType(FloatType)))
+    val qe = col("qe")
+    // |x|² − 2·x·c + |c|²: the same monotone-equivalent form distSqTo and
+    // buildTwoLevel use, so probe ranking matches the flat literal path
+    val dSq = VectorExpressions.normF(qe) * VectorExpressions.normF(qe) -
+      lit(2.0) * VectorExpressions.dotF(qe, col("centroid")) + col("c_norm_sq")
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("_d").asc, col("cell").asc)
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probeCells(col("embedding"), top, math.min(topProbe, top.length)))
+          .as("top_cell"))
+      .join(broadcast(subTable), Seq("top_cell"))
+      .select(col("qid"), qe, col("cell"), dSq.as("_d"))
+      .withColumn("_rn", row_number().over(wProbe))
+      .where(col("_rn") <= nProbe)
+      .select(col("qid"), qe, col("cell"))
+    rankCandidates(index, probes, k)
   }
 }

@@ -196,6 +196,38 @@ class AnnSpec extends AnyFunSuite {
     info(s"two-level: k1=${top.length} top cells, ${index.centroids.length} global cells")
   }
 
+  test("ivfTopKTwoLevel: with full top coverage it EQUALS the flat literal path; pruned form valid; flat index rejected") {
+    import graft.similarity.Ivf
+    val queries = emb.where(col("vec_id") < 20)
+    val index = Ivf.build(emb, nCells = 200) // > flatKMax -> two-level
+    val k1 = index.topCentroids.get.length
+    // topProbe >= k1 means no top-level pruning: the nProbe-nearest probe
+    // set over all 200 cells must match probeCells' literal ranking exactly,
+    // so the search result is row-identical to the flat path
+    val flat = Ivf.ivfTopK(index, queries, k = 5, nProbe = 4)
+      .collect().map(_.toString).toSeq
+    val full = Ivf.ivfTopKTwoLevel(index, queries, k = 5, nProbe = 4,
+      topProbe = k1).collect().map(_.toString).toSeq
+    assert(full == flat,
+      "two-level search with full top coverage diverged from the flat literal path")
+    // pruned top level: valid structure (5 ranked rows per query, no self)
+    val pruned = Ivf.ivfTopKTwoLevel(index, queries, k = 5, nProbe = 4,
+      topProbe = 3).collect()
+    val byQ = pruned.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq)
+      assert(!rows.exists(r => r.getLong(1) == r.getLong(0)))
+    }
+    info(s"two-level search: k1=$k1 top cells, pruned form returned ${pruned.length} rows")
+    // a flat index has no top level -> loud rejection, not silent fallback
+    val flatIndex = Ivf.build(emb, nCells = 16)
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.ivfTopKTwoLevel(flatIndex, queries, k = 5)
+    }
+    assert(ex.getMessage.contains("flat path"))
+  }
+
   test("semanticDedupWith releases the assignment checkpoint; result matches semanticDedup") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet

@@ -19,9 +19,10 @@ class QueryCatalogSpec extends AnyFunSuite {
   test("non-oracle queries are the documented hash-based/typed exceptions") {
     val noOracle = QueryCatalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(noOracle == Set("x2_minhash_lsh", "dd_simhash", "sim_ann_lsh",
-      "sim_ann_ivf", "sim_semantic_dedup", "mm_decode_features", "mm_resize",
-      "a8_approx_distinct", "dd_lang_sketch", "dd_cluster_lsh",
-      "x11_cms_heavy_hitters", "a18_approx_percentile"))
+      "sim_ann_ivf", "sim_ann_ivf2", "sim_semantic_dedup",
+      "mm_decode_features", "mm_resize", "a8_approx_distinct",
+      "dd_lang_sketch", "dd_cluster_lsh", "x11_cms_heavy_hitters",
+      "a18_approx_percentile"))
   }
 
   /** Frozen entries whose CORRECT result is zero rows — currently only
