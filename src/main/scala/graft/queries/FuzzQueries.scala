@@ -976,12 +976,13 @@ object FuzzQueries {
       29020, 29022, 29024, 29025, 29027, 29030, 29033, 29037, 29038,
       29040, 29043, 29063, 29084, 29087, 29102, 29106, 29147)
 
-  /** The grammar-v1..v12 frozen slices, rotated to SOAK-ONLY bench coverage
+  /** The grammar-v1..v15 frozen slices, rotated to SOAK-ONLY bench coverage
     * (BASELINE bench-budget policy: v1-v8 rotated at r15 when the per-round
     * bench window crossed the 12-minute rotation trigger at 942 queries ×
     * min-of-2; v9-v12 rotated at r16 after the r15 driver window confirmed
-    * the 15-minute budget overage at 15.2 min — these are the next-oldest
-    * slices, stable for ≥6 rounds). Rotation affects the BENCH artifact
+    * the 15-minute budget overage at 15.2 min; v13-v15 rotated at r17 after
+    * the r16 driver window read 15.3 min — these are the next-oldest
+    * slices, stable for ≥7 rounds). Rotation affects the BENCH artifact
     * only: every seed here still runs through Verify and the driver's
     * DuckDB oracle each round (correctness coverage unchanged), still
     * carries its SQL-hash pin and plan signature, and still rides the
@@ -991,7 +992,8 @@ object FuzzQueries {
   val soakOnlySeeds: Seq[Int] =
     declaredSeeds ++ declaredSeedsV2 ++ declaredSeedsV3 ++ declaredSeedsV4 ++
       declaredSeedsV5 ++ declaredSeedsV6 ++ declaredSeedsV7 ++ declaredSeedsV8 ++
-      declaredSeedsV9 ++ declaredSeedsV10 ++ declaredSeedsV11 ++ declaredSeedsV12
+      declaredSeedsV9 ++ declaredSeedsV10 ++ declaredSeedsV11 ++ declaredSeedsV12 ++
+      declaredSeedsV13 ++ declaredSeedsV14 ++ declaredSeedsV15
 
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++

@@ -456,34 +456,38 @@ object TextQueries {
       "tq_gopher_gates",
       "TQ10: Gopher document-level gates (Rae et al. 2021 'Scaling " +
         "Language Models', table A1): word count in [50, 100000], mean " +
-        "word length in [3, 10], symbol-to-word ratio ('#' chars + '...' " +
-        "runs) <= 0.1, and >= 80% of words containing an alphabetic " +
-        "character. Every gate BOOLEAN is computed by INTEGER cross-" +
-        "multiplication (3n <= chars <= 10n, 10*symbols <= words, " +
-        "5*alpha >= 4*words) — no float compare can diverge cross-engine; " +
-        "the rounded DOUBLE ratios ride beside them for inspection only. " +
+        "word length in [3, 10], symbol-to-word ratio <= 0.1 for '#' and " +
+        "for ellipsis EACH (the paper applies the threshold per symbol — " +
+        "'either the hash symbol or the ellipsis'; ellipses counted as " +
+        "'.'-runs of length >= 3, so '......' is ONE ellipsis), and >= " +
+        "80% of words containing an alphabetic character. Every gate " +
+        "BOOLEAN is computed by INTEGER cross-multiplication (3n <= chars " +
+        "<= 10n, 10*hashes <= words AND 10*ellipses <= words, 5*alpha >= " +
+        "4*words) — no float compare can diverge cross-engine; the " +
+        "rounded DOUBLE ratios ride beside them for inspection only. " +
         "Zero-shuffle per-document projection; the only exchange is the " +
         "output sort.",
       (s, d) => {
         val nW = size(toks).cast(LongType)
         // total word chars = text minus separators (single-space corpus)
         val chars = length(regexp_replace(col("text"), " ", "")).cast(LongType)
-        val symbols = (length(col("text"))
-          - length(regexp_replace(col("text"), "#", ""))).cast(LongType) +
-          regexp_count(col("text"), lit("\\.\\.\\.")).cast(LongType)
+        val hashes = (length(col("text"))
+          - length(regexp_replace(col("text"), "#", ""))).cast(LongType)
+        val ellipses = regexp_count(col("text"), lit("\\.{3,}")).cast(LongType)
         val alphaW = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast(LongType)
         Tables.documents(s, d).select(
           col("doc_id"), nW.as("n_words"),
           round(chars.cast(DoubleType) / nW.cast(DoubleType), 4).as("mean_word_len"),
-          round(symbols.cast(DoubleType) / nW.cast(DoubleType), 4).as("symbol_ratio"),
+          round(hashes.cast(DoubleType) / nW.cast(DoubleType), 4).as("hash_ratio"),
+          round(ellipses.cast(DoubleType) / nW.cast(DoubleType), 4).as("ellipsis_ratio"),
           round(alphaW.cast(DoubleType) / nW.cast(DoubleType), 4).as("alpha_frac"),
           (nW >= 50 && nW <= 100000).as("pass_word_count"),
           (chars >= lit(3L) * nW && chars <= lit(10L) * nW).as("pass_mean_len"),
-          (lit(10L) * symbols <= nW).as("pass_symbol"),
+          (lit(10L) * hashes <= nW && lit(10L) * ellipses <= nW).as("pass_symbol"),
           (lit(5L) * alphaW >= lit(4L) * nW).as("pass_alpha"),
           (nW >= 50 && nW <= 100000 &&
             chars >= lit(3L) * nW && chars <= lit(10L) * nW &&
-            lit(10L) * symbols <= nW &&
+            lit(10L) * hashes <= nW && lit(10L) * ellipses <= nW &&
             lit(5L) * alphaW >= lit(4L) * nW).as("pass_all")
         ).orderBy("doc_id")
       },
@@ -491,22 +495,23 @@ object TextQueries {
              |  SELECT doc_id,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
              |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
-             |    CAST(length(text) - length(replace(text, '#', ''))
-             |      + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS symbols,
+             |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+             |    CAST(len(regexp_extract_all(text, '\.{3,}')) AS BIGINT) AS ellipses,
              |    CAST(len(list_filter(string_split(text, ' '),
              |      t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS alpha_w
              |  FROM documents)
              |SELECT doc_id, n_words,
              |  floor((CAST(chars AS DOUBLE) / CAST(n_words AS DOUBLE)) * 10000 + 0.5) / 10000 AS mean_word_len,
-             |  floor((CAST(symbols AS DOUBLE) / CAST(n_words AS DOUBLE)) * 10000 + 0.5) / 10000 AS symbol_ratio,
+             |  floor((CAST(hashes AS DOUBLE) / CAST(n_words AS DOUBLE)) * 10000 + 0.5) / 10000 AS hash_ratio,
+             |  floor((CAST(ellipses AS DOUBLE) / CAST(n_words AS DOUBLE)) * 10000 + 0.5) / 10000 AS ellipsis_ratio,
              |  floor((CAST(alpha_w AS DOUBLE) / CAST(n_words AS DOUBLE)) * 10000 + 0.5) / 10000 AS alpha_frac,
              |  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
              |  (chars >= 3 * n_words AND chars <= 10 * n_words) AS pass_mean_len,
-             |  (10 * symbols <= n_words) AS pass_symbol,
+             |  (10 * hashes <= n_words AND 10 * ellipses <= n_words) AS pass_symbol,
              |  (5 * alpha_w >= 4 * n_words) AS pass_alpha,
              |  (n_words >= 50 AND n_words <= 100000
              |    AND chars >= 3 * n_words AND chars <= 10 * n_words
-             |    AND 10 * symbols <= n_words
+             |    AND 10 * hashes <= n_words AND 10 * ellipses <= n_words
              |    AND 5 * alpha_w >= 4 * n_words) AS pass_all
              |FROM m ORDER BY doc_id""".stripMargin)
     ),
@@ -560,14 +565,14 @@ object TextQueries {
       (s, d) => {
         val nW = size(toks).cast(LongType)
         val chars = length(regexp_replace(col("text"), " ", "")).cast(LongType)
-        val symbols = (length(col("text"))
-          - length(regexp_replace(col("text"), "#", ""))).cast(LongType) +
-          regexp_count(col("text"), lit("\\.\\.\\.")).cast(LongType)
+        val hashes = (length(col("text"))
+          - length(regexp_replace(col("text"), "#", ""))).cast(LongType)
+        val ellipses = regexp_count(col("text"), lit("\\.{3,}")).cast(LongType)
         val alphaW = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast(LongType)
         Tables.documents(s, d)
           .where(nW >= 50 && nW <= 100000 &&
             chars >= lit(3L) * nW && chars <= lit(10L) * nW &&
-            lit(10L) * symbols <= nW &&
+            lit(10L) * hashes <= nW && lit(10L) * ellipses <= nW &&
             lit(5L) * alphaW >= lit(4L) * nW)
           .select(col("lang"), nW.as("n_words"), chars.as("chars"))
           .groupBy("lang")
@@ -581,8 +586,8 @@ object TextQueries {
              |  SELECT lang,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
              |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
-             |    CAST(length(text) - length(replace(text, '#', ''))
-             |      + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS symbols,
+             |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+             |    CAST(len(regexp_extract_all(text, '\.{3,}')) AS BIGINT) AS ellipses,
              |    CAST(len(list_filter(string_split(text, ' '),
              |      t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS alpha_w
              |  FROM documents)
@@ -593,7 +598,7 @@ object TextQueries {
              |FROM m
              |WHERE n_words >= 50 AND n_words <= 100000
              |  AND chars >= 3 * n_words AND chars <= 10 * n_words
-             |  AND 10 * symbols <= n_words
+             |  AND 10 * hashes <= n_words AND 10 * ellipses <= n_words
              |  AND 5 * alpha_w >= 4 * n_words
              |GROUP BY lang ORDER BY lang""".stripMargin)
     )

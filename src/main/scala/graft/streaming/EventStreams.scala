@@ -350,6 +350,19 @@ object EventStreams {
     */
   val BucketsProp = "graft.merge.nbuckets"
 
+  /** Per-JVM cache of VALIDATED bucket pins (table name → nBuckets), so a
+    * long-running stream pays the SHOW TBLPROPERTIES catalog round-trip
+    * once per table, not once per micro-batch (r16 ADVICE). Consulted only
+    * on exact match — a cached value that differs from the caller's count
+    * falls through to the full catalog check, so the cache can never mint
+    * a failure the catalog wouldn't. The one hazard it admits: an EXTERNAL
+    * actor dropping and re-bucketing the table mid-stream behind an equal
+    * cached value — already outside the merge contract (the stream's
+    * checkpoint and partition layout assumptions break with it).
+    */
+  private val validatedPins =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
   def mergeBatchUpsert(batch0: DataFrame, table: String, keyCol: String,
                        tsCol: String, seqCol: String, nBuckets: Int): Unit = {
     val spark = batch0.sparkSession
@@ -372,6 +385,7 @@ object EventStreams {
         latestWins(batch).write.partitionBy("_bucket").saveAsTable(table)
         spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
           s"('$BucketsProp' = '$nBuckets')")
+        validatedPins.put(table, nBuckets)
         return
       }
       // Bucket-count pin (found by SinkFuzzSpec r16, drawn-restart tier):
@@ -380,18 +394,50 @@ object EventStreams {
       // for the same keys, its partition-pruned read misses the stored
       // rows, and the table silently ends up with the same key in two
       // partitions (duplicate keys, broken pruning). The count is pinned
-      // as a table property at create time and every merge must match;
-      // tables created before the pin existed adopt the caller's count.
-      val storedBuckets = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-        .collectFirst { case r if r.getString(0) == BucketsProp => r.getString(1) }
-      storedBuckets match {
-        case Some(b) => require(b.toInt == nBuckets,
-          s"mergeBatchUpsert: $table is bucketed with nBuckets=$b but this " +
-            s"merge drew nBuckets=$nBuckets — the bucket count is part of " +
-            "the table layout; a mismatch would silently split keys across " +
-            "partitions. Re-create the table to re-bucket.")
-        case None => spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-          s"('$BucketsProp' = '$nBuckets')")
+      // as a table property at create time and every merge must match.
+      // The per-JVM cache short-circuits the catalog round-trip when this
+      // exact (table, nBuckets) pair already validated (r16 ADVICE —
+      // once per stream, not once per micro-batch).
+      if (!validatedPins.get(table).contains(nBuckets)) {
+        val storedBuckets = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+          .collectFirst { case r if r.getString(0) == BucketsProp => r.getString(1) }
+        storedBuckets match {
+          case Some(b) =>
+            // guard the parse: a corrupted property value should explain
+            // itself, not surface as a bare NumberFormatException
+            val stored = scala.util.Try(b.trim.toInt).getOrElse(
+              throw new IllegalStateException(
+                s"mergeBatchUpsert: table property $BucketsProp on $table " +
+                  s"holds '$b', which is not an int — the bucket-count pin " +
+                  "is corrupted; restore it with ALTER TABLE ... SET " +
+                  s"TBLPROPERTIES ('$BucketsProp' = '<count>') to match the " +
+                  "layout the table was written with"))
+            require(stored == nBuckets,
+              s"mergeBatchUpsert: $table is bucketed with nBuckets=$stored " +
+                s"but this merge drew nBuckets=$nBuckets — the bucket count " +
+                "is part of the table layout; a mismatch would silently " +
+                "split keys across partitions. Re-create the table to " +
+                "re-bucket.")
+          case None =>
+            // Legacy (pre-pin) table: the caller's count is only safe to
+            // ADOPT if it reproduces the stored layout — adopting blind
+            // would key-split on this very merge and then pin the WRONG
+            // count (r16 ADVICE, medium). Recompute the bucket for every
+            // stored row and fail loudly on any mismatch: one full scan,
+            // paid once — the pin written below makes every later merge a
+            // property check (and in the steady state a cache hit).
+            val misplaced = spark.table(table)
+              .where(pmod(hash(col(keyCol)), lit(nBuckets)) =!= col("_bucket"))
+            require(misplaced.isEmpty,
+              s"mergeBatchUpsert: $table has no $BucketsProp pin and its " +
+                s"stored _bucket layout does not match nBuckets=$nBuckets " +
+                "— adopting this count would split keys across partitions. " +
+                "Pass the count the table was written with (then the pin " +
+                "records it), or re-create the table to re-bucket.")
+            spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+              s"('$BucketsProp' = '$nBuckets')")
+        }
+        validatedPins.put(table, nBuckets)
       }
       // insertInto below binds by POSITION — select in the TABLE's column
       // order, never the batch's (a reordered batch would silently swap

@@ -228,6 +228,57 @@ class AnnSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("flat path"))
   }
 
+  test("ivfTopKTwoLevel PRUNED form: recall floor vs the flat path at the production defaults") {
+    // r16 verdict #2: the pruned search (topProbe < k1 — the form
+    // sim_ann_ivf2 benches and the only one that matters at SemDeDup-scale
+    // k) was pinned row-valid + equivalent-at-full-coverage only; a
+    // top-level boundary miss would silently cost recall. Gate it RELATIVE
+    // to the flat literal path over the SAME index at the same nProbe —
+    // that ratio isolates exactly what top-level pruning costs (absolute
+    // recall on this adversarial 500-vector/200-cell corpus is probe-
+    // bounded at ~0.37 for flat itself, too noisy for an absolute floor).
+    // Measured (IvfTune r17, deterministic corpus): topProbe=3 holds
+    // recall 0.32@5 vs flat 0.37 (ratio 0.86) and 0.295@10 vs 0.335
+    // (0.88); probe agreement 0.70. Floor = 0.55x flat per the verdict.
+    import graft.similarity.Ivf
+    val queries = emb.where(col("vec_id") < 20)
+    val index = Ivf.build(emb, nCells = 200)
+    Seq(5, 10).foreach { k =>
+      val exact = Ann.bruteForceTopK(queries, emb, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val flat = Ivf.ivfTopK(index, queries, k, nProbe = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pruned = Ivf.ivfTopKTwoLevel(index, queries, k, nProbe = 4, topProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val flatRecall = exact.intersect(flat).size.toDouble / exact.size
+      val prunedRecall = exact.intersect(pruned).size.toDouble / exact.size
+      info(f"two-level pruned recall@$k = $prunedRecall%.3f vs flat $flatRecall%.3f")
+      assert(prunedRecall >= 0.55 * flatRecall,
+        s"pruned two-level recall@$k fell below 0.55x the flat path: " +
+          s"$prunedRecall vs flat $flatRecall")
+    }
+  }
+
+  test("planted clusters: two-level pruned search holds recall@5 >= 0.7") {
+    // Clustered-corpus gate for the pruned form: 200 cells shatter each of
+    // the 20 planted clusters across ~10 sub-cells, but those sub-cells
+    // share the cluster's top cell, so topProbe=3 pruning loses nothing —
+    // measured 0.81 at every topProbe in 1..k1 (IvfTune r17; the 0.19 gap
+    // to 1.0 is nProbe=4 probe-count-bounded, identical for the flat
+    // path). Floor = measured - ~0.1, the sibling convention.
+    import graft.similarity.Ivf
+    val queries = planted.where(col("vec_id") % 25 === 0)
+    val exact = Ann.bruteForceTopK(queries, planted, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = Ivf.build(planted, nCells = 200)
+    val approx = Ivf.ivfTopKTwoLevel(index, queries, k = 5, nProbe = 4, topProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"planted two-level pruned recall@5 = $recall%.3f")
+    assert(recall >= 0.7,
+      s"pruned two-level recall regressed on clustered fixture: $recall")
+  }
+
   test("semanticDedupWith releases the assignment checkpoint; result matches semanticDedup") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet

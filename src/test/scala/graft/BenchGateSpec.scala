@@ -27,6 +27,33 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.parseBaseline(ratchet).size == 2)
   }
 
+  test("parseBaseline skips malformed numeric tokens instead of aborting") {
+    // a hand-edited/corrupted file: "1.2.3" and "." must not throw
+    // NumberFormatException and must not poison the parsable entries
+    // (r16 ADVICE: degrade to partial-gate, same philosophy as no-file)
+    val corrupted =
+      """{"queries":{"good":0.500,"bad1":1.2.3,"bad2":.,"good2":1.000}}"""
+    val m = Bench.parseBaseline(corrupted)
+    assert(m.get("good").contains(0.5))
+    assert(m.get("good2").contains(1.0))
+    assert(!m.contains("bad1") && !m.contains("bad2"))
+  }
+
+  test("severelyOver: 4x threshold gating the widened 7-sample budget") {
+    assert(!Bench.severelyOver(None, 99.0))
+    assert(Bench.severelyOver(Some(0.5), 2.01))
+    assert(!Bench.severelyOver(Some(0.5), 1.99))
+    // the floor still applies
+    assert(!Bench.severelyOver(Some(0.03), 0.13))
+  }
+
+  test("rotatedNamed names resolve in the catalog (rotation must not typo a name)") {
+    val catalog = graft.queries.QueryCatalog.all.map(_.name).toSet
+    Bench.rotatedNamed.foreach { n =>
+      assert(catalog.contains(n), s"rotatedNamed entry $n is not a catalog query")
+    }
+  }
+
   test("overBaseline: 2x threshold with the 0.15 s noise floor") {
     // no baseline -> never triggers
     assert(!Bench.overBaseline(None, 99.0))

@@ -244,4 +244,64 @@ class SinkFuzzSpec extends AnyFunSuite {
     }
     info(s"$n streamed seeds converged across restarts")
   }
+
+  test("bucket pin upgrade/corruption paths: legacy adoption validates the " +
+    "stored layout; corrupted pin fails with an explanation") {
+    import graft.streaming.EventStreams
+    val rows = (0L until 40L).map(k => Upd(k, ts = 1, seq = k, v = k * 10))
+
+    // legacy (pre-pin) table whose layout matches the caller's count:
+    // adoption must succeed and write the pin
+    val okTable = "sink_pin_legacy_ok"
+    spark.sql(s"DROP TABLE IF EXISTS $okTable")
+    updDf(rows)
+      .withColumn("_bucket", pmod(hash(col("k")), lit(8)))
+      .write.partitionBy("_bucket").saveAsTable(okTable)
+    try {
+      EventStreams.mergeBatchUpsert(
+        updDf(Seq(Upd(1, 2, 100, 999))), okTable, "k", "ts", "seq", 8)
+      val pinned = spark.sql(s"SHOW TBLPROPERTIES $okTable").collect()
+        .collectFirst { case r if r.getString(0) == EventStreams.BucketsProp =>
+          r.getString(1) }
+      assert(pinned.contains("8"), "adoption must record the validated pin")
+      val v = spark.table(okTable).where(col("k") === 1)
+        .select("v").collect().map(_.getLong(0)).toSeq
+      assert(v == Seq(999), "merge after adoption must apply")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $okTable")
+
+    // legacy table whose layout does NOT match the caller's count: blind
+    // adoption would key-split on this merge and then pin the wrong count
+    // (the r16 ADVICE medium) — it must fail loudly instead
+    val badTable = "sink_pin_legacy_mismatch"
+    spark.sql(s"DROP TABLE IF EXISTS $badTable")
+    updDf(rows)
+      .withColumn("_bucket", pmod(hash(col("k")), lit(8)))
+      .write.partitionBy("_bucket").saveAsTable(badTable)
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        EventStreams.mergeBatchUpsert(
+          updDf(Seq(Upd(1, 2, 100, 999))), badTable, "k", "ts", "seq", 4)
+      }
+      assert(ex.getMessage.contains("does not match"),
+        s"wrong rejection: ${ex.getMessage}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $badTable")
+
+    // corrupted pin value: a descriptive IllegalStateException, not a bare
+    // NumberFormatException (merge with a DIFFERENT count so the per-JVM
+    // validated-pin cache cannot short-circuit the catalog check)
+    val corrupt = "sink_pin_corrupted"
+    spark.sql(s"DROP TABLE IF EXISTS $corrupt")
+    try {
+      EventStreams.mergeBatchUpsert(updDf(rows), corrupt, "k", "ts", "seq", 8)
+      spark.sql(s"ALTER TABLE $corrupt SET TBLPROPERTIES " +
+        s"('${EventStreams.BucketsProp}' = 'banana')")
+      val ex = intercept[IllegalStateException] {
+        EventStreams.mergeBatchUpsert(
+          updDf(Seq(Upd(1, 2, 100, 999))), corrupt, "k", "ts", "seq", 4)
+      }
+      assert(ex.getMessage.contains("banana") &&
+        ex.getMessage.contains(EventStreams.BucketsProp),
+        s"corrupted pin must explain itself: ${ex.getMessage}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $corrupt")
+  }
 }

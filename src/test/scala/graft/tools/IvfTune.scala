@@ -85,6 +85,44 @@ object IvfTune {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       println(f"planted adaptive min=$np max=$mp margin=$m recall@5=${pExact.intersect(approx).size.toDouble / pExact.size}%.3f avgProbes=$avgProbes%.2f")
     }
+
+    // Two-level search: topProbe-vs-recall curve for the PRUNED production
+    // form (r16 verdict #2 — the only ANN path without a recall floor).
+    // nCells=200 forces the two-level build on this corpus; the flat
+    // literal path over the SAME index at the same nProbe is the
+    // pruning-loss-free reference, so recall ratio pruned/flat isolates
+    // exactly what topProbe pruning costs.
+    val tlIndex = Ivf.build(emb, nCells = 200)
+    val k1 = tlIndex.topCentroids.get.length
+    Seq(5, 10).foreach { k =>
+      val exact = Ann.bruteForceTopK(queries, emb, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val flat = Ivf.ivfTopK(tlIndex, queries, k, nProbe = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val flatRecall = exact.intersect(flat).size.toDouble / exact.size
+      (1 to k1).foreach { tp =>
+        val pruned = Ivf.ivfTopKTwoLevel(tlIndex, queries, k, nProbe = 4,
+          topProbe = tp).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val r = exact.intersect(pruned).size.toDouble / exact.size
+        val vsFlat = pruned.intersect(flat).size.toDouble / flat.size
+        println(f"twolevel nCells=200 k1=$k1 topProbe=$tp k=$k " +
+          f"recall=$r%.3f flatRecall=$flatRecall%.3f probeAgreement=$vsFlat%.3f")
+      }
+    }
+    // planted clusters under a two-level index: 200 cells over 20 tight
+    // clusters shatter each cluster across ~10 sub-cells, but those
+    // sub-cells share the cluster's top cell, so the pruned search should
+    // hold high absolute recall — the clustered-corpus gate for the
+    // production (topProbe < k1) form.
+    val pTl = Ivf.build(planted, nCells = 200)
+    val pK1 = pTl.topCentroids.get.length
+    (1 to math.min(4, pK1)).foreach { tp =>
+      val approx = Ivf.ivfTopKTwoLevel(pTl, pQueries, 5, nProbe = 4, topProbe = tp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"planted twolevel k1=$pK1 topProbe=$tp " +
+        f"recall@5=${pExact.intersect(approx).size.toDouble / pExact.size}%.3f")
+    }
     spark.stop()
   }
 }
