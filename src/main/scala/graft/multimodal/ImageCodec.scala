@@ -1,0 +1,171 @@
+package graft.multimodal
+
+/** Pure-JVM image codec: a complete header+pixel parse for the two
+  * uncompressed raster formats that need no codec library — the offline
+  * container constraint bars external jars, and a JDK-only parse is fully
+  * deterministic and auditable (javax.imageio would work here too, but its
+  * output can vary by JDK build for some formats; a hand parse cannot).
+  *
+  *  - PPM P6 (binary RGB, maxval 255 — the netpbm spec: "P6", then
+  *    whitespace-separated width/height/maxval with '#' comments allowed,
+  *    then ONE whitespace byte, then raw row-major RGB triples)
+  *  - BMP 24bpp uncompressed (BITMAPINFOHEADER or larger, BI_RGB,
+  *    bottom-up or top-down rows, 4-byte row padding, BGR byte order)
+  *
+  * `decode` dispatches on the payload's magic bytes and returns None for
+  * anything it cannot parse COMPLETELY — a truncated pixel array or an
+  * unsupported bpp/compression falls back to the caller's non-image path
+  * rather than producing garbage features.
+  *
+  * All functions are pure and driver/executor-safe; the multimodal
+  * pipeline calls them inside `mapPartitions` so payload batches decode
+  * partition-parallel with zero per-row task overhead.
+  */
+object ImageCodec {
+
+  /** Decoded raster: row-major RGB, 3 bytes per pixel, top-down. */
+  final case class Image(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Magic-byte sniff; None = not a format this codec handles. */
+  def detect(payload: Array[Byte]): Option[String] =
+    if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') Some("ppm")
+    else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') Some("bmp")
+    else None
+
+  def decode(payload: Array[Byte]): Option[Image] = detect(payload) match {
+    case Some("ppm") => decodePpm(payload)
+    case Some("bmp") => decodeBmp(payload)
+    case _ => None
+  }
+
+  /** PPM P6 parse. Accepts '#' comments and arbitrary whitespace between
+    * header tokens (the netpbm grammar); requires maxval 255 (the 2-byte-
+    * per-sample >255 variant is out of scope) and a complete pixel array.
+    */
+  def decodePpm(b: Array[Byte]): Option[Image] = {
+    var i = 2
+    def skipWsAndComments(): Unit = {
+      var done = false
+      while (!done && i < b.length) {
+        val c = (b(i) & 0xff).toChar
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else done = true
+      }
+    }
+    def readInt(): Int = { // -1 = parse failure
+      skipWsAndComments()
+      val start = i
+      var v = 0L
+      while (i < b.length && b(i) >= '0' && b(i) <= '9' && v <= Int.MaxValue) {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      if (i == start || v > Int.MaxValue) -1 else v.toInt
+    }
+    val w = readInt()
+    val h = readInt()
+    val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv != 255) return None
+    // exactly one whitespace byte separates maxval from the pixel bytes
+    if (i >= b.length || !(b(i) & 0xff).toChar.isWhitespace) return None
+    i += 1
+    val need = 3L * w * h
+    if (need > Int.MaxValue - i || b.length - i < need) return None
+    Some(Image(w, h, java.util.Arrays.copyOfRange(b, i, i + need.toInt)))
+  }
+
+  /** BMP 24bpp BI_RGB parse: little-endian header fields, BGR pixel order,
+    * rows padded to 4 bytes, bottom-up unless height is negative.
+    */
+  def decodeBmp(b: Array[Byte]): Option[Image] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def i32(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    val dataOff = i32(10)
+    val hdrSize = i32(14)
+    val w = i32(18)
+    val hRaw = i32(22)
+    val planes = u16(26)
+    val bpp = u16(28)
+    val compression = i32(30)
+    if (hdrSize < 40 || w <= 0 || hRaw == 0 || planes != 1 ||
+      bpp != 24 || compression != 0) return None
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (dataOff < 54 || dataOff.toLong + rowSize.toLong * h > b.length ||
+      3L * w * h > Int.MaxValue) return None
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val base = dataOff + srcRow * rowSize
+      var x = 0
+      while (x < w) {
+        val d = (y * w + x) * 3
+        rgb(d) = b(base + x * 3 + 2)     // R (stored BGR)
+        rgb(d + 1) = b(base + x * 3 + 1) // G
+        rgb(d + 2) = b(base + x * 3)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some(Image(w, h, rgb))
+  }
+
+  /** Minimal P6 re-encode (header + raw RGB) — resize's output format. */
+  def encodePpm(img: Image): Array[Byte] = {
+    val header = s"P6\n${img.width} ${img.height}\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + img.rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.rgb, 0, out, header.length, img.rgb.length)
+    out
+  }
+
+  /** Nearest-neighbor rescale — the deterministic sampling resize (source
+    * pixel = floor(dst * src/dst), the standard NN mapping).
+    */
+  def resizeNearest(img: Image, targetW: Int, targetH: Int): Image = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val out = new Array[Byte](targetW * targetH * 3)
+    var y = 0
+    while (y < targetH) {
+      val sy = (y.toLong * img.height / targetH).toInt
+      var x = 0
+      while (x < targetW) {
+        val sx = (x.toLong * img.width / targetW).toInt
+        val s = (sy * img.width + sx) * 3
+        val d = (y * targetW + x) * 3
+        out(d) = img.rgb(s); out(d + 1) = img.rgb(s + 1); out(d + 2) = img.rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Image(targetW, targetH, out)
+  }
+
+  /** Per-channel mean ×1000, floored — integer-exact channel stats (the
+    * oracle-able form: no float compare can drift).
+    */
+  def channelMeansMilli(img: Image): (Long, Long, Long) = {
+    val n = img.width.toLong * img.height
+    if (n == 0) return (0L, 0L, 0L)
+    var r = 0L; var g = 0L; var b = 0L
+    var i = 0
+    while (i < img.rgb.length) {
+      r += img.rgb(i) & 0xff; g += img.rgb(i + 1) & 0xff; b += img.rgb(i + 2) & 0xff
+      i += 3
+    }
+    (r * 1000L / n, g * 1000L / n, b * 1000L / n)
+  }
+
+  /** The multimodal suite's rolling checksum (sum = sum*31 + byte). */
+  def checksum(bytes: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+    sum
+  }
+}

@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * with decode/feature-extract as per-partition batch functions.
   *
-  * The Spark-side shape is the real thing — schema (payload binary + meta
-  * struct), partition-parallel decode via `mapPartitions` on a typed Dataset,
-  * batch-at-a-time processing — while the codec itself is a STUB (this
-  * container has no image/audio libraries): `StubDecoder.decode` produces
-  * deterministic fake features from the bytes. Swapping in a real decoder
-  * changes one function, not the pipeline.
+  * The decode is REAL for the formats a pure-JVM parse covers completely —
+  * PPM P6 and BMP 24bpp via [[ImageCodec]] (width/height/channel means
+  * from actual pixels, resize = actual nearest-neighbor rescale +
+  * re-encode). Payloads the codec does not recognize (this corpus's text
+  * payloads, or any compressed format that would need an external library
+  * this offline container cannot ship) fall back to [[FallbackDecoder]]'s
+  * deterministic byte-derived features, flagged `decoded = false` — the
+  * pipeline shape and output schema are identical either way, so swapping
+  * in a JPEG codec later changes [[ImageCodec]], not the pipeline.
   *
   * Scale notes: payloads never pass through a shuffle here (decode is a pure
   * map stage); with real media, pair this with
@@ -26,19 +29,19 @@ object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String, n_bytes: Long)
   case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
-                           width: Int, height: Int, checksum: Long)
+                           width: Int, height: Int, checksum: Long,
+                           decoded: Boolean,
+                           mean_r: Long, mean_g: Long, mean_b: Long)
 
-  /** STUB decoder — deterministic fake "decode" standing in for an image/
-    * audio codec. Real implementation would parse payload headers.
+  /** Deterministic byte-derived features for payloads [[ImageCodec]] cannot
+    * parse — keeps non-image payloads flowing through the same pipeline
+    * with a stable (width, height, checksum) instead of an error path.
     */
-  object StubDecoder {
+  object FallbackDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Long) = {
       val w = if (payload.isEmpty) 0 else 16 + (payload(0) & 0x3f)
       val h = if (payload.length < 2) 0 else 16 + (payload(1) & 0x3f)
-      var sum = 0L
-      var i = 0
-      while (i < payload.length) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
-      (w, h, sum)
+      (w, h, ImageCodec.checksum(payload))
     }
   }
 
@@ -55,6 +58,9 @@ object Multimodal {
 
   /** Partition-parallel decode: binary payload → features, batch shape
     * preserved (one iterator pass per partition, no per-row task overhead).
+    * Image payloads (PPM/BMP) produce real width/height, a checksum over
+    * the DECODED RGB pixels, and integer channel means (×1000, floored);
+    * everything else takes the fallback path with `decoded = false`.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -63,8 +69,17 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, sum) = StubDecoder.decode(r.payload)
-          MediaFeatures(r.doc_id, r.mime, r.n_bytes, w, h, sum)
+          ImageCodec.decode(r.payload) match {
+            case Some(img) =>
+              val (mr, mg, mb) = ImageCodec.channelMeansMilli(img)
+              MediaFeatures(r.doc_id, r.mime, r.n_bytes,
+                img.width, img.height, ImageCodec.checksum(img.rgb),
+                decoded = true, mr, mg, mb)
+            case None =>
+              val (w, h, sum) = FallbackDecoder.decode(r.payload)
+              MediaFeatures(r.doc_id, r.mime, r.n_bytes, w, h, sum,
+                decoded = false, 0L, 0L, 0L)
+          }
         }
       }
   }
@@ -72,11 +87,14 @@ object Multimodal {
   case class ResizedMedia(doc_id: Long, target_w: Int, target_h: Int,
                           out_bytes: Long, sample_checksum: Long)
 
-  /** STUB resize: a real codec would decode, scale to (targetW, targetH) and
-    * re-encode; the stub derives the output size from the scale factor and a
-    * checksum from stride-sampled input bytes (the access pattern a sampling
-    * rescaler has). Pipeline shape — typed mapPartitions, payload column
-    * pruned immediately after — is the production one.
+  /** Resize: image payloads are ACTUALLY rescaled — decode, nearest-
+    * neighbor to (targetW, targetH), re-encode as PPM P6 — so `out_bytes`
+    * is the real encoded length and `sample_checksum` hashes the real
+    * output bytes. Non-image payloads keep the deterministic stub
+    * derivation (scale-factor size + stride-sampled checksum, the access
+    * pattern a sampling rescaler has). Pipeline shape — typed
+    * mapPartitions, payload column pruned immediately after — is the
+    * production one for both paths.
     */
   def resize(spark: SparkSession, media: DataFrame,
              targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
@@ -86,15 +104,23 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, _) = StubDecoder.decode(r.payload)
-          val scale = if (w * h == 0) 0.0
-                      else (targetW.toLong * targetH).toDouble / (w.toLong * h)
-          val stride = math.max(1, r.payload.length / (targetW * targetH / 64 + 1))
-          var sum = 0L
-          var i = 0
-          while (i < r.payload.length) { sum = sum * 31 + (r.payload(i) & 0xff); i += stride }
-          ResizedMedia(r.doc_id, targetW, targetH,
-            math.round(r.payload.length * scale), sum)
+          ImageCodec.decode(r.payload) match {
+            case Some(img) =>
+              val out = ImageCodec.encodePpm(
+                ImageCodec.resizeNearest(img, targetW, targetH))
+              ResizedMedia(r.doc_id, targetW, targetH,
+                out.length.toLong, ImageCodec.checksum(out))
+            case None =>
+              val (w, h, _) = FallbackDecoder.decode(r.payload)
+              val scale = if (w * h == 0) 0.0
+                          else (targetW.toLong * targetH).toDouble / (w.toLong * h)
+              val stride = math.max(1, r.payload.length / (targetW * targetH / 64 + 1))
+              var sum = 0L
+              var i = 0
+              while (i < r.payload.length) { sum = sum * 31 + (r.payload(i) & 0xff); i += stride }
+              ResizedMedia(r.doc_id, targetW, targetH,
+                math.round(r.payload.length * scale), sum)
+          }
         }
       }
   }

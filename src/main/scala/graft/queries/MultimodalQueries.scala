@@ -44,10 +44,12 @@ object MultimodalQueries {
     ),
     Q(
       "mm_decode_features",
-      "Binary decode → feature extraction via typed mapPartitions (stubbed " +
-        "codec, real Spark plumbing: batch iterator per partition, typed " +
-        "output schema). Rows-only check; determinism asserted in " +
-        "MultimodalSpec.",
+      "Binary decode → feature extraction via typed mapPartitions. The " +
+        "codec is REAL for PPM/BMP payloads (ImageCodec: header+pixel " +
+        "parse, channel means from actual pixels — fixture-verified in " +
+        "MultimodalSpec); this corpus's text payloads take the " +
+        "deterministic byte-derived fallback, flagged decoded=false. " +
+        "Rows-only check; determinism asserted in MultimodalSpec.",
       (s, d) => {
         val media = Multimodal.asMediaTable(Tables.documents(s, d))
         Multimodal.extractFeatures(s, media).toDF().orderBy("doc_id")
@@ -56,10 +58,12 @@ object MultimodalQueries {
     ),
     Q(
       "mm_resize",
-      "Stub resize to 32x32: scale-derived output size + stride-sampled " +
-        "checksum through the typed mapPartitions pipeline (payload pruned " +
-        "right after decode — the binary column never reaches a shuffle). " +
-        "Rows-only check; determinism asserted in MultimodalSpec.",
+      "Resize to 32x32 through the typed mapPartitions pipeline (payload " +
+        "pruned right after decode — the binary column never reaches a " +
+        "shuffle). Image payloads get a REAL nearest-neighbor rescale + " +
+        "PPM re-encode (ImageCodec); text payloads keep the deterministic " +
+        "scale-derived stub. Rows-only check; determinism asserted in " +
+        "MultimodalSpec.",
       (s, d) => {
         val media = Multimodal.asMediaTable(Tables.documents(s, d))
         Multimodal.resize(s, media, targetW = 32, targetH = 32)
