@@ -867,7 +867,7 @@ object FuzzGen {
     * (r12 advice: the hand-maintained Seq in FuzzDump stopped at 20 while
     * v21–v23 existed). Bump together with each new mode-byte branch below.
     */
-  val maxVersion: Int = 37
+  val maxVersion: Int = 38
 
   def query(seed: Int): GenQuery = query(seed, 1)
 
@@ -879,6 +879,17 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 38) {
+      // v38 mode byte: VARIANT typed extraction (parse_json + variant_get
+      // with per-use target types) — the Spark-4 semi-structured surface
+      // that had one fixed entry (f28_variant) and zero generated
+      // coverage; v34 fuzzes STRING JSON-path extraction, not the typed
+      // variant path. Versions ≤ 37 never take this draw; fall-through
+      // continues into the v37 dispatch with the advanced rnd state.
+      val m38 = rnd.nextInt(10)
+      if (m38 < 7) return variantQuery(seed, rnd, version)
+      // else: fall through to the v37 dispatch with the advanced rnd state
+    }
     if (version >= 37) {
       // v37 mode byte: multimodal META scalars — the documents table as
       // the derived media-metadata view (byte length / first byte / frame
@@ -5122,6 +5133,259 @@ object FuzzGen {
                 .orderBy(col("k0").asc_nulls_first).limit(1000)
             },
             sparkSqlOpt = Some(sqlFor(fragSpark)), mode = s"json:pred:$t")
+      }
+    }
+  }
+
+  /** v38 dedicated mode: VARIANT typed extraction — Spark 4's
+    * parse_json/variant_get semi-structured surface, until now covered by
+    * the single fixed f28_variant entry (the v32/v34 lesson: single-entry
+    * surfaces hide dialect boundaries; v34 fuzzes get_json_object STRING
+    * extraction, not the TYPED variant path). The dialect split lives
+    * inside a v16 TableOverride-style dual-rendered FROM fragment: Spark
+    * renders `variant_get(parse_json(js), '$.p', '<type>')` (parse cost
+    * once per row, binary-encoded variant, codegen'd typed extraction —
+    * the scale default for heterogeneous props); DuckDB renders
+    * `TRY_CAST(json_extract_string(js, '$.p') AS <TYPE>)`. Every
+    * extracted value surfaces as a plain BIGINT / STRING / BOOLEAN
+    * column, so everything OUTSIDE the fragment stays ONE shared text.
+    *
+    * Sources (the v34 constructed-JSON doctrine: ints, enumerated
+    * strings, and JSON booleans only — doubles never enter the document
+    * text, their cross-engine rendering being the quarantined divergence
+    * class):
+    *  - events.props DIRECT (~30%): $.k extracted as bigint AND as
+    *    string (number→text renders identically in both engines — the
+    *    f28-proven fact), plus a drawn never-present key through
+    *    try_variant_get → NULL;
+    *  - CONSTRUCTED document over a drawn base table: $.a int; $.b
+    *    string, $.e[i] array-index int, and $.f JSON BOOLEAN present
+    *    only OFF a (pk % m) = r stripe (missing-key NULLs genuine and
+    *    row-dependent); $.c.d nested int; $.zz never present. The
+    *    boolean ((ic % 2) = 0 rendered as literal true/false) is the
+    *    typed surface v34 never drew: variant_get(..., 'boolean') vs
+    *    DuckDB CAST('true' AS BOOLEAN).
+    *
+    * Shapes: keyed projection of every extracted scalar; an extracted
+    * value AS the GROUP BY key — including the BOOLEAN j_f with its
+    * true/false/NULL three-group split — with count(*) vs count(j_b)
+    * NULL contrasts; extracted values in WHERE (boolean equality, IS
+    * NULL stripe selection, int comparisons against the SOURCE column's
+    * own corpus literal pool — exact by construction, the extracted text
+    * round-trips the integer/enum value unchanged).
+    */
+  private def variantQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    import org.apache.spark.sql.types.LongType
+    // one typed extraction, rendered per dialect
+    def exS(j: String, p: String, t: String): String =
+      s"variant_get(parse_json($j), '$p', '$t')"
+    def exD(j: String, p: String, t: String): String = t match {
+      case "string" => s"json_extract_string($j, '$p')"
+      case tt => s"TRY_CAST(json_extract_string($j, '$p') AS ${tt.toUpperCase})"
+    }
+    val direct = rnd.nextInt(10) < 3
+
+    if (direct) {
+      // ---- events.props direct typed extraction ----
+      val missKey = Seq("missing", "kk", "zz")(rnd.nextInt(3))
+      def frag(ex: (String, String, String) => String, tryS: String): String =
+        "(SELECT event_id, user_id, event_type, " +
+          s"${ex("props", "$.k", "bigint")} AS j_k, " +
+          s"${ex("props", "$.k", "string")} AS j_ks, " +
+          s"$tryS AS j_miss FROM events) ev"
+      val fragDuck = frag(exD, exD("props", "$." + missKey, "bigint"))
+      val fragSpark = frag(exS,
+        s"try_variant_get(parse_json(props), '$$.$missKey', 'bigint')")
+      def load(s: SparkSession, d: String): DataFrame =
+        loadFuzzTable(s, d, "events").select(
+          col("event_id"), col("user_id"), col("event_type"),
+          expr(exS("props", "$.k", "bigint")).as("j_k"),
+          expr(exS("props", "$.k", "string")).as("j_ks"),
+          expr(s"try_variant_get(parse_json(props), '$$.$missKey', 'bigint')")
+            .as("j_miss"))
+      val kLits = Seq(7, 25, 42, 61, 87) // profiled props k values 0..99
+
+      rnd.nextInt(3) match {
+        case 0 => // keyed projection
+          def sqlFor(f: String) =
+            "SELECT event_id AS k0, j_k AS c0, j_ks AS c1, j_miss AS c2, " +
+              s"event_type AS c3 FROM $f ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+          GenQuery(seed, sqlFor(fragDuck),
+            (s, d) => load(s, d)
+              .select(col("event_id").as("k0"), col("j_k").as("c0"),
+                col("j_ks").as("c1"), col("j_miss").as("c2"),
+                col("event_type").as("c3"))
+              .orderBy(col("k0").asc_nulls_first).limit(1000),
+            sparkSqlOpt = Some(sqlFor(fragSpark)), mode = "variant:direct:proj")
+
+        case 1 => // extracted bigint AS the GROUP BY key
+          def sqlFor(f: String) =
+            "SELECT j_k AS k0, count(*) AS n, count(j_miss) AS nm, " +
+              s"CAST(sum(user_id) AS BIGINT) AS s0 FROM $f " +
+              "GROUP BY j_k ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+          GenQuery(seed, sqlFor(fragDuck),
+            (s, d) => load(s, d)
+              .groupBy(col("j_k"))
+              .agg(count(lit(1)).as("n"), count(col("j_miss")).as("nm"),
+                sum(col("user_id")).as("s0"))
+              .select(col("j_k").as("k0"), col("n"), col("nm"), col("s0"))
+              .orderBy(col("k0").asc_nulls_first).limit(1000),
+            sparkSqlOpt = Some(sqlFor(fragSpark)), mode = "variant:direct:group")
+
+        case _ => // extracted bigint in WHERE
+          val pred = rnd.nextInt(4) match {
+            case 0 =>
+              val l = kLits(rnd.nextInt(kLits.length))
+              P(s"j_k >= $l", col("j_k") >= l)
+            case 1 =>
+              val l = kLits(rnd.nextInt(kLits.length))
+              P(s"j_k < $l", col("j_k") < l)
+            case 2 =>
+              val picked = rnd.shuffle(kLits.toVector).take(2 + rnd.nextInt(2))
+              P(s"j_k IN (${picked.mkString(", ")})",
+                col("j_k").isin(picked: _*))
+            case _ => P("j_miss IS NULL", col("j_miss").isNull)
+          }
+          def sqlFor(f: String) =
+            "SELECT event_id AS k0, j_k AS c0, user_id AS c1 " +
+              s"FROM $f WHERE ${pred.sql} ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+          GenQuery(seed, sqlFor(fragDuck),
+            (s, d) => load(s, d).where(pred.col)
+              .select(col("event_id").as("k0"), col("j_k").as("c0"),
+                col("user_id").as("c1"))
+              .orderBy(col("k0").asc_nulls_first).limit(1000),
+            sparkSqlOpt = Some(sqlFor(fragSpark)), mode = "variant:direct:pred")
+      }
+    } else {
+      // ---- constructed-JSON derived view over a drawn base table ----
+      // (same JSON-safe column pools as v34: enumerated / alphanumeric
+      // strings only, so the document is valid JSON by construction)
+      val bases = Vector(
+        ("orders", "o_orderkey", Vector("o_orderstatus", "o_orderpriority"),
+          Vector("o_custkey")),
+        ("customer", "c_custkey", Vector("c_mktsegment"), Vector("c_nationkey")),
+        ("part", "p_partkey", Vector("p_brand", "p_type"), Vector("p_size")),
+        ("events", "event_id", Vector("event_type"), Vector("user_id")))
+      val (t, pk, scs, ics) = bases(rnd.nextInt(bases.length))
+      val scName = scs(rnd.nextInt(scs.length))
+      val icName = ics(rnd.nextInt(ics.length))
+      val sc = catalog(t).find(_.name == scName).get
+      val ic = catalog(t).find(_.name == icName).get
+      val pkc = catalog(t).find(_.name == pk).get
+      val m = 4 + rnd.nextInt(5)
+      val r = rnd.nextInt(m)
+      val arrIdx = rnd.nextInt(2)
+
+      // Shared-dialect JSON construction (pure || concat + CASE); the
+      // boolean field renders as a JSON literal true/false off-stripe.
+      val boolSql = s"CASE WHEN ($icName % 2) = 0 THEN 'true' ELSE 'false' END"
+      val jsSql =
+        s"CASE WHEN ($pk % $m) = $r THEN " +
+          s"""'{"a": ' || CAST($icName AS STRING) || ', "c": {"d": ' || CAST($pk AS STRING) || '}}'""" +
+          " ELSE " +
+          s"""'{"a": ' || CAST($icName AS STRING) || ', "b": "' || $scName || '", "c": {"d": ' || CAST($pk AS STRING) || '}, "e": [' || CAST($pk AS STRING) || ', ' || CAST($icName AS STRING) || '], "f": ' || $boolSql || '}'""" +
+          " END"
+      def frag(ex: (String, String, String) => String): String =
+        s"(SELECT $pk, " +
+          s"${ex("js", "$.a", "bigint")} AS j_a, " +
+          s"${ex("js", "$.b", "string")} AS j_b, " +
+          s"${ex("js", "$.c.d", "bigint")} AS j_d, " +
+          s"${ex("js", s"$$.e[$arrIdx]", "bigint")} AS j_e, " +
+          s"${ex("js", "$.f", "boolean")} AS j_f, " +
+          s"${ex("js", "$.zz", "string")} AS j_miss " +
+          s"FROM (SELECT $pk, $jsSql AS js FROM $t) ${t}_j) $t"
+      val fragDuck = frag(exD)
+      val fragSpark = frag(exS)
+      def load(s: SparkSession, d: String): DataFrame = {
+        val boolCol = when((col(icName) % 2) === 0, "true").otherwise("false")
+        val jsCol = when((col(pk) % m) === r,
+          concat(lit("{\"a\": "), col(icName).cast("string"),
+            lit(", \"c\": {\"d\": "), col(pk).cast("string"), lit("}}")))
+          .otherwise(concat(lit("{\"a\": "), col(icName).cast("string"),
+            lit(", \"b\": \""), col(scName),
+            lit("\", \"c\": {\"d\": "), col(pk).cast("string"),
+            lit("}, \"e\": ["), col(pk).cast("string"), lit(", "),
+            col(icName).cast("string"), lit("], \"f\": "), boolCol, lit("}")))
+        loadFuzzTable(s, d, t).select(col(pk), jsCol.as("js"))
+          .select(col(pk),
+            expr(exS("js", "$.a", "bigint")).as("j_a"),
+            expr(exS("js", "$.b", "string")).as("j_b"),
+            expr(exS("js", "$.c.d", "bigint")).as("j_d"),
+            expr(exS("js", s"$$.e[$arrIdx]", "bigint")).as("j_e"),
+            expr(exS("js", "$.f", "boolean")).as("j_f"),
+            expr(exS("js", "$.zz", "string")).as("j_miss"))
+      }
+      def variantPred(): P = rnd.nextInt(7) match {
+        case 0 => P("j_b IS NULL", col("j_b").isNull)
+        case 1 => P("j_b IS NOT NULL", col("j_b").isNotNull)
+        case 2 => // the boolean surface: equality selects a genuine subset
+          val v = rnd.nextBoolean()
+          P(s"j_f = $v", col("j_f") === v)
+        case 3 => P("j_f IS NULL", col("j_f").isNull)
+        case 4 => // extracted int vs the source column's own literal
+          val l = ic.lits(rnd.nextInt(ic.lits.length))
+          val op = Seq("<", "<=", ">", ">=")(rnd.nextInt(4))
+          val cc = op match {
+            case "<"  => col("j_a") < l.col
+            case "<=" => col("j_a") <= l.col
+            case ">"  => col("j_a") > l.col
+            case _    => col("j_a") >= l.col
+          }
+          P(s"j_a $op ${l.sql}", cc)
+        case 5 => // extracted string vs the source column's own literal
+          val l = sc.lits(rnd.nextInt(sc.lits.length))
+          P(s"j_b = ${l.sql}", col("j_b") === l.col)
+        case _ => // nested int (== pk) vs the pk's literal pool
+          val l = pkc.lits(rnd.nextInt(pkc.lits.length))
+          P(s"j_d >= ${l.sql}", col("j_d") >= l.col)
+      }
+
+      rnd.nextInt(3) match {
+        case 0 => // keyed projection of every extracted scalar
+          def sqlFor(f: String) =
+            s"SELECT $pk AS k0, j_a AS c0, j_b AS c1, j_d AS c2, " +
+              s"j_e AS c3, j_f AS c4, j_miss AS c5 " +
+              s"FROM $f ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+          GenQuery(seed, sqlFor(fragDuck),
+            (s, d) => load(s, d)
+              .select(col(pk).as("k0"), col("j_a").as("c0"),
+                col("j_b").as("c1"), col("j_d").as("c2"),
+                col("j_e").as("c3"), col("j_f").as("c4"),
+                col("j_miss").as("c5"))
+              .orderBy(col("k0").asc_nulls_first).limit(1000),
+            sparkSqlOpt = Some(sqlFor(fragSpark)), mode = s"variant:proj:$t")
+
+        case 1 => // extracted value AS the GROUP BY key (incl. boolean)
+          val gkey = Seq("j_b", "j_f", "j_a")(rnd.nextInt(3))
+          def sqlFor(f: String) =
+            s"SELECT $gkey AS k0, count(*) AS n, count(j_b) AS nn, " +
+              s"CAST(sum(j_d) AS BIGINT) AS s0 FROM $f " +
+              s"GROUP BY $gkey ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+          GenQuery(seed, sqlFor(fragDuck),
+            (s, d) => load(s, d)
+              .groupBy(col(gkey))
+              .agg(count(lit(1)).as("n"), count(col("j_b")).as("nn"),
+                sum(col("j_d")).as("s0"))
+              .select(col(gkey).as("k0"), col("n"), col("nn"), col("s0"))
+              .orderBy(col("k0").asc_nulls_first).limit(1000),
+            sparkSqlOpt = Some(sqlFor(fragSpark)),
+            mode = s"variant:group:$t:$gkey")
+
+        case _ => // extracted values in WHERE predicates
+          val preds = Vector.fill(1 + rnd.nextInt(2))(variantPred())
+          def sqlFor(f: String) =
+            s"SELECT $pk AS k0, j_a AS c0, j_b AS c1, j_f AS c2 " +
+              s"FROM $f WHERE ${preds.map(_.sql).mkString(" AND ")}" +
+              s" ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+          GenQuery(seed, sqlFor(fragDuck),
+            (s, d) => {
+              var df = load(s, d)
+              preds.foreach(p => df = df.where(p.col))
+              df.select(col(pk).as("k0"), col("j_a").as("c0"),
+                col("j_b").as("c1"), col("j_f").as("c2"))
+                .orderBy(col("k0").asc_nulls_first).limit(1000)
+            },
+            sparkSqlOpt = Some(sqlFor(fragSpark)), mode = s"variant:pred:$t")
       }
     }
   }

@@ -976,6 +976,34 @@ object FuzzQueries {
       29020, 29022, 29024, 29025, 29027, 29030, 29033, 29037, 29038,
       29040, 29043, 29063, 29084, 29087, 29102, 29106, 29147)
 
+  // Grammar-v38 slice (VARIANT typed extraction — parse_json + variant_get
+  // with per-use target types, the Spark-4 semi-structured surface whose
+  // only coverage was the single fixed f28_variant entry; the v32/v34
+  // lesson again: single-entry surfaces hide dialect boundaries. The
+  // typed-extraction split renders variant_get for Spark and
+  // json_extract_string + CAST for DuckDB inside a dual-dialect FROM
+  // fragment; see FuzzGen.variantQuery). Whole 30001-30200 range verified
+  // against DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200 each, r17, zero
+  // divergence first sweep); picks non-empty at both smaller SFs,
+  // SQL-distinct (the direct branch draws only the missing-key name, so
+  // same-shape direct seeds can render identical SQL — duplicates were
+  // swapped for constructed draws), shape × source diverse (26):
+  // events.props direct projections (30012, 30040), direct extracted-key
+  // groups (30013, 30033), direct predicates (30003 IS-NULL full, 30021
+  // selective 27→309, 30061 range), constructed-JSON projections one per
+  // base table (30008 events, 30016 part, 30075 customer, 30099 orders),
+  // BOOLEAN group keys — the typed surface v34 never drew,
+  // true/false/NULL three-group splits — across all four tables (30001
+  // part, 30023 orders, 30030 customer, 30129 events), string group keys
+  // with stripe-NULL groups (30007 events, 30015 customer), int group
+  // keys (30004 orders, 30055 part, 30065 customer), and extracted-value
+  // predicates per table (30014 + 30079 orders, 30006 + 30042 events,
+  // 30046 part, 30132 customer). Rendered with query(seed, 38).
+  val declaredSeedsV38: Seq[Int] =
+    Seq(30001, 30003, 30004, 30006, 30007, 30008, 30012, 30013, 30014,
+      30015, 30016, 30021, 30023, 30030, 30033, 30040, 30042, 30046,
+      30055, 30061, 30065, 30075, 30079, 30099, 30129, 30132)
+
   /** The grammar-v1..v15 frozen slices, rotated to SOAK-ONLY bench coverage
     * (BASELINE bench-budget policy: v1-v8 rotated at r15 when the per-round
     * bench window crossed the 12-minute rotation trigger at 942 queries ×
@@ -1032,7 +1060,8 @@ object FuzzQueries {
       declaredSeedsV34.map(s => s -> FuzzGen.query(s, 34)) ++
       declaredSeedsV35.map(s => s -> FuzzGen.query(s, 35)) ++
       declaredSeedsV36.map(s => s -> FuzzGen.query(s, 36)) ++
-      declaredSeedsV37.map(s => s -> FuzzGen.query(s, 37))).map { case (seed, g) =>
+      declaredSeedsV37.map(s => s -> FuzzGen.query(s, 37)) ++
+      declaredSeedsV38.map(s => s -> FuzzGen.query(s, 38))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -386,6 +386,9 @@ object EventStreams {
         spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
           s"('$BucketsProp' = '$nBuckets')")
         validatedPins.put(table, nBuckets)
+        if (crashAfterCommit) throw new IllegalStateException(
+          "mergeBatchUpsert: injected crash after create commit " +
+            "(SinkFuzzSpec crash-point tier)")
         return
       }
       // Bucket-count pin (found by SinkFuzzSpec r16, drawn-restart tier):
@@ -489,11 +492,32 @@ object EventStreams {
           .select(tableCols.map(col).toSeq :+ col("_bucket"): _*)
           .write.mode("overwrite")
           .insertInto(table)
-        // the INSERT refreshed the CLONE's relation/file-index caches;
+        if (crashAfterCommit) throw new IllegalStateException(
+          "mergeBatchUpsert: injected crash after overwrite commit " +
+            "(SinkFuzzSpec crash-point tier)")
+      } finally {
+        // The INSERT refreshed the CLONE's relation/file-index caches;
         // refresh the caller's session too or its next read lists the
-        // replaced files and fails
-        spark.catalog.refreshTable(table)
-      } finally unpersistCk(merged)
+        // replaced files and fails. In a FINALLY, not the happy path
+        // (r16 verdict #6): a failure between the commit and the refresh
+        // — an injected crash, an OOM the caller catches — would
+        // otherwise leave THIS session's cache pointing at deleted files
+        // while the table on disk is already the merged state. Refresh is
+        // pure cache invalidation, safe to run whether or not the commit
+        // happened. (A process-level crash needs no refresh: a fresh
+        // session starts with a cold cache.)
+        try spark.catalog.refreshTable(table) finally unpersistCk(merged)
+      }
     } finally unpersistCk(batch)
   }
+
+  /** TEST-ONLY crash injection (the SinkFuzzSpec crash-point tier): when
+    * true, [[mergeBatchUpsert]] throws immediately after its overwrite
+    * COMMITS and before control returns — the window where a real crash
+    * leaves the table merged on disk but the caller un-notified. The
+    * finally above still refreshes, so the property the tier pins is:
+    * a caught crash-after-commit leaves the table readable and converged
+    * in the same session, and replaying the same batch is a no-op.
+    */
+  private[graft] var crashAfterCommit: Boolean = false
 }

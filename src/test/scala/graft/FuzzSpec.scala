@@ -1179,6 +1179,56 @@ class FuzzSpec extends AnyFunSuite {
       s"frame-size draws starved: $frames")
   }
 
+  test("grammar v38 (VARIANT typed extraction: parse_json + variant_get derived view): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var direct = 0; var proj = 0; var group = 0; var pred = 0
+    val gkeys = scala.collection.mutable.Set.empty[String]
+    val tables = scala.collection.mutable.Set.empty[String]
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 38)
+      if (q.mode.startsWith("variant")) {
+        // the typed-extraction dialect split (variant_get vs
+        // json_extract_string+CAST) means a variant draw ALWAYS carries a
+        // distinct Spark rendering, and the two texts must not leak into
+        // each other's dialect
+        assert(q.sparkSqlOpt.nonEmpty,
+          s"v38 seed $seed: variant draw lost its Spark rendering")
+        assert(q.sparkSql.contains("variant_get(parse_json(") &&
+          !q.sparkSql.contains("json_extract_string"),
+          s"v38 seed $seed: Spark text lost the variant path: ${q.sparkSql}")
+        assert(q.sql.contains("json_extract_string") &&
+          !q.sql.contains("variant_get"),
+          s"v38 seed $seed: oracle text carries Spark-only variant_get: ${q.sql}")
+        val parts = q.mode.split(":")
+        if (parts(1) == "direct") direct += 1
+        else tables += parts(2)
+        parts(1) match {
+          case "direct" => ()
+          case "proj"   => proj += 1
+          case "group"  => group += 1; gkeys += parts(3)
+          case "pred"   => pred += 1
+          case other    => fail(s"v38 seed $seed: unknown variant shape $other")
+        }
+      }
+      val a = q.build(spark, TestSpark.sf0001).collect()
+      val b = spark.sql(q.sparkSql).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+        s"v38 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+          s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+            .find { case (x, y) => x != y }}")
+    }
+    info(s"120 v38 seeds matched; $direct direct, $proj proj, $group group " +
+      s"(keys=${gkeys.toSeq.sorted.mkString(",")}), $pred pred, " +
+      s"tables=${tables.toSeq.sorted.mkString(",")}")
+    assert(direct >= 10, s"direct events.props shape under-drawn: $direct")
+    assert(proj >= 10, s"projection shape under-drawn: $proj")
+    assert(group >= 10, s"group-by-extracted shape under-drawn: $group")
+    assert(pred >= 10, s"predicate shape under-drawn: $pred")
+    assert(gkeys.contains("j_f"),
+      s"the BOOLEAN group key (the typed surface v34 never drew) starved: $gkeys")
+    assert(tables.size >= 3, s"constructed-JSON base-table draws starved: $tables")
+  }
+
   test("v35 fragment pool: compiled literals carry the intended code points (encoding canary)") {
     // The pool is written as \u escapes so the POSIX-locale build cannot
     // corrupt it; this canary pins the COMPILED values' code points, so a
@@ -2130,7 +2180,33 @@ class FuzzSpec extends AnyFunSuite {
     "fz29087" -> "5cbd487b",
     "fz29102" -> "42825990",
     "fz29106" -> "e00da38f",
-    "fz29147" -> "bd7d8171")
+    "fz29147" -> "bd7d8171",
+    "fz30001" -> "a3331582",
+    "fz30003" -> "0704147d",
+    "fz30004" -> "478a6e7f",
+    "fz30006" -> "1dc25ae6",
+    "fz30007" -> "b660d518",
+    "fz30008" -> "a002a46b",
+    "fz30012" -> "35cce0d5",
+    "fz30013" -> "c278dbff",
+    "fz30014" -> "e33909f8",
+    "fz30015" -> "aa333e90",
+    "fz30016" -> "0aea3a13",
+    "fz30021" -> "76e851f0",
+    "fz30023" -> "2651102f",
+    "fz30030" -> "90f727f3",
+    "fz30033" -> "dc976645",
+    "fz30040" -> "fa056795",
+    "fz30042" -> "92cf92ff",
+    "fz30046" -> "fa466f03",
+    "fz30055" -> "9e0868bb",
+    "fz30061" -> "c8de3dbf",
+    "fz30065" -> "310a2d28",
+    "fz30075" -> "2b78a767",
+    "fz30079" -> "e60fad05",
+    "fz30099" -> "12804704",
+    "fz30129" -> "b20a23af",
+    "fz30132" -> "b39677f5")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>

@@ -245,6 +245,126 @@ class SinkFuzzSpec extends AnyFunSuite {
     info(s"$n streamed seeds converged across restarts")
   }
 
+  test("crash-after-commit draws: a failure between the overwrite commit " +
+    "and control return leaves the table converged, readable in the same " +
+    "session, and replay-idempotent") {
+    import graft.streaming.EventStreams
+    val nCrash = math.max(8, nSeeds / 2)
+    (1 to nCrash).foreach { seed =>
+      val rnd = new scala.util.Random(7100 + seed)
+      val table = s"sink_crash_$seed"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val nBuckets = Vector(2, 4, 8)(rnd.nextInt(3))
+      var seq = 0L
+      val batches = Vector.fill(2 + rnd.nextInt(3)) {
+        Vector.fill(5 + rnd.nextInt(15)) {
+          seq += 1
+          Upd(rnd.nextInt(12).toLong, 1 + rnd.nextInt(4).toLong, seq,
+            rnd.nextInt(1000).toLong)
+        }
+      }
+      val crashAt = rnd.nextInt(batches.length) // which batch's commit "crashes"
+      try {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          if (i == crashAt) {
+            // the injected crash fires AFTER the overwrite commit — the
+            // table on disk already holds this batch's merge
+            EventStreams.crashAfterCommit = true
+            val ex = intercept[IllegalStateException] {
+              EventStreams.mergeBatchUpsert(updDf(b), table, "k", "ts", "seq", nBuckets)
+            }
+            EventStreams.crashAfterCommit = false
+            assert(ex.getMessage.contains("injected crash"), s"seed $seed: $ex")
+            // same-session read works (the finally refreshed the cache)
+            // and the crashed batch's data IS there (commit-then-crash)
+            val got = spark.table(table).collect().map(r =>
+              (r.getLong(r.fieldIndex("k")), r.getLong(r.fieldIndex("ts")),
+                r.getLong(r.fieldIndex("seq")), r.getLong(r.fieldIndex("v")))).toSet
+            assert(got == latestWins(batches.take(i + 1).flatten),
+              s"seed $seed: post-crash state diverged from latest-wins")
+            // the at-least-once replay of the crashed batch is a no-op
+            EventStreams.mergeBatchUpsert(updDf(b), table, "k", "ts", "seq", nBuckets)
+            val replayed = spark.table(table).collect().map(r =>
+              (r.getLong(r.fieldIndex("k")), r.getLong(r.fieldIndex("ts")),
+                r.getLong(r.fieldIndex("seq")), r.getLong(r.fieldIndex("v")))).toSet
+            assert(replayed == got, s"seed $seed: replay after crash changed rows")
+          } else {
+            EventStreams.mergeBatchUpsert(updDf(b), table, "k", "ts", "seq", nBuckets)
+          }
+        }
+        val fin = spark.table(table).collect().map(r =>
+          (r.getLong(r.fieldIndex("k")), r.getLong(r.fieldIndex("ts")),
+            r.getLong(r.fieldIndex("seq")), r.getLong(r.fieldIndex("v")))).toSet
+        assert(fin == latestWins(batches.flatten),
+          s"seed $seed: final state diverged after crash draw at batch $crashAt")
+      } finally {
+        graft.streaming.EventStreams.crashAfterCommit = false
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+      }
+    }
+    info(s"$nCrash crash-after-commit draws converged with idempotent replays")
+  }
+
+  test("compaction interleaved with merges: seeded schedules converge and " +
+    "stay readable after every swap") {
+    import graft.streaming.EventStreams
+    import graft.ingest.Compaction
+    val n = math.max(8, nSeeds / 2)
+    var compactions = 0
+    (1 to n).foreach { seed =>
+      val rnd = new scala.util.Random(7300 + seed)
+      val table = s"sink_race_$seed"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val nBuckets = Vector(2, 4)(rnd.nextInt(2))
+      var seq = 0L
+      val batches = Vector.fill(3 + rnd.nextInt(3)) {
+        Vector.fill(5 + rnd.nextInt(15)) {
+          seq += 1
+          Upd(rnd.nextInt(10).toLong, 1 + rnd.nextInt(4).toLong, seq,
+            rnd.nextInt(1000).toLong)
+        }
+      }
+      // at least one compaction lands strictly BETWEEN merges (the
+      // maintenance-window interleaving the contract allows; truly
+      // concurrent same-table writers are out of contract — Compaction
+      // scaladoc's single-writer regime)
+      val compactAfter = (0 until batches.length - 1)
+        .filter(_ => rnd.nextBoolean()).toSet + rnd.nextInt(batches.length - 1)
+      try {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          EventStreams.mergeBatchUpsert(updDf(b), table, "k", "ts", "seq", nBuckets)
+          if (compactAfter(i)) {
+            val res = Compaction.compactTable(spark, table)
+            compactions += 1
+            // the table must be immediately readable post-swap (REFRESH in
+            // compactTable's finally) and content-identical
+            val got = spark.table(table).collect().map(r =>
+              (r.getLong(r.fieldIndex("k")), r.getLong(r.fieldIndex("ts")),
+                r.getLong(r.fieldIndex("seq")), r.getLong(r.fieldIndex("v")))).toSet
+            assert(got == latestWins(batches.take(i + 1).flatten),
+              s"seed $seed: compaction after batch $i changed table content " +
+                s"(partitions: $res)")
+          }
+        }
+        val fin = spark.table(table)
+        val rows = fin.collect().map(r =>
+          (r.getLong(r.fieldIndex("k")), r.getLong(r.fieldIndex("ts")),
+            r.getLong(r.fieldIndex("seq")), r.getLong(r.fieldIndex("v")))).toSet
+        assert(rows == latestWins(batches.flatten),
+          s"seed $seed: merge/compact interleaving diverged from latest-wins")
+        // layout invariant survives compaction: every row still sits in
+        // the bucket its key hashes to (compaction rewrites WITHIN leaf
+        // dirs, so a row migrating buckets would mean the swap crossed
+        // partition directories)
+        val misBucketed = fin.where(
+          col("_bucket") =!= pmod(hash(col("k")), lit(nBuckets))).count()
+        assert(misBucketed == 0, s"seed $seed: $misBucketed rows mis-bucketed after compaction")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+    info(s"$n interleaving draws converged; $compactions compactions interleaved")
+    assert(compactions >= n, s"compaction draws starved: $compactions")
+  }
+
   test("bucket pin upgrade/corruption paths: legacy adoption validates the " +
     "stored layout; corrupted pin fails with an explanation") {
     import graft.streaming.EventStreams
