@@ -143,7 +143,13 @@ object Ann {
         / 1048576.0 - 0.5).toFloat)
 
   /** Sign-bit bucket signature of an embedding in hash table `t`
-    * (planes t·NumPlanes … t·NumPlanes+NumPlanes-1).
+    * (planes t·NumPlanes … t·NumPlanes+NumPlanes-1). Column-algebra
+    * REFERENCE form: the executable spec [[LshProbeBuckets]] is pinned
+    * bit-identical against (AnnSpec); the search path itself uses the
+    * expression — this fold inlines one 64-literal dot per plane, which
+    * is fine for a single bucket and fatal at probe fan-out (see
+    * graft.expressions.LshProbeBuckets's scaladoc for the 64 KB codegen
+    * blowup the fan-out caused).
     */
   def lshBucket(e: Column, table: Int): Column =
     (table * NumPlanes until (table + 1) * NumPlanes).foldLeft(lit(0L)) {
@@ -152,11 +158,6 @@ object Ann {
           graft.expressions.VectorExpressions.dotF(e, typedLit(planeVec(j))) > 0,
           1L).otherwise(0L)
     }
-
-  /** All NumTables bucket signatures, as (table, bucket) pairs for joining. */
-  private def bucketPairs(e: Column): Column =
-    array((0 until NumTables).map(t =>
-      struct(lit(t).as("t"), lshBucket(e, t).as("b"))): _*)
 
   /** Query-side probes per table (multi-probe LSH, Lv et al. VLDB'07):
     * the exact bucket PLUS the buckets reached by flipping the
@@ -171,7 +172,17 @@ object Ann {
     * committed envelope (BASELINE.md r16).
     */
   val LshProbes = 5
-  private def tableProbes(e: Column, table: Int, nProbe: Int): Seq[Column] = {
+
+  /** Column-algebra REFERENCE form of one table's probe set (bucket + the
+    * nProbe−1 smallest-|projection| single-bit flips) — kept as the
+    * executable spec [[graft.expressions.LshProbeBuckets]] is pinned
+    * against in AnnSpec. NOT on the search path: rendered at probe
+    * fan-out, these trees re-inline the six dot products per probe and
+    * per sort element (~430 dot bodies per row at 8 tables × 5 probes),
+    * blowing janino's 64 KB method limit and dropping the whole stage to
+    * interpreted eval (measured 37 s vs 2 s at the 100k AnnSoak).
+    */
+  private[graft] def tableProbes(e: Column, table: Int, nProbe: Int): Seq[Column] = {
     val js = (table * NumPlanes until (table + 1) * NumPlanes).toSeq
     val projs = js.map(j =>
       graft.expressions.VectorExpressions.dotF(e, typedLit(planeVec(j))))
@@ -188,11 +199,19 @@ object Ann {
       bucket.bitwiseXOR(element_at(sorted, i).getField("w")))
   }
 
-  /** Query-side (table, bucket) probe pairs: NumTables × LshProbes. */
-  private def probePairs(e: Column, nProbe: Int): Column =
-    array((0 until NumTables).flatMap(t =>
-      tableProbes(e, t, nProbe).map(b =>
-        struct(lit(t).as("t"), b.as("b")))): _*)
+  /** (table, bucket) rows for one side of the candidate join: the
+    * [[graft.expressions.LshProbeBuckets]] expression computes every
+    * probe bucket in one compiled loop (constant-size codegen at any
+    * probe count), posexplode recovers the table id from the layout
+    * `[t0 probes..., t1 probes...]`.
+    */
+  private def probeRows(df: DataFrame, idAlias: String, nProbe: Int): DataFrame =
+    df.select(col("vec_id").as(idAlias),
+        posexplode(graft.expressions.LshExpressions.lshAllProbes(
+          col("embedding"), NumPlanes, NumTables, nProbe)))
+      .select(col(idAlias),
+        floor(col("pos") / nProbe).cast(IntegerType).as("t"),
+        col("col").as("b"))
 
   /** Approximate top-k: candidates = any-table bucket collision (ids only
     * through the join) with query-side multi-probe, then exact cosine rank
@@ -202,11 +221,9 @@ object Ann {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nProbe: Int = LshProbes): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      explode(probePairs(col("embedding"), nProbe)).as("tb"))
-    val c = corpus.select(col("vec_id").as("vid"),
-      explode(bucketPairs(col("embedding"))).as("tb"))
-    val candidates = c.join(broadcast(q.select(col("qid"), col("tb"))), Seq("tb"))
+    val q = probeRows(queries, "qid", nProbe)
+    val c = probeRows(corpus, "vid", 1) // index side: ONE bucket per table
+    val candidates = c.join(broadcast(q), Seq("t", "b"))
       .where(col("vid") =!= col("qid"))
       .select("qid", "vid").dropDuplicates("qid", "vid")
     val qe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))

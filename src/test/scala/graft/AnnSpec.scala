@@ -362,6 +362,45 @@ class AnnSpec extends AnyFunSuite {
       s"margin arm stopped collapsing interior probe counts: $avgProbes")
   }
 
+  test("LshProbeBuckets expression is bit-identical to the Column reference forms") {
+    // The search path computes every probe bucket in one compiled loop
+    // (constant-size codegen); the Column fold/sort forms it replaced are
+    // kept as the executable spec. Any drift — plane formula, bit order,
+    // flip order, tie-breaks — moves a bucket here.
+    import graft.expressions.LshExpressions
+    val nProbe = Ann.LshProbes
+    val exprCols = emb.select(col("vec_id"),
+      LshExpressions.lshAllProbes(col("embedding"),
+        Ann.NumPlanes, Ann.NumTables, nProbe).as("probes"))
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    (0 until Ann.NumTables).foreach { t =>
+      val refCols = Ann.tableProbes(col("embedding"), t, nProbe)
+        .zipWithIndex.map { case (c, i) => c.as(s"p$i") }
+      val ref = emb.select(col("vec_id") +: refCols: _*)
+        .orderBy("vec_id").collect()
+        .map(r => r.getLong(0) -> (1 to nProbe).map(r.getLong))
+      exprCols.zip(ref).foreach { case ((id1, all), (id2, want)) =>
+        assert(id1 == id2)
+        val got = all.slice(t * nProbe, (t + 1) * nProbe)
+        assert(got == want,
+          s"table $t vec $id1: expression probes $got != reference $want")
+      }
+    }
+    // the single-bucket (nProbe=1) layout matches lshBucket per table
+    val single = emb.select(col("vec_id"),
+      LshExpressions.lshAllProbes(col("embedding"),
+        Ann.NumPlanes, Ann.NumTables, 1).as("b"))
+      .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    (0 until Ann.NumTables).foreach { t =>
+      val ref = emb.select(col("vec_id"), Ann.lshBucket(col("embedding"), t))
+        .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      single.zip(ref).foreach { case ((id1, bs), (id2, b)) =>
+        assert(id1 == id2 && bs(t) == b, s"table $t vec $id1 bucket drifted")
+      }
+    }
+  }
+
   test("lsh bucket is deterministic") {
     val b1 = emb.select(Ann.lshBucket(col("embedding"), 0).as("b")).collect().map(_.getLong(0))
     val b2 = emb.select(Ann.lshBucket(col("embedding"), 0).as("b")).collect().map(_.getLong(0))
