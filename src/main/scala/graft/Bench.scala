@@ -29,18 +29,20 @@ import graft.queries.QueryCatalog
   *  - SPARK_GRAFT_BENCH_BASELINE: path to the committed per-query baseline
   *    (default BENCH_BASELINE.json in the cwd, falling back to the repo's
   *    absolute path when the cwd copy is absent; missing file = no gate).
-  *    Any query whose measured min still exceeds 2x its committed baseline
-  *    gets re-run up to 5 total samples (7 when it reads >4x — the class
-  *    the r16 driver window could not clear at 5) before the artifact is
-  *    written (r15 verdict #5: the sub-second rotating-flag class was
-  *    ambient co-load surviving min-of-2; the baseline gate catches EVERY
-  *    such inflation, not just the noisy-spread sub-second ones).
+  *    Any query whose measured min still exceeds max(2x committed, 0.15 s)
+  *    after the first pass is RE-QUEUED at the END of the window (min-of-2
+  *    per pass, up to two passes) — at end-of-window warmth, the same
+  *    state the committed minima were measured at. (r15 verdict #5 asked
+  *    for baseline-triggered resampling; r16/r17 evidence moved it to the
+  *    window end: in-place resamples run as cold as the samples they
+  *    re-check, so they burned ~300 s on a slow-ambient window while
+  *    clearing nothing a warm requeue wouldn't.)
   *
   * Gate auditability (r16 verdict #1): the artifact records, per query,
   * how many samples were actually taken ("samples"), plus a "gate" object
   * with whether the baseline file was found, how many entries it carried,
-  * which queries triggered a gate resample, which were re-queued for the
-  * end-of-window warm re-pass, and which were STILL over 2x committed
+  * which queries took noisy-spread resamples, which were re-queued for
+  * the end-of-window warm passes, and which were STILL over 2x committed
   * when the artifact was written — so "gate ran and lost to sustained
   * co-load" is distinguishable from "gate never engaged".
   */
@@ -72,15 +74,6 @@ object Bench {
     */
   def overBaseline(baseline: Option[Double], best: Double): Boolean =
     baseline.exists(b => best > math.max(2 * b, 0.15))
-
-  /** Severe-inflation trigger: still >4x committed after the standard 5
-    * samples buys 2 more (7 total). The r16 driver window's f8_math_funcs
-    * survived 5 in-window resamples at 4.9x; widening the sample budget
-    * (plus the pause below) is the bounded response — only queries already
-    * 4x over pay it.
-    */
-  def severelyOver(baseline: Option[Double], best: Double): Boolean =
-    baseline.exists(b => best > math.max(4 * b, 0.15))
 
   /** Named catalog entries rotated OUT of the default bench window
     * (r16 verdict #4 — cap named-suite growth by rotating superseded /
@@ -144,7 +137,6 @@ object Bench {
       var best = first
       var worst = first
       var n = 1
-      var gated = false
       // `runs` (default 2) samples always; a sub-second query whose spread
       // is noisy (max > 1.5×min) gets up to 5 — ambient co-load on a
       // shared box routinely doubles a 0.3 s query, and one inflated
@@ -152,32 +144,25 @@ object Bench {
       // round audits by hand (r12–r14 all spent a min-of-5 pass on this).
       // Quiet queries never pay the extra runs, so the artifact cost is
       // bounded by the noisy sub-second subset.
-      // The committed-baseline gate (r15 verdict #5) extends the same
-      // resampling to ANY query still reading >2x its committed number —
-      // the historic rotating-flag class was exactly these: one co-loaded
-      // sample surviving min-of-2, hand-audited at idle the next round.
-      // Floor of 0.15 s on the threshold: a 0.05 s baseline would make
-      // 0.11 s a "flag", and sub-0.15 s deltas are pure noise. Still >4x
-      // after 5 buys 2 more (r16 verdict #1 — the f8 class).
-      def target: Int = {
-        val over = overBaseline(baseline.get(name), best)
-        if (over) gated = true
-        if (over && severelyOver(baseline.get(name), best)) math.max(runs, 7)
-        else if (over) math.max(runs, 5)
-        else if (best < 1.0 && worst > 1.5 * best) math.max(runs, 5)
+      // NOTE (r17): the committed-baseline trigger deliberately does NOT
+      // escalate in place any more. In-place resamples run at the same
+      // warmth/ambient state as the samples they re-check, which made
+      // them expensive AND ineffective: the r16 driver window's
+      // f8_math_funcs survived five in-place resamples at 4.9x (cold
+      // draw), while the first gated r17 window burned ~300 s escalating
+      // 285 sub-second queries a slow-ambient evening had pushed just
+      // past their thresholds. Over-baseline queries are handled by the
+      // END-of-window requeue loop below, where the JVM is at the same
+      // full-window warmth the committed minima were measured at.
+      def target: Int =
+        if (best < 1.0 && worst > 1.5 * best) math.max(runs, 5)
         else runs
-      }
       while (n < target) {
-        // Gate-triggered resamples pause briefly first: a transient
-        // co-load burst (the driver's own concurrent steps, a GC storm)
-        // spans back-to-back samples; 400 ms of decorrelation costs only
-        // the flagged handful of queries anything.
-        if (gated) Thread.sleep(400)
         val t = runOnce(name)
         if (t >= 0) { best = math.min(best, t); worst = math.max(worst, t) }
         n += 1
       }
-      Timing(best, n, gated)
+      Timing(best, n, gated = false)
     }
 
     // Bench-budget rotation (BASELINE r15-r17 policy): the v1-v15 fuzz
@@ -204,24 +189,32 @@ object Bench {
     // comparability. Results are emitted in catalog order for stable diffs.
     val order = new scala.util.Random(System.nanoTime()).shuffle(names)
     val firstPass = order.map(n => n -> runBest(n)).toMap
-    // End-of-window re-pass (r17, from the r16 weak-mark idle audit): the
-    // committed minima come from fully-warmed 800-query windows, so a
-    // query drawn EARLY in the shuffled order can read 2x "over" purely
-    // from shared-JIT cold state — and its in-place gate resamples are
-    // just as cold, which is exactly how f8_math_funcs survived five r16
-    // in-window resamples at 4.9x and then cleared a min-of-10 idle audit
-    // at 1.06x. Any query still over its committed number after the first
-    // pass gets two more samples HERE, at full end-of-window warmth; a
-    // query still over after that is a genuine regression or sustained
-    // co-load, not a cold draw. Cost: 2 runs x only the flagged handful.
-    val requeued = firstPass.collect {
-      case (k, t) if t.best >= 0 && overBaseline(baseline.get(k), t.best) => k
-    }.toSeq
-    val timed = firstPass ++ requeued.map { k =>
-      val t = firstPass(k)
-      val extra = Seq(runOnce(k), runOnce(k)).filter(_ >= 0)
-      val best = (t.best +: extra).min
-      k -> Timing(best, t.samples + extra.size, gated = true)
+    // End-of-window requeue loop (r17, from the r16 weak-mark idle
+    // audit): the committed minima come from fully-warmed 800-query
+    // windows, so a query drawn EARLY in the shuffled order can read 2x
+    // "over" purely from shared-JIT cold state — and in-place resamples
+    // are just as cold (f8_math_funcs survived five of them at 4.9x in
+    // r16, then cleared a min-of-10 idle audit at 1.06x). Anything still
+    // over its committed number re-measures HERE, at full end-of-window
+    // warmth, min-of-2 per pass, up to two passes (the second pass exists
+    // for a transient co-load burst spanning the first). A query still
+    // over after that is a genuine regression or sustained co-load, not
+    // a cold draw — it stays in still_over for the hand audit. Cost:
+    // 2 runs x only the over set, which at normal ambient is a handful.
+    var timed = firstPass
+    val requeued = scala.collection.mutable.LinkedHashSet.empty[String]
+    (1 to 2).foreach { _ =>
+      val over = names.filter { k =>
+        val t = timed(k)
+        t.best >= 0 && overBaseline(baseline.get(k), t.best)
+      }
+      requeued ++= over
+      timed = timed ++ over.map { k =>
+        val t = timed(k)
+        val extra = Seq(runOnce(k), runOnce(k)).filter(_ >= 0)
+        val best = (t.best +: extra).min
+        k -> Timing(best, t.samples + extra.size, gated = true)
+      }
     }
     val results = names.map(n => n -> timed(n))
     // Locale.ROOT: the f-interpolator uses the default locale, and a comma
@@ -234,14 +227,16 @@ object Bench {
     // Gate audit record (r16 verdict #1): enough to tell "gate never
     // engaged" (baseline_found=false / baseline_entries=0) from "gate ran
     // and lost" (name in resampled AND in still_over).
-    val resampledNames = results.collect { case (k, t) if t.gated => k }
+    val resampledNames = results.collect {
+      case (k, t) if t.samples > runs && !t.gated => k
+    }
     val stillOver = results.collect {
       case (k, t) if t.best >= 0 && overBaseline(baseline.get(k), t.best) => k
     }
     val gate =
       s"""{"baseline_found":${baseline.nonEmpty},"baseline_entries":${baseline.size},""" +
         s""""baseline_path":"${baselinePath.map(_.toString).getOrElse("")}",""" +
-        s""""resampled":${strArr(resampledNames)},"requeued":${strArr(requeued)},""" +
+        s""""resampled":${strArr(resampledNames)},"requeued":${strArr(requeued.toSeq)},""" +
         s""""still_over":${strArr(stillOver)}}"""
     val line =
       s"""{"metric":"total_query_sec","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"n_queries":${results.size},"gate":$gate}"""

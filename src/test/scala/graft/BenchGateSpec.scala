@@ -39,14 +39,6 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!m.contains("bad1") && !m.contains("bad2"))
   }
 
-  test("severelyOver: 4x threshold gating the widened 7-sample budget") {
-    assert(!Bench.severelyOver(None, 99.0))
-    assert(Bench.severelyOver(Some(0.5), 2.01))
-    assert(!Bench.severelyOver(Some(0.5), 1.99))
-    // the floor still applies
-    assert(!Bench.severelyOver(Some(0.03), 0.13))
-  }
-
   test("rotatedNamed names resolve in the catalog (rotation must not typo a name)") {
     val catalog = graft.queries.QueryCatalog.all.map(_.name).toSet
     Bench.rotatedNamed.foreach { n =>
