@@ -44,6 +44,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class LshProbeBuckets(child: Expression, numPlanes: Int, numTables: Int,
                            nProbe: Int) extends UnaryExpression {
 
+  // Single-bit multi-probe has exactly 1 + numPlanes distinct probes per
+  // table (the bucket plus one flip per plane); a larger nProbe would
+  // index past the flip list. Loud at construction, not per row. (The
+  // Column form it replaced silently produced NULL probes past the list —
+  // element_at out of bounds — which the candidate join then dropped.)
+  require(nProbe >= 1 && nProbe <= numPlanes + 1,
+    s"lsh_probe_buckets: nProbe=$nProbe out of range 1..${numPlanes + 1} " +
+      "(bucket + one single-bit flip per plane)")
+
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExpressions.checkFloatArrays(prettyName, child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -105,7 +105,7 @@ object SimilarityQueries {
     Q(
       "sim_ann_lsh",
       "LSH-bucketed approximate top-5 (random-hyperplane sign buckets, " +
-        "query-side multi-probe x5): the 100 TB path — candidates come " +
+        "query-side multi-probe x7): the 100 TB path — candidates come " +
         "from an equality join on the bucket key. Rows-only check; recall " +
         "vs brute force asserted in AnnSpec.",
       (s, d) => {

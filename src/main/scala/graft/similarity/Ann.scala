@@ -125,10 +125,13 @@ object Ann {
   // Random 64-dim vectors are the adversarial case for hyperplane LSH
   // (cosines concentrate near 0, so "near" neighbors barely separate from
   // the bulk); shorter codes + more OR-ed tables trade candidate count for
-  // recall. 6 bits × 8 tables × 5 query-side probes ≈ 5n/8 candidates per
-  // query at recall@5 0.70 on this corpus (AnnSpec, r16 — 0.38
-  // single-probe, 0.65 at ×3); structured embeddings reach ≥0.9 at a
-  // fraction of the cost (planted-cluster gate).
+  // recall. 6 bits × 8 tables × 7 query-side probes ≈ 7n/8 candidates per
+  // query at recall@5 0.74 / recall@10 0.66 on this corpus (AnnSpec, r17 —
+  // 0.38 single-probe, 0.65 at ×3, 0.70/0.61 at ×5; ×7 = 1 + NumPlanes is
+  // the single-bit multi-probe maximum, taken once the LshProbeBuckets
+  // codegen fix made probe count nearly free on the bucket side);
+  // structured embeddings reach ≥0.9 at a fraction of the cost
+  // (planted-cluster gate).
   val NumPlanes = 6  // bits per table → 64 buckets
   val NumTables = 8  // OR-amplification: candidate if ANY table collides
 
@@ -168,10 +171,13 @@ object Ann {
     * and candidates grow by at most nProbe× — the standard recall knob
     * that does NOT touch the index. 3 → 5 at r16 (verdict #6 next-notch):
     * recall@5 0.65 → 0.70, recall@10 0.515 → 0.61 on the adversarial
-    * corpus (IvfTune), candidates ≤5n/8 per query, idle bench within the
-    * committed envelope (BASELINE.md r16).
+    * corpus (IvfTune). 5 → 7 at r17, the single-bit multi-probe MAXIMUM
+    * (bucket + one flip per plane; LshProbeBuckets rejects more loudly):
+    * recall@5 0.70 → 0.74, recall@10 0.61 → 0.66, candidates ≤7n/8 per
+    * query — taken once the codegen fix made the bucket side free and
+    * re-measured inside the committed bench envelope (BASELINE.md r17).
     */
-  val LshProbes = 5
+  val LshProbes = 7
 
   /** Column-algebra REFERENCE form of one table's probe set (bucket + the
     * nProbe−1 smallest-|projection| single-bit flips) — kept as the

@@ -37,11 +37,12 @@ class AnnSpec extends AnyFunSuite {
   test("lshTopK results are a subset of same-bucket candidates with decent recall@5/@10") {
     val queries = emb.where(col("vec_id") < 20)
     // Corpus, hyperplanes, and tie-breaks are all deterministic, so recall
-    // is a stable number (measured 0.70@5 / 0.61@10 on this corpus with
-    // query-directed multi-probe ×5, r16 — 0.38 single-probe, 0.65@5 at
-    // ×3) — gate each at measured − 0.1 (r11 verdict item #6: a 0.2 floor
+    // is a stable number (measured 0.74@5 / 0.66@10 on this corpus with
+    // query-directed multi-probe ×7, r17 — 0.38 single-probe, 0.65@5 at
+    // ×3, 0.70/0.61 at ×5; ×7 = 1 + NumPlanes is the single-bit maximum)
+    // — gate each at measured − 0.1 (r11 verdict item #6: a 0.2 floor
     // would pass a badly broken index).
-    Seq((5, 0.6, 0.70), (10, 0.5, 0.61)).foreach { case (k, floor, measured) =>
+    Seq((5, 0.64, 0.74), (10, 0.55, 0.66)).foreach { case (k, floor, measured) =>
       val exact = Ann.bruteForceTopK(queries, emb, k).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val approx = Ann.lshTopK(queries, emb, k).collect()
@@ -399,6 +400,22 @@ class AnnSpec extends AnyFunSuite {
         assert(id1 == id2 && bs(t) == b, s"table $t vec $id1 bucket drifted")
       }
     }
+  }
+
+  test("LshProbeBuckets rejects nProbe beyond the single-bit flip budget") {
+    // 1 + NumPlanes is the maximum distinct single-bit probes per table;
+    // the Column form silently produced NULL probes past it (element_at
+    // out of bounds), the expression fails loudly at construction
+    import graft.expressions.LshExpressions
+    val ex = intercept[IllegalArgumentException] {
+      emb.select(LshExpressions.lshAllProbes(col("embedding"),
+        Ann.NumPlanes, Ann.NumTables, Ann.NumPlanes + 2))
+    }
+    assert(ex.getMessage.contains("out of range"))
+    // the maximum itself is valid
+    val full = emb.limit(1).select(LshExpressions.lshAllProbes(col("embedding"),
+      Ann.NumPlanes, Ann.NumTables, Ann.NumPlanes + 1)).collect()(0).getSeq[Long](0)
+    assert(full.length == Ann.NumTables * (Ann.NumPlanes + 1))
   }
 
   test("lsh bucket is deterministic") {

@@ -49,7 +49,10 @@ object IvfTune {
     }
 
     // LSH recall@10 beside the @5 the spec already pins, across probe counts
-    Seq(3, 4, 5).foreach { np =>
+    // (r17: extended past x5 — the LshProbeBuckets codegen fix made probe
+    // count nearly free on the bucket side; candidates are the real cost)
+    // (7 = 1 + NumPlanes is the single-bit multi-probe maximum)
+    Seq(3, 4, 5, 6, 7).foreach { np =>
       Seq(5, 10).foreach { k =>
         val exact = Ann.bruteForceTopK(queries, emb, k).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
