@@ -984,7 +984,9 @@ object FuzzQueries {
   // json_extract_string + CAST for DuckDB inside a dual-dialect FROM
   // fragment; see FuzzGen.variantQuery). Whole 30001-30200 range verified
   // against DuckDB at sf0.001, sf0.01 AND sf0.1 (200/200 each, r17, zero
-  // divergence first sweep); picks non-empty at both smaller SFs,
+  // divergence first sweep); extended 30201-30600 soak at sf0.001 AND
+  // sf0.01 = 800/800 (r17, zero divergence); picks non-empty at both
+  // smaller SFs,
   // SQL-distinct (the direct branch draws only the missing-key name, so
   // same-shape direct seeds can render identical SQL — duplicates were
   // swapped for constructed draws), shape × source diverse (26):
