@@ -27,8 +27,8 @@ import graft.queries.QueryCatalog
   *    driver's capture truncates long stdout lines, so the file is the
   *    durable full record for round-over-round comparison.
   *  - SPARK_GRAFT_BENCH_BASELINE: path to the committed per-query baseline
-  *    (default BENCH_BASELINE.json in the cwd, falling back to the repo's
-  *    absolute path when the cwd copy is absent; missing file = no gate).
+  *    (default BENCH_BASELINE.json in the cwd; missing file = no gate,
+  *    recorded as baseline_found=false in the artifact's gate object).
   *    Any query whose measured min still exceeds max(2x committed, 0.15 s)
   *    after the first pass is RE-QUEUED at the END of the window (min-of-2
   *    per pass, up to two passes) — at end-of-window warmth, the same
@@ -90,10 +90,12 @@ object Bench {
     */
   val rotatedNamed: Set[String] = Set("dd_ngram_jaccard", "sim_ann_ivf")
 
-  /** One query's measurement: the min, how many samples produced it, and
-    * whether the committed-baseline gate triggered resampling.
+  /** One query's measurement: the min, how many samples produced it,
+    * whether the noisy-spread rule escalated the first pass, and whether
+    * the committed-baseline gate requeued it.
     */
-  final case class Timing(best: Double, samples: Int, gated: Boolean)
+  final case class Timing(best: Double, samples: Int, gated: Boolean,
+                          noisy: Boolean = false)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,11 +105,12 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     // Committed per-query baselines (same JSON shape as the artifact this
     // main writes); missing file = no gate. Path chain: env override →
-    // cwd → the repo's absolute path (so a driver invocation from a
-    // different working directory still finds the committed gate file).
+    // cwd. No absolute-path fallback: it would silently alias ANOTHER
+    // checkout's stale minima from a worktree/CI run while the artifact
+    // claimed baseline_found=true — the gate object's baseline_path field
+    // makes a missing gate auditable instead.
     val baselinePath: Option[java.nio.file.Path] =
-      (sys.env.get("SPARK_GRAFT_BENCH_BASELINE").toSeq ++
-        Seq("BENCH_BASELINE.json", "/root/repo/BENCH_BASELINE.json"))
+      (sys.env.get("SPARK_GRAFT_BENCH_BASELINE").toSeq :+ "BENCH_BASELINE.json")
         .map(java.nio.file.Paths.get(_))
         .find(java.nio.file.Files.isReadable)
     val baseline: Map[String, Double] = baselinePath match {
@@ -154,15 +157,16 @@ object Bench {
       // past their thresholds. Over-baseline queries are handled by the
       // END-of-window requeue loop below, where the JVM is at the same
       // full-window warmth the committed minima were measured at.
+      var noisy = false
       def target: Int =
-        if (best < 1.0 && worst > 1.5 * best) math.max(runs, 5)
+        if (best < 1.0 && worst > 1.5 * best) { noisy = true; math.max(runs, 5) }
         else runs
       while (n < target) {
         val t = runOnce(name)
         if (t >= 0) { best = math.min(best, t); worst = math.max(worst, t) }
         n += 1
       }
-      Timing(best, n, gated = false)
+      Timing(best, n, gated = false, noisy = noisy)
     }
 
     // Bench-budget rotation (BASELINE r15-r17 policy): the v1-v15 fuzz
@@ -213,7 +217,7 @@ object Bench {
         val t = timed(k)
         val extra = Seq(runOnce(k), runOnce(k)).filter(_ >= 0)
         val best = (t.best +: extra).min
-        k -> Timing(best, t.samples + extra.size, gated = true)
+        k -> t.copy(best = best, samples = t.samples + extra.size, gated = true)
       }
     }
     val results = names.map(n => n -> timed(n))
@@ -227,15 +231,18 @@ object Bench {
     // Gate audit record (r16 verdict #1): enough to tell "gate never
     // engaged" (baseline_found=false / baseline_entries=0) from "gate ran
     // and lost" (name in resampled AND in still_over).
-    val resampledNames = results.collect {
-      case (k, t) if t.samples > runs && !t.gated => k
-    }
+    val resampledNames = results.collect { case (k, t) if t.noisy => k }
     val stillOver = results.collect {
       case (k, t) if t.best >= 0 && overBaseline(baseline.get(k), t.best) => k
     }
+    // baseline_path is env-derived — the one gate string not guaranteed
+    // [A-Za-z0-9_]; escape it or a quote/backslash in the path corrupts
+    // the whole artifact line
+    def jsonStr(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
     val gate =
       s"""{"baseline_found":${baseline.nonEmpty},"baseline_entries":${baseline.size},""" +
-        s""""baseline_path":"${baselinePath.map(_.toString).getOrElse("")}",""" +
+        s""""baseline_path":"${jsonStr(baselinePath.map(_.toString).getOrElse(""))}",""" +
         s""""resampled":${strArr(resampledNames)},"requeued":${strArr(requeued.toSeq)},""" +
         s""""still_over":${strArr(stillOver)}}"""
     val line =

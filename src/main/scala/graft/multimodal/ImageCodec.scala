@@ -89,13 +89,21 @@ object ImageCodec {
     val planes = u16(26)
     val bpp = u16(28)
     val compression = i32(30)
-    if (hdrSize < 40 || w <= 0 || hRaw == 0 || planes != 1 ||
-      bpp != 24 || compression != 0) return None
+    // hRaw == Int.MinValue would make math.abs return a NEGATIVE height
+    // and every guard below silently pass — decode() runs on arbitrary
+    // magic-sniffed corpus bytes, so a hostile/corrupt header must fall
+    // back (None), never crash the task
+    if (hdrSize < 40 || w <= 0 || hRaw == 0 || hRaw == Int.MinValue ||
+      planes != 1 || bpp != 24 || compression != 0) return None
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    if (dataOff < 54 || dataOff.toLong + rowSize.toLong * h > b.length ||
+    // row size in LONG: w near Int.MaxValue/3 overflows w*3+3 in int,
+    // producing a negative rowSize that bypasses the length check and
+    // then a ~2 GB allocation + out-of-bounds read
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
+    if (dataOff < 54 || dataOff.toLong + rowSizeL * h > b.length ||
       3L * w * h > Int.MaxValue) return None
+    val rowSize = rowSizeL.toInt
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {

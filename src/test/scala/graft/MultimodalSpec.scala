@@ -106,6 +106,25 @@ class MultimodalSpec extends AnyFunSuite {
     val bad = bmpBytes.clone(); bad(28) = 8 // bpp=8
     assert(ImageCodec.decodeBmp(bad).isEmpty)
     assert(ImageCodec.decodeBmp(bmpBytes.dropRight(4)).isEmpty)
+    // hostile headers must fall back, never crash: decode runs on
+    // arbitrary magic-sniffed corpus bytes (code-review r17 finding)
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val p = bmpBytes.clone()
+      p(off) = (v & 0xff).toByte; p(off + 1) = ((v >> 8) & 0xff).toByte
+      p(off + 2) = ((v >> 16) & 0xff).toByte; p(off + 3) = ((v >> 24) & 0xff).toByte
+      p
+    }
+    // width near Int.MaxValue/3: w*3+3 overflows int rowSize — guard in long
+    assert(ImageCodec.decodeBmp(patched(18, 715827882)).isEmpty)
+    // height = Int.MinValue: math.abs stays negative — explicit reject
+    assert(ImageCodec.decodeBmp(patched(22, Int.MinValue)).isEmpty)
+    // 3*w*h over Int.MaxValue
+    assert(ImageCodec.decodeBmp(patched(18, 40000) match {
+      case p0 => val p = p0.clone()
+        p(22) = (40000 & 0xff).toByte; p(23) = ((40000 >> 8) & 0xff).toByte
+        p(24) = 0; p(25) = 0
+        p
+    }).isEmpty)
   }
 
   test("ImageCodec.resizeNearest: 4x4 quadrants -> 2x2 picks each quadrant's origin pixel") {

@@ -53,7 +53,7 @@ object AnnSoak {
     val spark = GraftSession.getOrCreate("graft-ann-soak")
     val emb = corpus(spark, n, clusters).localCheckpoint(true)
     println(s"corpus: ${emb.count()} vectors, $clusters clusters, dim 64")
-    val queries = emb.where(col("vec_id") % (n / 50) === 0)
+    val queries = emb.where(col("vec_id") % math.max(1L, n / 50) === 0)
       .localCheckpoint(true)
     val nq = queries.count()
     println(s"queries: $nq")
