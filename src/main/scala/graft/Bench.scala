@@ -140,15 +140,19 @@ object Bench {
       var best = first
       var worst = first
       var n = 1
-      // `runs` (default 2) samples always; a sub-second query whose spread
-      // is noisy (max > 1.5×min) gets up to 5 — ambient co-load on a
-      // shared box routinely doubles a 0.3 s query, and one inflated
-      // sample surviving a min-of-2 becomes a rotating >2× flag the next
-      // round audits by hand (r12–r14 all spent a min-of-5 pass on this).
-      // Quiet queries never pay the extra runs, so the artifact cost is
-      // bounded by the noisy sub-second subset.
+      // `runs` (default 2) samples always. The r12-era noisy-spread rule
+      // (sub-second query, max > 1.5×min → up to 5 samples) now applies
+      // ONLY to queries with no committed baseline: for the gated
+      // catalog, the end-of-window warm requeue supersedes it — a noisy
+      // sample that matters (one pushing the min over 2x committed) gets
+      // re-measured warm anyway, and one that doesn't flag nothing. At a
+      // noisy-ambient window the rule was escalating ~300 sub-second
+      // queries x 3 runs (~150-250 s) for protection the gate already
+      // provides; baseline-less entries (brand-new queries before their
+      // first ratchet) keep it so their first committed number is not a
+      // single co-loaded draw.
       // NOTE (r17): the committed-baseline trigger deliberately does NOT
-      // escalate in place any more. In-place resamples run at the same
+      // escalate in place either. In-place resamples run at the same
       // warmth/ambient state as the samples they re-check, which made
       // them expensive AND ineffective: the r16 driver window's
       // f8_math_funcs survived five in-place resamples at 4.9x (cold
@@ -159,8 +163,9 @@ object Bench {
       // full-window warmth the committed minima were measured at.
       var noisy = false
       def target: Int =
-        if (best < 1.0 && worst > 1.5 * best) { noisy = true; math.max(runs, 5) }
-        else runs
+        if (baseline.get(name).isEmpty && best < 1.0 && worst > 1.5 * best) {
+          noisy = true; math.max(runs, 5)
+        } else runs
       while (n < target) {
         val t = runOnce(name)
         if (t >= 0) { best = math.min(best, t); worst = math.max(worst, t) }

@@ -73,10 +73,10 @@ object AnnSoak {
     def recall(approx: Set[(Long, Long)], label: String): Unit =
       println(f"$label%-28s recall@$k = ${exact.intersect(approx).size.toDouble / exact.size}%.3f")
 
-    val lsh = timed("lsh multi-probe x5")(
+    val lsh = timed(s"lsh multi-probe x${Ann.LshProbes}")(
       Ann.lshTopK(queries, emb, k).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet)
-    recall(lsh, "lsh multi-probe x5")
+    recall(lsh, s"lsh multi-probe x${Ann.LshProbes}")
 
     val nCellsFlat = Ivf.autoCells(n)
     val flatIdx = timed(s"ivf build (flat, $nCellsFlat cells)")(
