@@ -169,6 +169,17 @@ object StreamFuzzGen {
     */
   def query(seed: Int, version: Int): StreamGenQuery = {
     val rnd = new Random(seed)
+    if (version >= 6) {
+      // v6 mode byte: STREAMING DEDUP (dropDuplicatesWithinWatermark —
+      // the ST3 surface; the fixed st3 form rode StreamCutFuzzSpec's
+      // permutations, but its KEY was always the unique event_id and its
+      // watermark always wide). Versions ≤ 5 never take this draw;
+      // fall-through continues into the v5 dispatch with the advanced
+      // rnd state.
+      val m6 = rnd.nextInt(10)
+      if (m6 < 5) return dedupQuery(seed, rnd)
+      // else: fall through to the v5 dispatch with the advanced rnd state
+    }
     if (version >= 5) {
       // v5 mode byte: STREAM-STREAM interval joins (the ST5 surface — the
       // one stateful streaming operator the generated tiers never drew;
@@ -437,6 +448,67 @@ object StreamFuzzGen {
         s"late stripe event_id%$m=$r, aggs=[${aggs.map(_._1).mkString(",")}]",
       s"$delayMin minutes", build,
       lateDraw = Some((delayMin, spanMin, m, r, copies)))
+  }
+
+  /** v6 dedicated variant: seeded STREAMING DEDUP
+    * (dropDuplicatesWithinWatermark). The fixed st3 form dedups on the
+    * UNIQUE event_id under a wide watermark, so two semantics never had
+    * generated coverage: dedup on NON-unique keys (where which physical
+    * row survives depends on delivery order — the build therefore
+    * projects the KEY COLUMNS ONLY, making the emitted set a pure
+    * function of the input set), and FINITE-delay behavior (late
+    * duplicates are dropped at the operator input by the watermark
+    * filter; distant same-key repeats whose state expired re-emit —
+    * Spark's documented within-watermark-only guarantee).
+    *
+    * Key draws: event_id (unique — every duplicate is a replay),
+    * user_id, (user_id, event_type), (user_id%km, event_type) — the
+    * corpus genuinely repeats the non-unique keys across its ~30-day
+    * span. Delay draws: wide ("10000 hours" — no eviction: emitted set ≡
+    * batch DISTINCT of the keys EXACTLY under ARBITRARY shuffled cuts
+    * with injected replays) or finite (120/360/1440 min — under
+    * event-time-ASCENDING delivery the emitted key SET still equals
+    * batch DISTINCT: expired-state repeats re-emit a key that is already
+    * in the set, and ascending arrival means no on-time row is ever
+    * dropped; a final batch re-delivering a drawn stripe of now-LATE
+    * duplicates must be dropped by the watermark filter — the spec pins
+    * the drop metric and that the output did not change).
+    */
+  private def dedupQuery(seed: Int, rnd: Random): StreamGenQuery = {
+    val keyDraw = rnd.nextInt(4)
+    val km = 2 + rnd.nextInt(5)
+    val (keyDesc, keyCols: Seq[(String, Column)]) = keyDraw match {
+      case 0 => ("event_id", Seq("k_id" -> col("event_id")))
+      case 1 => ("user_id", Seq("k_uid" -> col("user_id")))
+      case 2 => ("user_id+event_type",
+        Seq("k_uid" -> col("user_id"), "k_type" -> col("event_type")))
+      case _ => (s"user_id%$km+event_type",
+        Seq("k_bucket" -> pmod(col("user_id"), lit(km)).cast("long"),
+          "k_type" -> col("event_type")))
+    }
+    val finite = rnd.nextInt(10) < 5
+    val delayMin = Vector(120, 360, 1440)(rnd.nextInt(3))
+    val delayStr = if (finite) s"$delayMin minutes" else "10000 hours"
+    val m = 4 + rnd.nextInt(5)
+    val r = rnd.nextInt(m)
+
+    val build = (df0: DataFrame) => {
+      val named = df0.withColumn("ts", col("ts").cast(TimestampType))
+        .select(col("ts") +: keyCols.map { case (n, c) => c.as(n) }: _*)
+        .withWatermark("ts", delayStr)
+      named.dropDuplicatesWithinWatermark(keyCols.map(_._1))
+        .select(keyCols.map { case (n, _) => col(n) }: _*)
+    }
+    // independent batch reference: relational DISTINCT over the same key
+    // projection — a different operator family than the streaming dedup
+    // state (dropDuplicatesWithinWatermark has no batch form at all)
+    val ref = (df0: DataFrame) =>
+      df0.select(keyCols.map { case (n, c) => c.as(n) }: _*).distinct()
+    StreamGenQuery(seed, if (finite) "dedup-finite" else "dedup-wide",
+      s"dedup keys=$keyDesc watermark=$delayStr " +
+        s"late-stripe event_id%$m=$r",
+      delayStr, build, refBuild = Some(ref),
+      lateDraw = Some((if (finite) delayMin else -1, 0, m, r, 1)))
   }
 
   /** v5 dedicated variant: STREAM-STREAM interval joins — both join

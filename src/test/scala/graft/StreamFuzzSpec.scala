@@ -433,6 +433,82 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test(s"v6: streaming dedup over seeds 1..$nSeeds: drawn keys — wide " +
+    "watermark exact under shuffled replays; finite delay drops the late " +
+    "stripe and preserves the emitted key set") {
+    import spark.implicits._
+    val maxTs = allEvents.map(_.ts).max
+    var wide = 0; var finite = 0
+    val keyShapes = scala.collection.mutable.Set.empty[String]
+    (1 to nSeeds).foreach { seed =>
+      val g = StreamFuzzGen.query(seed, 6)
+      if (g.shape.startsWith("dedup")) {
+        keyShapes += g.desc.split(" ")(1)
+        // independent reference: relational DISTINCT of the key projection
+        val want = g.refBuild.get(allEvents.toDF())
+          .collect().map(_.toString).sorted.toSeq
+        assert(want.nonEmpty)
+        if (g.shape == "dedup-wide") {
+          wide += 1
+          // arbitrary shuffled cuts + injected replays (the st3
+          // discipline): 50 random events re-delivered into later-or-same
+          // chunks; a wide watermark never evicts state, so every key
+          // emits EXACTLY once no matter the delivery
+          val rnd = new Random(seed)
+          val chunks0 = cutChunks(seed)
+          val dups = Vector.fill(50)(allEvents(rnd.nextInt(allEvents.length)))
+          val chunks = chunks0.zipWithIndex.map { case (c, i) =>
+            c ++ dups.filter(_ => rnd.nextInt(chunks0.length) <= i)
+          }
+          val (got, _, _) = streamedAppend(chunks, g.build)
+          assert(got == want,
+            s"v6 seed $seed (${g.desc}) wide dedup diverged: " +
+              s"${got.length} vs ${want.length} rows; first diff " +
+              s"${got.zipAll(want, "<missing>", "<missing>")
+                .find { case (a, b) => a != b }}")
+        } else {
+          finite += 1
+          val (delayMin, _, m, r, _) = g.lateDraw.get
+          // event-time-ASCENDING delivery: no on-time row is ever late, a
+          // key's FIRST occurrence always emits, and expired-state repeats
+          // re-emit keys already in the set — so the emitted key SET must
+          // equal batch DISTINCT exactly. A final batch re-delivers a
+          // stripe of now-late duplicates (ts a 1-min margin below the
+          // final watermark): the watermark filter must drop them all.
+          val stripe = allEvents.filter(e =>
+            e.ts.isBefore(maxTs.minusMinutes(delayMin + 1)) &&
+              e.event_id % m == r)
+          assert(stripe.nonEmpty,
+            s"v6 seed $seed (${g.desc}): empty late stripe — weak evidence")
+          val asc = allEvents.sortBy(e => (e.ts, e.event_id))
+          val rnd = new Random(seed)
+          val k = 2 + rnd.nextInt(3)
+          val points = Seq.fill(k - 1)(1 + rnd.nextInt(asc.length - 1))
+            .distinct.sorted
+          val bounds = (0 +: points) :+ asc.length
+          val chunks = bounds.sliding(2)
+            .map { case Seq(a, b) => asc.slice(a, b) }.toSeq :+
+            rnd.shuffle(stripe)
+          val (got, dropped, _) = streamedAppend(chunks, g.build)
+          assert(got.distinct == want,
+            s"v6 seed $seed (${g.desc}) finite dedup key set diverged: " +
+              s"${got.distinct.length} vs ${want.length} distinct; first diff " +
+              s"${got.distinct.zipAll(want, "<missing>", "<missing>")
+                .find { case (a, b) => a != b }}")
+          assert(dropped > 0L && dropped <= stripe.size.toLong,
+            s"v6 seed $seed (${g.desc}): numRowsDroppedByWatermark " +
+              s"$dropped outside (0, ${stripe.size}]")
+        }
+      }
+    }
+    info(s"${wide + finite} dedup seeds converged ($wide wide / $finite " +
+      s"finite); key shapes=${keyShapes.toSeq.sorted.mkString(", ")}")
+    assert(wide + finite >= nSeeds / 3, s"dedup variant starved: ${wide + finite}")
+    assert(wide >= nSeeds / 15 && finite >= nSeeds / 15,
+      s"a dedup sub-draw starved: wide=$wide finite=$finite")
+    assert(keyShapes.size >= 3, s"key-shape draws starved: $keyShapes")
+  }
+
   test(s"$nSeeds generated windowed aggregations: stream over cut " +
     "permutations ≡ batch") {
     import spark.implicits._
