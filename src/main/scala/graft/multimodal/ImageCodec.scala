@@ -1,16 +1,18 @@
 package graft.multimodal
 
-/** Pure-JVM image codec: a complete header+pixel parse for the two
-  * uncompressed raster formats that need no codec library — the offline
-  * container constraint bars external jars, and a JDK-only parse is fully
-  * deterministic and auditable (javax.imageio would work here too, but its
-  * output can vary by JDK build for some formats; a hand parse cannot).
+/** Pure-JVM image codec: a complete header+pixel parse for three raster
+  * formats that need no codec library — the offline container constraint
+  * bars external jars, and a JDK-only parse is fully deterministic and
+  * auditable (javax.imageio would work here too, but its output can vary
+  * by JDK build for some formats; a hand parse cannot).
   *
   *  - PPM P6 (binary RGB, maxval 255 — the netpbm spec: "P6", then
   *    whitespace-separated width/height/maxval with '#' comments allowed,
   *    then ONE whitespace byte, then raw row-major RGB triples)
   *  - BMP 24bpp uncompressed (BITMAPINFOHEADER or larger, BI_RGB,
   *    bottom-up or top-down rows, 4-byte row padding, BGR byte order)
+  *  - PNG 8-bit RGB/RGBA non-interlaced (the dominant web-export profile;
+  *    zlib via JDK `Inflater`, per-row filters 0–4, chunk CRCs verified)
   *
   * `decode` dispatches on the payload's magic bytes and returns None for
   * anything it cannot parse COMPLETELY — a truncated pixel array or an
@@ -26,15 +28,20 @@ object ImageCodec {
   /** Decoded raster: row-major RGB, 3 bytes per pixel, top-down. */
   final case class Image(width: Int, height: Int, rgb: Array[Byte])
 
+  private val PngSig: Array[Int] = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
   /** Magic-byte sniff; None = not a format this codec handles. */
   def detect(payload: Array[Byte]): Option[String] =
     if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') Some("ppm")
     else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') Some("bmp")
+    else if (payload.length >= 8 &&
+      (0 until 8).forall(k => (payload(k) & 0xff) == PngSig(k))) Some("png")
     else None
 
   def decode(payload: Array[Byte]): Option[Image] = detect(payload) match {
     case Some("ppm") => decodePpm(payload)
     case Some("bmp") => decodeBmp(payload)
+    case Some("png") => decodePng(payload)
     case _ => None
   }
 
@@ -69,9 +76,14 @@ object ImageCodec {
     // exactly one whitespace byte separates maxval from the pixel bytes
     if (i >= b.length || !(b(i) & 0xff).toChar.isWhitespace) return None
     i += 1
-    val need = 3L * w * h
-    if (need > Int.MaxValue - i || b.length - i < need) return None
-    Some(Image(w, h, java.util.Arrays.copyOfRange(b, i, i + need.toInt)))
+    // pixel count FIRST, then ×3: `3L * w * h` overflows Long when w and h
+    // are both near Int.MaxValue (product ~1.4e19 > Long.MaxValue), and the
+    // wrapped negative value passes both guards below — w.toLong * h is
+    // bounded by ~4.6e18 and cannot wrap
+    val pix = w.toLong * h
+    if (pix > (Int.MaxValue - i) / 3 || b.length - i < 3 * pix) return None
+    val need = (3 * pix).toInt
+    Some(Image(w, h, java.util.Arrays.copyOfRange(b, i, i + need)))
   }
 
   /** BMP 24bpp BI_RGB parse: little-endian header fields, BGR pixel order,
@@ -115,6 +127,147 @@ object ImageCodec {
         rgb(d) = b(base + x * 3 + 2)     // R (stored BGR)
         rgb(d + 1) = b(base + x * 3 + 1) // G
         rgb(d + 2) = b(base + x * 3)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some(Image(w, h, rgb))
+  }
+
+  /** PNG parse — the first COMPRESSED format, still pure JVM: the zlib
+    * stream decodes via JDK-bundled `java.util.zip.Inflater`. Scope is the
+    * dominant web-export profile: 8-bit, color type 2 (RGB) or 6 (RGBA,
+    * alpha dropped — features are RGB channel stats), non-interlaced,
+    * filter method 0 with per-row filter types 0–4 (None/Sub/Up/Average/
+    * Paeth, reconstructed per the PNG spec §4.5.2/RFC 2083). Every chunk
+    * CRC is verified (`java.util.zip.CRC32` over type+data) and the
+    * inflated byte count must equal the scanline total EXACTLY — a
+    * truncated or over-long stream, a bad CRC, palette/16-bit/interlaced
+    * images, and hostile dimensions all return None per the codec
+    * contract (parse completely or fall back, never crash).
+    */
+  def decodePng(b: Array[Byte]): Option[Image] = {
+    if (b.length < 8 + 12 + 13 ||
+      (0 until 8).exists(k => (b(k) & 0xff) != PngSig(k))) return None
+    def i32(off: Int): Int = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    var i = 8
+    var w = 0; var h = 0; var channels = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      if (i + 8 > b.length) return None
+      val len = i32(i)
+      if (len < 0 || i + 12L + len > b.length) return None
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + len)
+      if (crc.getValue.toInt != i32(i + 8 + len)) return None
+      val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      typ match {
+        case "IHDR" =>
+          if (seenIhdr || len != 13) return None
+          seenIhdr = true
+          w = i32(i + 8); h = i32(i + 12)
+          val bitDepth = b(i + 16) & 0xff
+          val colorType = b(i + 17) & 0xff
+          val comp = b(i + 18) & 0xff
+          val filterMethod = b(i + 19) & 0xff
+          val interlace = b(i + 20) & 0xff
+          if (w <= 0 || h <= 0 || bitDepth != 8 || comp != 0 ||
+            filterMethod != 0 || interlace != 0) return None
+          channels = colorType match {
+            case 2 => 3
+            case 6 => 4
+            case _ => return None // palette/gray out of scope
+          }
+          // both the raw scanline buffer ((w*ch+1)*h) and the packed RGB
+          // output (3*w*h) must fit an int-indexed array; pixel count
+          // first so the product cannot wrap (w,h ≤ 2^31-1 each)
+          val pix = w.toLong * h
+          if (pix > Int.MaxValue / 4 ||
+            (w.toLong * channels + 1) * h > Int.MaxValue) return None
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(b, i + 8, len)
+        case "IEND" =>
+          if (len != 0) return None
+          seenIend = true
+        case _ => () // ancillary chunks (tEXt, pHYs, …) skipped, CRC still checked
+      }
+      i += 12 + len
+    }
+    if (!seenIhdr || idat.size == 0) return None
+    val bpp = channels
+    val rowBytes = w * channels
+    val rawLen = (rowBytes + 1) * h
+    val raw = new Array[Byte](rawLen)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (off < rawLen && !inf.finished()) {
+        val n = inf.inflate(raw, off, rawLen - off)
+        if (n == 0 && inf.needsInput()) return None // truncated zlib stream
+        off += n
+      }
+      if (off != rawLen) return None
+      // strict: the stream must END at the scanline total — extra
+      // decompressed bytes mean the header lied about the dimensions
+      if (!inf.finished()) {
+        val spill = new Array[Byte](1)
+        if (inf.inflate(spill, 0, 1) > 0 || !inf.finished()) return None
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // un-filter in place, row by row (each row: 1 filter-type byte + pixels)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (rowBytes + 1)
+      val cur = rowOff + 1
+      val prev = cur - (rowBytes + 1)
+      (raw(rowOff) & 0xff) match {
+        case 0 => // None
+        case 1 => // Sub
+          var x = bpp
+          while (x < rowBytes) { raw(cur + x) = (raw(cur + x) + raw(cur + x - bpp)).toByte; x += 1 }
+        case 2 => // Up
+          if (y > 0) {
+            var x = 0
+            while (x < rowBytes) { raw(cur + x) = (raw(cur + x) + raw(prev + x)).toByte; x += 1 }
+          }
+        case 3 => // Average
+          var x = 0
+          while (x < rowBytes) {
+            val a = if (x >= bpp) raw(cur + x - bpp) & 0xff else 0
+            val u = if (y > 0) raw(prev + x) & 0xff else 0
+            raw(cur + x) = (raw(cur + x) + ((a + u) >> 1)).toByte; x += 1
+          }
+        case 4 => // Paeth
+          var x = 0
+          while (x < rowBytes) {
+            val a = if (x >= bpp) raw(cur + x - bpp) & 0xff else 0
+            val u = if (y > 0) raw(prev + x) & 0xff else 0
+            val c = if (x >= bpp && y > 0) raw(prev + x - bpp) & 0xff else 0
+            val p = a + u - c
+            val pa = math.abs(p - a); val pb = math.abs(p - u); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c
+            raw(cur + x) = (raw(cur + x) + pred).toByte; x += 1
+          }
+        case _ => return None // filter types 5+ are not in the spec
+      }
+      y += 1
+    }
+    // pack scanlines to row-major RGB (RGBA drops alpha)
+    val rgb = new Array[Byte](w * h * 3)
+    y = 0
+    while (y < h) {
+      val src = y * (rowBytes + 1) + 1
+      var x = 0
+      while (x < w) {
+        val s = src + x * channels
+        val d = (y * w + x) * 3
+        rgb(d) = raw(s); rgb(d + 1) = raw(s + 1); rgb(d + 2) = raw(s + 2)
         x += 1
       }
       y += 1

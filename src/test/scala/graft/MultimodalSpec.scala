@@ -127,6 +127,155 @@ class MultimodalSpec extends AnyFunSuite {
     }).isEmpty)
   }
 
+  // ---- PNG fixtures: the test encoder applies the FORWARD filters and
+  // deflates with JDK Deflater — independent of decodePng's inverse-filter
+  // path, so byte-exact recovery is a genuine cross-check ----
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v >>> 24); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    val tb = typ.getBytes("US-ASCII")
+    w32(data.length); out.write(tb); out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    w32(crc.getValue.toInt)
+    out.toByteArray
+  }
+
+  /** Build a valid PNG: forward-filter each row by `filterOfRow(y)`, zlib
+    * the scanlines, wrap in signature + IHDR + (optionally split) IDAT +
+    * a skippable tEXt + IEND, all with correct CRCs.
+    */
+  private def pngBytes(w: Int, h: Int, channels: Int, pix: Array[Byte],
+                       filterOfRow: Int => Int, splitIdat: Boolean = false): Array[Byte] = {
+    val rowBytes = w * channels
+    val raw = new Array[Byte]((rowBytes + 1) * h)
+    for (y <- 0 until h) {
+      val ft = filterOfRow(y)
+      raw(y * (rowBytes + 1)) = ft.toByte
+      for (x <- 0 until rowBytes) {
+        val cur = pix(y * rowBytes + x) & 0xff
+        val a = if (x >= channels) pix(y * rowBytes + x - channels) & 0xff else 0
+        val u = if (y > 0) pix((y - 1) * rowBytes + x) & 0xff else 0
+        val c = if (x >= channels && y > 0) pix((y - 1) * rowBytes + x - channels) & 0xff else 0
+        val f = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - u
+          case 3 => cur - ((a + u) >> 1)
+          case 4 =>
+            val p = a + u - c
+            val pa = math.abs(p - a); val pb = math.abs(p - u); val pc = math.abs(p - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c)
+        }
+        raw(y * (rowBytes + 1) + 1 + x) = f.toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](512)
+    while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val z = zOut.toByteArray
+    val ihdr = new Array[Byte](13)
+    def p32(off: Int, v: Int): Unit = {
+      ihdr(off) = (v >>> 24).toByte; ihdr(off + 1) = ((v >>> 16) & 0xff).toByte
+      ihdr(off + 2) = ((v >>> 8) & 0xff).toByte; ihdr(off + 3) = (v & 0xff).toByte
+    }
+    p32(0, w); p32(4, h)
+    ihdr(8) = 8; ihdr(9) = (if (channels == 4) 6 else 2).toByte
+    val idatChunks =
+      if (splitIdat && z.length >= 2)
+        pngChunk("IDAT", z.take(z.length / 2)) ++ pngChunk("IDAT", z.drop(z.length / 2))
+      else pngChunk("IDAT", z)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      pngChunk("IHDR", ihdr) ++
+      pngChunk("tEXt", "k v".getBytes("US-ASCII")) ++
+      idatChunks ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Patch IHDR data byte(s) in an assembled PNG and re-sign the chunk CRC —
+    * for hostile-header cases that must get PAST the CRC gate.
+    */
+  private def patchIhdr(png: Array[Byte])(edit: Array[Byte] => Unit): Array[Byte] = {
+    val p = png.clone()
+    val data = java.util.Arrays.copyOfRange(p, 16, 29) // IHDR data: 8+4len+4type .. +13
+    edit(data)
+    System.arraycopy(data, 0, p, 16, 13)
+    val crc = new java.util.zip.CRC32()
+    crc.update(p, 12, 4 + 13)
+    val v = crc.getValue.toInt
+    p(29) = (v >>> 24).toByte; p(30) = ((v >>> 16) & 0xff).toByte
+    p(31) = ((v >>> 8) & 0xff).toByte; p(32) = (v & 0xff).toByte
+    p
+  }
+
+  private lazy val pngPix = Array.tabulate(4 * 5 * 3)(i => ((i * 13 + 7) % 256).toByte)
+  private lazy val pngRgb = pngBytes(4, 5, 3, pngPix, y => y % 5) // one row per filter type 0–4
+
+  test("ImageCodec.decodePng: all five filter types recover pixels byte-exact") {
+    assert(ImageCodec.detect(pngRgb).contains("png"))
+    val img = ImageCodec.decode(pngRgb).get
+    assert(img.width == 4 && img.height == 5)
+    assert(img.rgb.toSeq == pngPix.toSeq,
+      "inverse filters (None/Sub/Up/Average/Paeth) must undo the test's forward filters")
+    // multi-chunk IDAT concatenates into one zlib stream
+    val split = ImageCodec.decodePng(pngBytes(4, 5, 3, pngPix, y => y % 5, splitIdat = true)).get
+    assert(split.rgb.toSeq == pngPix.toSeq)
+  }
+
+  test("ImageCodec.decodePng: RGBA drops alpha, keeps RGB byte-exact") {
+    val rgba = Array.tabulate(3 * 3 * 4)(i => ((i * 17 + 9) % 256).toByte)
+    val img = ImageCodec.decodePng(pngBytes(3, 3, 4, rgba, y => (y + 2) % 5)).get
+    assert(img.width == 3 && img.height == 3)
+    val expectRgb = rgba.grouped(4).flatMap(_.take(3)).toSeq
+    assert(img.rgb.toSeq == expectRgb)
+  }
+
+  test("ImageCodec.decodePng: corrupt/hostile inputs fall back, never crash") {
+    // flipped IDAT byte without re-signing -> CRC gate rejects
+    val badCrc = pngRgb.clone()
+    val idatOff = { // find IDAT data start
+      var i = 8; var at = -1
+      while (at < 0) {
+        val len = ((badCrc(i) & 0xff) << 24) | ((badCrc(i + 1) & 0xff) << 16) |
+          ((badCrc(i + 2) & 0xff) << 8) | (badCrc(i + 3) & 0xff)
+        if (new String(badCrc, i + 4, 4, "US-ASCII") == "IDAT") at = i + 8 else i += 12 + len
+      }
+      at
+    }
+    badCrc(idatOff) = (badCrc(idatOff) ^ 0x5a).toByte
+    assert(ImageCodec.decodePng(badCrc).isEmpty)
+    // truncated file
+    assert(ImageCodec.decodePng(pngRgb.dropRight(7)).isEmpty)
+    // interlaced, palette, and 16-bit profiles are out of scope (CRC re-signed)
+    assert(ImageCodec.decodePng(patchIhdr(pngRgb)(d => d(12) = 1)).isEmpty)
+    assert(ImageCodec.decodePng(patchIhdr(pngRgb)(d => d(9) = 3)).isEmpty)
+    assert(ImageCodec.decodePng(patchIhdr(pngRgb)(d => d(8) = 16)).isEmpty)
+    // hostile dimensions: w=h=Int.MaxValue with a VALID crc — the long-math
+    // guards must reject before any allocation
+    assert(ImageCodec.decodePng(patchIhdr(pngRgb) { d =>
+      d(0) = 0x7f; d(1) = 0xff.toByte; d(2) = 0xff.toByte; d(3) = 0xff.toByte
+      d(4) = 0x7f; d(5) = 0xff.toByte; d(6) = 0xff.toByte; d(7) = 0xff.toByte
+    }).isEmpty)
+    // header lies small: h=4 but the stream inflates to 5 rows -> over-long
+    // stream must be rejected, not silently truncated
+    assert(ImageCodec.decodePng(patchIhdr(pngRgb)(d => d(7) = 4)).isEmpty)
+  }
+
+  test("ImageCodec.decodePpm: huge-dimensions header falls back, never overflows") {
+    // w=h=Int.MaxValue: 3L*w*h wraps Long past the old guards (ADVICE r17) —
+    // the pixel-count-first guard must return None without allocating
+    val hostile = "P6\n2147483647 2147483647\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(1)
+    assert(ImageCodec.decodePpm(hostile).isEmpty)
+    assert(ImageCodec.decode(hostile).isEmpty)
+  }
+
   test("ImageCodec.resizeNearest: 4x4 quadrants -> 2x2 picks each quadrant's origin pixel") {
     val colors = Map(
       (0, 0) -> Seq(255, 0, 0), (0, 1) -> Seq(0, 255, 0),
@@ -155,7 +304,8 @@ class MultimodalSpec extends AnyFunSuite {
     val media = Seq(
       (1L, ppmBytes, "image/x-portable-pixmap"),
       (2L, bmpBytes, "image/bmp"),
-      (3L, "just some plain text payload".getBytes("UTF-8"), "text/plain"))
+      (3L, "just some plain text payload".getBytes("UTF-8"), "text/plain"),
+      (4L, pngRgb, "image/png"))
       .toDF("doc_id", "payload", "mime")
       .select(col("doc_id"), col("payload"),
         struct(col("mime").as("mime"),
@@ -167,6 +317,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(2L).decoded && feats(2L).width == 3 && feats(2L).height == 2)
     assert(feats(2L).checksum == ImageCodec.checksum(bmpPix))
     assert(!feats(3L).decoded, "text payload must fall back")
+    assert(feats(4L).decoded && feats(4L).width == 4 && feats(4L).height == 5)
+    assert(feats(4L).checksum == ImageCodec.checksum(pngPix))
     // resize: real re-encoded output size (11-byte P6 header + 2x2x3 pixels)
     val resized = Multimodal.resize(spark, media, 2, 2).collect()
       .map(r => r.doc_id -> r).toMap
