@@ -77,7 +77,16 @@ object StreamFuzzGen {
         * (found empirically in the r15 sweep; the structural pin is that
         * the stripe batch updates ZERO state rows).
         */
-      lateDraw: Option[(Int, Int, Int, Int, Int)] = None)
+      lateDraw: Option[(Int, Int, Int, Int, Int)] = None,
+      /** v6 dedup draws only: the DuckDB-renderable batch reference —
+        * relational DISTINCT of the key projection over the raw events
+        * table. For WIDE-watermark draws the streaming emitted set equals
+        * this EXACTLY (state never evicts, every key emits once), which
+        * makes those draws driver-catalog material (fzst entries): the
+        * real streaming query hash-compared against a second engine, not
+        * just against Spark's own batch plan.
+        */
+      oracleSql: Option[String] = None)
 
   /** Window sizes in minutes; the sf0.001 events span ~days, so these give
     * from a handful to hundreds of windows.
@@ -504,11 +513,24 @@ object StreamFuzzGen {
     // state (dropDuplicatesWithinWatermark has no batch form at all)
     val ref = (df0: DataFrame) =>
       df0.select(keyCols.map { case (n, c) => c.as(n) }: _*).distinct()
+    // the same reference in DuckDB SQL (the fzst catalog oracle). pmod
+    // renders as the sign-safe ((x % m) + m) % m — DuckDB's % keeps the
+    // dividend's sign where Spark's pmod is non-negative. Explicit NULLS
+    // FIRST mirrors Spark asc (driver determinism contract).
+    val oracle = keyDraw match {
+      case 0 => "SELECT DISTINCT event_id AS k_id FROM events ORDER BY k_id"
+      case 1 => "SELECT DISTINCT user_id AS k_uid FROM events ORDER BY k_uid"
+      case 2 => "SELECT DISTINCT user_id AS k_uid, event_type AS k_type " +
+        "FROM events ORDER BY k_uid, k_type NULLS FIRST"
+      case _ => s"SELECT DISTINCT ((user_id % $km) + $km) % $km AS k_bucket, " +
+        "event_type AS k_type FROM events ORDER BY k_bucket, k_type NULLS FIRST"
+    }
     StreamGenQuery(seed, if (finite) "dedup-finite" else "dedup-wide",
       s"dedup keys=$keyDesc watermark=$delayStr " +
         s"late-stripe event_id%$m=$r",
       delayStr, build, refBuild = Some(ref),
-      lateDraw = Some((if (finite) delayMin else -1, 0, m, r, 1)))
+      lateDraw = Some((if (finite) delayMin else -1, 0, m, r, 1)),
+      oracleSql = Some(oracle))
   }
 
   /** v5 dedicated variant: STREAM-STREAM interval joins — both join

@@ -39,7 +39,8 @@ object QueryCatalog {
       Round4Queries.defs ++
       Round4bQueries.defs ++
       TpchQueries.defs ++
-      FuzzQueries.defs
+      FuzzQueries.defs ++
+      StreamFuzzQueries.defs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

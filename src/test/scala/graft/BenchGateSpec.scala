@@ -60,4 +60,42 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.overBaseline(Some(1.0), 2.0))
     assert(!Bench.overBaseline(Some(0.05), 0.15))
   }
+
+  test("overBaseline with ambient factor: hot-window normalization widens the gate") {
+    // r17: the driver window ran at a 1.42x median ratio; a 2.3x raw read
+    // is ~1.6x ambient-normalized and must NOT flag
+    assert(Bench.overBaseline(Some(1.0), 2.3))
+    assert(!Bench.overBaseline(Some(1.0), 2.3, ambient = 1.42))
+    // a genuine 3x regression still flags through a 1.42x-hot window
+    assert(Bench.overBaseline(Some(1.0), 3.0, ambient = 1.42))
+    // ambient 1.0 is exactly the raw rule
+    assert(Bench.overBaseline(Some(1.0), 2.01, ambient = 1.0))
+  }
+
+  test("ambientFactor: median of ratios, clamped to >= 1") {
+    assert(Bench.ambientFactor(Nil) == 1.0)
+    // odd count -> middle element
+    assert(Bench.ambientFactor(Seq(1.0, 1.42, 3.0)) == 1.42)
+    // even count -> mean of the middle two (float-tolerant compare)
+    assert(math.abs(Bench.ambientFactor(Seq(1.0, 1.2, 1.4, 9.0)) - 1.3) < 1e-9)
+    // a FAST window must not tighten the gate below the raw 2x contract
+    assert(Bench.ambientFactor(Seq(0.5, 0.6, 0.7)) == 1.0)
+    // one outlier regression cannot move the median of a wide window
+    assert(Bench.ambientFactor(Seq.fill(100)(1.05) :+ 50.0) == 1.05)
+  }
+
+  test("capRequeue: admits in order while estimated cost fits, skips + flags the tail") {
+    val over = Seq("a" -> 10.0, "b" -> 20.0, "c" -> 5.0, "d" -> 1.0)
+    // budget 70: a(20) + b(40) fit (60 used); c(10) would hit exactly 70 -> fits; d(2) over
+    val (run, skip) = Bench.capRequeue(over, budgetSec = 70.0)
+    assert(run == Seq("a", "b", "c") && skip == Seq("d"))
+    // zero/negative remaining budget skips everything (hard bound, not a hint)
+    assert(Bench.capRequeue(over, 0.0)._1.isEmpty)
+    assert(Bench.capRequeue(over, -5.0)._1.isEmpty)
+    // a single entry larger than the whole budget is skipped, not run-anyway
+    val (r2, s2) = Bench.capRequeue(Seq("huge" -> 100.0, "tiny" -> 0.1), 10.0)
+    assert(r2 == Seq("tiny") && s2 == Seq("huge"))
+    // failed first-pass entries (best < 0) cost 0 and always admit
+    assert(Bench.capRequeue(Seq("failed" -> -1.0), 0.0)._1 == Seq("failed"))
+  }
 }
