@@ -867,7 +867,7 @@ object FuzzGen {
     * (r12 advice: the hand-maintained Seq in FuzzDump stopped at 20 while
     * v21–v23 existed). Bump together with each new mode-byte branch below.
     */
-  val maxVersion: Int = 38
+  val maxVersion: Int = 39
 
   def query(seed: Int): GenQuery = query(seed, 1)
 
@@ -879,6 +879,20 @@ object FuzzGen {
     */
   def query(seed: Int, version: Int): GenQuery = {
     val rnd = new Random(seed)
+    if (version >= 39) {
+      // v39 mode byte: XML round-trip extraction (Spark-4 native from_xml)
+      // — the last semi-structured surface with a single fixed entry
+      // (f26_from_xml) and zero generated coverage (the v32/v34/v38
+      // lesson: single-entry surfaces hide dialect boundaries). DuckDB
+      // has no XML, so the oracle computes the same values from the RAW
+      // scalars (the f26 lossless-parse differential, here seeded over
+      // drawn tables, document shapes, and query bodies). Versions ≤ 38
+      // never take this draw; fall-through continues into the v38
+      // dispatch with the advanced rnd state.
+      val m39 = rnd.nextInt(10)
+      if (m39 < 7) return xmlQuery(seed, rnd, version)
+      // else: fall through to the v38 dispatch with the advanced rnd state
+    }
     if (version >= 38) {
       // v38 mode byte: VARIANT typed extraction (parse_json + variant_get
       // with per-use target types) — the Spark-4 semi-structured surface
@@ -5174,6 +5188,152 @@ object FuzzGen {
     * own corpus literal pool — exact by construction, the extracted text
     * round-trips the integer/enum value unchanged).
     */
+  /** Grammar v39: XML round-trip extraction — Spark-4 native `from_xml`
+    * over a CONSTRUCTED document (the f26 lossless-parse differential,
+    * seeded). Each draw renders corpus scalars into an XML text inside
+    * the view — drawn base table, int-as-attribute vs int-as-element, a
+    * nested element, a repeated element (ARRAY extraction by drawn
+    * index), and a 1-in-m stripe that OMITS an optional element (typed
+    * NULL on extraction) — then extracts typed fields with from_xml on
+    * the Spark side. DuckDB has no XML, so its frag computes the same
+    * values from the RAW columns: the differential pins that render →
+    * parse is lossless across document shapes, type coercions, attribute
+    * naming (`_a` prefix), array indexing, and missing-element NULLs.
+    * String pools are the v34/v38 XML/JSON-safe enumerated columns (no
+    * `&<>` anywhere in the corpus values, so the document is well-formed
+    * by construction).
+    */
+  private def xmlQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
+    val bases = Vector(
+      ("orders", "o_orderkey", Vector("o_orderstatus", "o_orderpriority"),
+        Vector("o_custkey")),
+      ("customer", "c_custkey", Vector("c_mktsegment"), Vector("c_nationkey")),
+      ("part", "p_partkey", Vector("p_brand", "p_type"), Vector("p_size")),
+      ("events", "event_id", Vector("event_type"), Vector("user_id")))
+    val (t, pk, scs, ics) = bases(rnd.nextInt(bases.length))
+    val scName = scs(rnd.nextInt(scs.length))
+    val icName = ics(rnd.nextInt(ics.length))
+    val sc = catalog(t).find(_.name == scName).get
+    val ic = catalog(t).find(_.name == icName).get
+    val pkc = catalog(t).find(_.name == pk).get
+    val m = 4 + rnd.nextInt(5)
+    val r = rnd.nextInt(m)
+    val intAsAttr = rnd.nextBoolean()
+    val arrIdx = 1 + rnd.nextInt(2) // element_at is 1-based
+
+    // document: <rec [a="IC"]><s>SC</s>[<v>IC</v>]<n><d>PK</d></n>
+    //           <i>PK</i><i>IC</i>[<opt>IC</opt> off-stripe]</rec>
+    val xmlSql =
+      (if (intAsAttr) s"""'<rec a="' || CAST($icName AS STRING) || '">'"""
+       else s"'<rec>' || '<v>' || CAST($icName AS STRING) || '</v>'") +
+        s" || '<s>' || $scName || '</s>'" +
+        s" || '<n><d>' || CAST($pk AS STRING) || '</d></n>'" +
+        s" || '<i>' || CAST($pk AS STRING) || '</i><i>' || CAST($icName AS STRING) || '</i>'" +
+        s" || CASE WHEN ($pk % $m) = $r THEN '' ELSE '<opt>' || CAST($icName AS STRING) || '</opt>' END" +
+        " || '</rec>'"
+    val intField = if (intAsAttr) "_a" else "v"
+    val schema =
+      s"$intField BIGINT, s STRING, n STRUCT<d: BIGINT>, i ARRAY<BIGINT>, opt BIGINT"
+
+    // Spark frag: construct + from_xml + typed extraction; the DuckDB
+    // frag computes the SAME values from the raw scalars (no XML engine)
+    val fragSpark =
+      s"(SELECT $pk, xr.$intField AS x_a, xr.s AS x_s, xr.n.d AS x_d, " +
+        s"element_at(xr.i, $arrIdx) AS x_e, xr.opt AS x_opt " +
+        s"FROM (SELECT $pk, from_xml(x, '$schema') AS xr " +
+        s"FROM (SELECT $pk, $xmlSql AS x FROM $t) ${t}_x) ${t}_p) $t"
+    val fragDuck =
+      s"(SELECT $pk, CAST($icName AS BIGINT) AS x_a, $scName AS x_s, " +
+        s"CAST($pk AS BIGINT) AS x_d, " +
+        s"CAST(${if (arrIdx == 1) pk else icName} AS BIGINT) AS x_e, " +
+        s"CASE WHEN ($pk % $m) = $r THEN NULL ELSE CAST($icName AS BIGINT) END AS x_opt " +
+        s"FROM $t) $t"
+    def load(s: SparkSession, d: String): DataFrame = {
+      val openCol =
+        if (intAsAttr) concat(lit("<rec a=\""), col(icName).cast("string"), lit("\">"))
+        else concat(lit("<rec><v>"), col(icName).cast("string"), lit("</v>"))
+      val xCol = concat(openCol,
+        lit("<s>"), col(scName), lit("</s>"),
+        lit("<n><d>"), col(pk).cast("string"), lit("</d></n>"),
+        lit("<i>"), col(pk).cast("string"), lit("</i><i>"),
+        col(icName).cast("string"), lit("</i>"),
+        when((col(pk) % m) === r, lit(""))
+          .otherwise(concat(lit("<opt>"), col(icName).cast("string"), lit("</opt>"))),
+        lit("</rec>"))
+      loadFuzzTable(s, d, t).select(col(pk), xCol.as("x"))
+        .select(col(pk), from_xml(col("x"), lit(schema)).as("xr"))
+        .select(col(pk),
+          col(s"xr.$intField").as("x_a"), col("xr.s").as("x_s"),
+          col("xr.n.d").as("x_d"),
+          element_at(col("xr.i"), arrIdx).as("x_e"),
+          col("xr.opt").as("x_opt"))
+    }
+    def xmlPred(): P = rnd.nextInt(5) match {
+      case 0 => P("x_opt IS NULL", col("x_opt").isNull)
+      case 1 => P("x_opt IS NOT NULL", col("x_opt").isNotNull)
+      case 2 => // extracted int vs the source column's own literal pool
+        val l = ic.lits(rnd.nextInt(ic.lits.length))
+        val op = Seq("<", "<=", ">", ">=")(rnd.nextInt(4))
+        val cc = op match {
+          case "<"  => col("x_a") < l.col
+          case "<=" => col("x_a") <= l.col
+          case ">"  => col("x_a") > l.col
+          case _    => col("x_a") >= l.col
+        }
+        P(s"x_a $op ${l.sql}", cc)
+      case 3 => // extracted string vs the source column's own literal
+        val l = sc.lits(rnd.nextInt(sc.lits.length))
+        P(s"x_s = ${l.sql}", col("x_s") === l.col)
+      case _ => // nested int (== pk) vs the pk's literal pool
+        val l = pkc.lits(rnd.nextInt(pkc.lits.length))
+        P(s"x_d >= ${l.sql}", col("x_d") >= l.col)
+    }
+
+    rnd.nextInt(3) match {
+      case 0 => // keyed projection of every extracted field
+        def sqlFor(f: String) =
+          s"SELECT $pk AS k0, x_a AS c0, x_s AS c1, x_d AS c2, x_e AS c3, " +
+            s"x_opt AS c4 FROM $f ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+        GenQuery(seed, sqlFor(fragDuck),
+          (s, d) => load(s, d)
+            .select(col(pk).as("k0"), col("x_a").as("c0"), col("x_s").as("c1"),
+              col("x_d").as("c2"), col("x_e").as("c3"), col("x_opt").as("c4"))
+            .orderBy(col("k0").asc_nulls_first).limit(1000),
+          sparkSqlOpt = Some(sqlFor(fragSpark)), mode = s"xml:proj:$t")
+
+      case 1 => // an extracted field AS the GROUP BY key
+        val gkey = Seq("x_s", "x_a")(rnd.nextInt(2))
+        def sqlFor(f: String) =
+          s"SELECT $gkey AS k0, count(*) AS n, count(x_opt) AS nn, " +
+            s"CAST(sum(x_d) AS BIGINT) AS s0 FROM $f " +
+            s"GROUP BY $gkey ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+        GenQuery(seed, sqlFor(fragDuck),
+          (s, d) => load(s, d)
+            .groupBy(col(gkey))
+            .agg(count(lit(1)).as("n"), count(col("x_opt")).as("nn"),
+              sum(col("x_d")).as("s0"))
+            .select(col(gkey).as("k0"), col("n"), col("nn"), col("s0"))
+            .orderBy(col("k0").asc_nulls_first).limit(1000),
+          sparkSqlOpt = Some(sqlFor(fragSpark)), mode = s"xml:group:$t:$gkey")
+
+      case _ => // extracted fields in WHERE predicates
+        val preds = Vector.fill(1 + rnd.nextInt(2))(xmlPred())
+        def sqlFor(f: String) =
+          s"SELECT $pk AS k0, x_a AS c0, x_s AS c1, x_opt AS c2 " +
+            s"FROM $f WHERE ${preds.map(_.sql).mkString(" AND ")}" +
+            s" ORDER BY k0 ASC NULLS FIRST LIMIT 1000"
+        GenQuery(seed, sqlFor(fragDuck),
+          (s, d) => {
+            var df = load(s, d)
+            preds.foreach(p => df = df.where(p.col))
+            df.select(col(pk).as("k0"), col("x_a").as("c0"),
+              col("x_s").as("c1"), col("x_opt").as("c2"))
+              .orderBy(col("k0").asc_nulls_first).limit(1000)
+          },
+          sparkSqlOpt = Some(sqlFor(fragSpark)), mode = s"xml:pred:$t")
+    }
+  }
+
   private def variantQuery(seed: Int, rnd: Random, version: Int): GenQuery = {
     import org.apache.spark.sql.types.LongType
     // one typed extraction, rendered per dialect

@@ -1006,13 +1006,36 @@ object FuzzQueries {
       30015, 30016, 30021, 30023, 30030, 30033, 30040, 30042, 30046,
       30055, 30061, 30065, 30075, 30079, 30099, 30129, 30132)
 
-  /** The grammar-v1..v15 frozen slices, rotated to SOAK-ONLY bench coverage
+  // Grammar-v39 slice (XML round-trip extraction — from_xml over a
+  // CONSTRUCTED document with drawn shape: int-as-attribute vs element,
+  // nested element, repeated-element ARRAY indexing, and a 1-in-m
+  // missing-optional stripe giving typed NULLs; DuckDB has no XML so the
+  // oracle computes the same values from the RAW scalars — the f26
+  // lossless-parse differential, seeded. The r17 verdict #5 item: f26 was
+  // the last Spark-4 semi-structured surface with one fixed entry). Whole
+  // 31001-31200 range verified against DuckDB at sf0.001, sf0.01 AND
+  // sf0.1 (200/200 each, r18, zero divergence first sweep); picks
+  // non-empty at both smaller SFs, covering all 16 mode × table
+  // combinations: projections (31004/31026/31030 part, 31028/31044/31048
+  // orders, 31007 customer, 31055 events), extracted-key groups — string
+  // key (31017 events, 31039 orders, 31046 part, 31075 customer) and
+  // attribute/element int key (31003 customer, 31010 events, 31011
+  // orders, 31043 part), extracted-field predicates (31001 events, 31006
+  // orders, 31012/31019/31033 customer, 31016 part). Rendered with
+  // query(seed, 39).
+  val declaredSeedsV39: Seq[Int] =
+    Seq(31001, 31003, 31004, 31006, 31007, 31010, 31011, 31012, 31016,
+      31017, 31019, 31026, 31028, 31030, 31033, 31039, 31043, 31044,
+      31046, 31048, 31055, 31075)
+
+  /** The grammar-v1..v16 frozen slices, rotated to SOAK-ONLY bench coverage
     * (BASELINE bench-budget policy: v1-v8 rotated at r15 when the per-round
     * bench window crossed the 12-minute rotation trigger at 942 queries ×
     * min-of-2; v9-v12 rotated at r16 after the r15 driver window confirmed
     * the 15-minute budget overage at 15.2 min; v13-v15 rotated at r17 after
-    * the r16 driver window read 15.3 min — these are the next-oldest
-    * slices, stable for ≥7 rounds). Rotation affects the BENCH artifact
+    * the r16 driver window read 15.3 min; v16 rotated at r18 to buy
+    * headroom for the new fz31xxx XML slice — each time the next-oldest
+    * slices, stable for ≥6 rounds). Rotation affects the BENCH artifact
     * only: every seed here still runs through Verify and the driver's
     * DuckDB oracle each round (correctness coverage unchanged), still
     * carries its SQL-hash pin and plan signature, and still rides the
@@ -1023,7 +1046,7 @@ object FuzzQueries {
     declaredSeeds ++ declaredSeedsV2 ++ declaredSeedsV3 ++ declaredSeedsV4 ++
       declaredSeedsV5 ++ declaredSeedsV6 ++ declaredSeedsV7 ++ declaredSeedsV8 ++
       declaredSeedsV9 ++ declaredSeedsV10 ++ declaredSeedsV11 ++ declaredSeedsV12 ++
-      declaredSeedsV13 ++ declaredSeedsV14 ++ declaredSeedsV15
+      declaredSeedsV13 ++ declaredSeedsV14 ++ declaredSeedsV15 ++ declaredSeedsV16
 
   val defs: Seq[Q] =
     (declaredSeeds.map(s => s -> FuzzGen.query(s)) ++
@@ -1063,7 +1086,8 @@ object FuzzQueries {
       declaredSeedsV35.map(s => s -> FuzzGen.query(s, 35)) ++
       declaredSeedsV36.map(s => s -> FuzzGen.query(s, 36)) ++
       declaredSeedsV37.map(s => s -> FuzzGen.query(s, 37)) ++
-      declaredSeedsV38.map(s => s -> FuzzGen.query(s, 38))).map { case (seed, g) =>
+      declaredSeedsV38.map(s => s -> FuzzGen.query(s, 38)) ++
+      declaredSeedsV39.map(s => s -> FuzzGen.query(s, 39))).map { case (seed, g) =>
       Q(
         s"fz$seed",
         s"Generated differential query (FuzzGen seed $seed): " +

@@ -1229,6 +1229,55 @@ class FuzzSpec extends AnyFunSuite {
     assert(tables.size >= 3, s"constructed-JSON base-table draws starved: $tables")
   }
 
+  test("grammar v39 (XML round-trip: from_xml over a constructed document): 120 seeds, DF-API ≡ spark.sql") {
+    views
+    var proj = 0; var group = 0; var pred = 0
+    var attr = 0; var elem = 0
+    val gkeys = scala.collection.mutable.Set.empty[String]
+    val tables = scala.collection.mutable.Set.empty[String]
+    (1 to 120).foreach { seed =>
+      val q = FuzzGen.query(seed, 39)
+      if (q.mode.startsWith("xml")) {
+        // the dialect split is structural: Spark parses the document it
+        // just rendered (from_xml MUST appear), DuckDB has no XML so its
+        // text computes from raw scalars (from_xml must NOT leak, nor
+        // any XML tag text)
+        assert(q.sparkSqlOpt.nonEmpty,
+          s"v39 seed $seed: xml draw lost its Spark rendering")
+        assert(q.sparkSql.contains("from_xml("),
+          s"v39 seed $seed: Spark text lost the from_xml path: ${q.sparkSql}")
+        assert(!q.sql.contains("from_xml") && !q.sql.contains("<rec"),
+          s"v39 seed $seed: oracle text leaked the XML dialect: ${q.sql}")
+        if (q.sparkSql.contains("_a BIGINT")) attr += 1 else elem += 1
+        val parts = q.mode.split(":")
+        tables += parts(2)
+        parts(1) match {
+          case "proj"  => proj += 1
+          case "group" => group += 1; gkeys += parts(3)
+          case "pred"  => pred += 1
+          case other   => fail(s"v39 seed $seed: unknown xml shape $other")
+        }
+        val a = q.build(spark, TestSpark.sf0001).collect()
+        val b = spark.sql(q.sparkSql).collect()
+        assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+          s"v39 seed $seed diverged (${a.length} vs ${b.length} rows): ${q.sql}\n" +
+            s"first diff: ${a.map(_.toString).zipAll(b.map(_.toString), "<missing>", "<missing>")
+              .find { case (x, y) => x != y }}")
+      }
+    }
+    info(s"v39 seeds matched; $proj proj, $group group " +
+      s"(keys=${gkeys.toSeq.sorted.mkString(",")}), $pred pred, " +
+      s"$attr attribute-form / $elem element-form, " +
+      s"tables=${tables.toSeq.sorted.mkString(",")}")
+    assert(proj >= 10, s"projection shape under-drawn: $proj")
+    assert(group >= 10, s"group-by-extracted shape under-drawn: $group")
+    assert(pred >= 10, s"predicate shape under-drawn: $pred")
+    assert(attr >= 10 && elem >= 10,
+      s"attribute/element draw starved: attr=$attr elem=$elem")
+    assert(gkeys == Set("x_a", "x_s"), s"group-key draws starved: $gkeys")
+    assert(tables.size >= 3, s"base-table draws starved: $tables")
+  }
+
   test("v35 fragment pool: compiled literals carry the intended code points (encoding canary)") {
     // The pool is written as \u escapes so the POSIX-locale build cannot
     // corrupt it; this canary pins the COMPILED values' code points, so a
@@ -2206,7 +2255,29 @@ class FuzzSpec extends AnyFunSuite {
     "fz30079" -> "e60fad05",
     "fz30099" -> "12804704",
     "fz30129" -> "b20a23af",
-    "fz30132" -> "b39677f5")
+    "fz30132" -> "b39677f5",
+    "fz31001" -> "2b727101",
+    "fz31003" -> "15032477",
+    "fz31004" -> "cca7f5ac",
+    "fz31006" -> "349940f1",
+    "fz31007" -> "35c67890",
+    "fz31010" -> "39674e4c",
+    "fz31011" -> "a27af9d1",
+    "fz31012" -> "8bbcb439",
+    "fz31016" -> "106024af",
+    "fz31017" -> "0bc0d84f",
+    "fz31019" -> "47f6d718",
+    "fz31026" -> "667fb420",
+    "fz31028" -> "e4ca7a30",
+    "fz31030" -> "bf3d2df4",
+    "fz31033" -> "c7b1a06a",
+    "fz31039" -> "557ffa8d",
+    "fz31043" -> "8dbe83d1",
+    "fz31044" -> "38a06516",
+    "fz31046" -> "ce8b0e55",
+    "fz31048" -> "d9c9fe93",
+    "fz31055" -> "f61117a6",
+    "fz31075" -> "6c3af7b7")
     val defs = graft.queries.FuzzQueries.defs
     assert(defs.map(_.name).toSet == pins.keySet, "declared slice changed")
     defs.foreach { q =>
