@@ -250,6 +250,7 @@ object Bench {
         Set.empty
       else graft.queries.FuzzQueries.soakOnlySeeds.map("fz" + _).toSet ++
         graft.queries.StreamFuzzQueries.declaredSeedsSt.map("fzst" + _).toSet ++
+        graft.queries.StreamFuzzQueries.declaredSeedsSw.map("fzsw" + _).toSet ++
         rotatedNamed
     val names = QueryCatalog.all.map(_.name)
       .filter(n => filter.forall(_.contains(n)))

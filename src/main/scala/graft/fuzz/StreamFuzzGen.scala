@@ -78,13 +78,16 @@ object StreamFuzzGen {
         * the stripe batch updates ZERO state rows).
         */
       lateDraw: Option[(Int, Int, Int, Int, Int)] = None,
-      /** v6 dedup draws only: the DuckDB-renderable batch reference —
-        * relational DISTINCT of the key projection over the raw events
-        * table. For WIDE-watermark draws the streaming emitted set equals
-        * this EXACTLY (state never evicts, every key emits once), which
-        * makes those draws driver-catalog material (fzst entries): the
-        * real streaming query hash-compared against a second engine, not
-        * just against Spark's own batch plan.
+      /** The DuckDB-renderable batch reference, where one exists — draws
+        * with it are driver-catalog material: the real streaming query
+        * hash-compared against a second engine, not just against Spark's
+        * own batch plan. Two families carry it: v6 dedup draws
+        * (relational DISTINCT of the key projection; EXACT for
+        * wide-watermark draws — state never evicts, every key emits once
+        * → fzst entries) and v1 TUMBLING windowed aggregations whose
+        * aggregate draws are all SQL-renderable (epoch-bucketed GROUP BY;
+        * EXACT in complete mode, where the converged sink equals the
+        * batch aggregation → fzsw entries).
         */
       oracleSql: Option[String] = None)
 
@@ -97,21 +100,37 @@ object StreamFuzzGen {
     Vector("30 minutes", "2 hours", "1 day", "10000 hours")
   private val delaysSession = Vector("5000 hours", "10000 hours")
 
-  private def aggPool(rnd: Random): Seq[(String, Column)] = {
+  /** One drawn aggregate: name, Spark column, and (when the semantics are
+    * DuckDB-renderable without a DECIMAL result surface) the oracle SQL —
+    * Spark's `CAST(double AS LONG)` truncates toward zero where DuckDB's
+    * CAST rounds, so the cents family renders through trunc(); DuckDB
+    * sums BIGINT into HUGEINT, so summed columns re-CAST. sum_dec has no
+    * SQL: a DECIMAL(38,6) result column is the driver hasher's
+    * fail-on-sight type (BASELINE r13), so draws containing it stay in
+    * the ScalaTest-only tier.
+    */
+  final case class FAgg(name: String, col: Column, sql: Option[String])
+
+  private def aggPool(rnd: Random): Seq[FAgg] = {
     val m = 2 + rnd.nextInt(5)
-    val all = Vector[(String, Column)](
-      "cnt" -> count(lit(1)),
+    val all = Vector[FAgg](
+      FAgg("cnt", count(lit(1)), Some("count(*)")),
       // integer cents: per-row truncation is deterministic, long sums are
       // exactly mergeable in any order
-      "sum_cents" -> sum((col("value") * 100).cast("long")),
-      "min_cents" -> min((col("value") * 100).cast("long")),
-      "max_cents" -> max((col("value") * 100).cast("long")),
-      "sum_dec" -> sum(col("value").cast(DecimalType(38, 6))),
-      "n_click" -> count(when(col("event_type") === "click", lit(1))),
-      "max_eid" -> max(col("event_id")),
-      "n_bucket0" -> count(when(pmod(col("user_id"), lit(m)) === 0, lit(1))))
+      FAgg("sum_cents", sum((col("value") * 100).cast("long")),
+        Some("CAST(sum(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT)")),
+      FAgg("min_cents", min((col("value") * 100).cast("long")),
+        Some("min(CAST(trunc(value * 100) AS BIGINT))")),
+      FAgg("max_cents", max((col("value") * 100).cast("long")),
+        Some("max(CAST(trunc(value * 100) AS BIGINT))")),
+      FAgg("sum_dec", sum(col("value").cast(DecimalType(38, 6))), None),
+      FAgg("n_click", count(when(col("event_type") === "click", lit(1))),
+        Some("count(CASE WHEN event_type = 'click' THEN 1 END)")),
+      FAgg("max_eid", max(col("event_id")), Some("max(event_id)")),
+      FAgg("n_bucket0", count(when(pmod(col("user_id"), lit(m)) === 0, lit(1))),
+        Some(s"count(CASE WHEN ((user_id % $m) + $m) % $m = 0 THEN 1 END)")))
     val k = 1 + rnd.nextInt(3)
-    rnd.shuffle(all).take(k).sortBy(_._1)
+    rnd.shuffle(all).take(k).sortBy(_.name)
   }
 
   def query(seed: Int): StreamGenQuery = query(seed, 1)
@@ -258,7 +277,7 @@ object StreamFuzzGen {
     val dimSize = Vector(8, 15, 30)(rnd.nextInt(3))
     val left = rnd.nextInt(10) < 4
     val withType = rnd.nextBoolean()
-    val baseAggs = aggPool(rnd)
+    val baseAggs = aggPool(rnd).map(a => a.name -> a.col)
     val aggs = (baseAggs :+ ("sum_dim" -> sum(col("dim_val")))) ++
       (if (left) Seq("n_miss" -> count(when(col("uid").isNull, lit(1))))
        else Nil)
@@ -413,7 +432,7 @@ object StreamFuzzGen {
     val km = 2 + rnd.nextInt(5)
     val m = 4 + rnd.nextInt(5)
     val r = rnd.nextInt(m)
-    val aggs = aggPool(rnd)
+    val aggs = aggPool(rnd).map(a => a.name -> a.col)
 
     val (shapeName, winDesc) = shape match {
       case 0 => ("tumbling", s"window($size min)")
@@ -658,19 +677,51 @@ object StreamFuzzGen {
         case _ => Seq(pmod(col("user_id"), lit(km)).cast("long").as("k0"))
       }
       val grouped = df.groupBy((winCol +: keyCols): _*)
-        .agg(aggs.head._2.as(aggs.head._1),
-          aggs.tail.map { case (n, c) => c.as(n) }: _*)
+        .agg(aggs.head.col.as(aggs.head.name),
+          aggs.tail.map(a => a.col.as(a.name)): _*)
       val outCols =
         Seq(col(s"$winName.start").as("w_start"),
           col(s"$winName.end").as("w_end")) ++
           keyCols.indices.map(i => col(s"k$i")) ++
-          aggs.map { case (n, _) => col(n) }
+          aggs.map(a => col(a.name))
       grouped.select(outCols: _*)
     }
 
+    // TUMBLING draws whose aggregates are all DuckDB-renderable get an
+    // oracle over the raw events table (the fzsw catalog tier): Spark's
+    // tumbling window() aligns to the 1970 epoch, so w_start is exactly
+    // floor(epoch/size)*size — rendered as BIGINT epoch SECONDS on both
+    // sides (the catalog harness casts the sink's TIMESTAMP w_start/w_end
+    // to long under the session's pinned UTC), which keeps timestamp
+    // FORMATTING out of the hash entirely. Sliding windows would need a
+    // row-explode DuckDB lacks and session windows have no closed SQL
+    // form — both stay in the ScalaTest differential tier.
+    val oracle =
+      if (shape != 0 || aggs.exists(_.sql.isEmpty)) None
+      else {
+        val s = size * 60
+        val keySel = keyDraw match {
+          case 0 => ""
+          case 1 => ", event_type AS k0"
+          case _ => s", CAST(((user_id % $km) + $km) % $km AS BIGINT) AS k0"
+        }
+        val keyGrp = if (keyDraw == 0) "" else ", k0"
+        val keyOrd = keyDraw match {
+          case 0 => ""
+          case 1 => ", k0 NULLS FIRST"
+          case _ => ", k0"
+        }
+        Some(
+          s"SELECT CAST(floor(epoch(ts) / $s) * $s AS BIGINT) AS w_start, " +
+            s"CAST(floor(epoch(ts) / $s) * $s + $s AS BIGINT) AS w_end$keySel, " +
+            aggs.map(a => s"${a.sql.get} AS ${a.name}").mkString(", ") +
+            s" FROM events GROUP BY w_start, w_end$keyGrp" +
+            s" ORDER BY w_start$keyOrd")
+      }
+
     StreamGenQuery(seed, shapeName,
       s"$shapeName $winDesc, $keyDesc, watermark $delay, " +
-        s"aggs=[${aggs.map(_._1).mkString(",")}]",
-      delay, build)
+        s"aggs=[${aggs.map(_.name).mkString(",")}]",
+      delay, build, oracleSql = oracle)
   }
 }

@@ -529,4 +529,53 @@ class StreamFuzzSpec extends AnyFunSuite {
     }
     info(s"$nSeeds seeds converged; per-shape: $perShape")
   }
+
+  test("streaming catalog tiers are frozen: fzst/fzsw oracle SQL hash-pinned") {
+    // The FuzzSpec frozen-slice discipline for the streaming catalog: a
+    // generator edit that shifts ANY draw re-points both renderings
+    // together (rows still hash-match), so only an explicit pin catches
+    // it. Deliberate changes regenerate via FuzzPinGen.sqlHash over
+    // StreamFuzzQueries.defs. Duplicate hashes ACROSS fzst seeds are
+    // expected — same key draw, different delivery schedule (the
+    // differential is schedule diversity; the oracle is the key set).
+    val pins = Map(
+      "fzst4" -> "c945d418",
+      "fzst6" -> "ebaa2335",
+      "fzst13" -> "ebaa2335",
+      "fzst25" -> "b0181f43",
+      "fzst33" -> "3cac09b4",
+      "fzst35" -> "f8f71243",
+      "fzst52" -> "f8f71243",
+      "fzst58" -> "0b8e2767",
+      "fzst62" -> "92432517",
+      "fzst76" -> "ebaa2335",
+      "fzst96" -> "3cac09b4",
+      "fzst124" -> "3cac09b4",
+      "fzst150" -> "3cac09b4",
+      "fzst159" -> "f8f71243",
+      "fzst177" -> "64035cea",
+      "fzst199" -> "ebaa2335",
+      "fzsw11" -> "92cf9228",
+      "fzsw17" -> "9e32be70",
+      "fzsw26" -> "6de98415",
+      "fzsw28" -> "c162d4d8",
+      "fzsw33" -> "212ab988",
+      "fzsw44" -> "69e602e7",
+      "fzsw54" -> "97acf8af",
+      "fzsw58" -> "67493f0b",
+      "fzsw70" -> "94933723",
+      "fzsw88" -> "534b2162",
+      "fzsw91" -> "55d5e89b",
+      "fzsw119" -> "b8cc3c04",
+      "fzsw136" -> "ce8ff367",
+      "fzsw162" -> "3da2d5b0",
+      "fzsw225" -> "f0344264")
+    val defs = graft.queries.StreamFuzzQueries.defs
+    assert(defs.map(_.name).toSet == pins.keySet, "declared streaming slice changed")
+    defs.foreach { q =>
+      assert(q.oracle.nonEmpty, s"${q.name}: streaming catalog entry lost its oracle")
+      assert(graft.tools.FuzzPinGen.sqlHash(q.oracle.get) == pins(q.name),
+        s"${q.name}: oracle SQL drifted — a StreamFuzzGen draw moved:\n${q.oracle.get}")
+    }
+  }
 }

@@ -2,16 +2,18 @@ package graft.tools
 
 import graft.fuzz.StreamFuzzGen
 
-/** Throwaway scanner for the fzst catalog tier: list v6 dedup-wide seeds
-  * and their key draws so the frozen picks can be key-shape diverse.
+/** Throwaway scanner for the streaming catalog tiers: list the oracle-able
+  * draws of a StreamFuzzGen version (v6 dedup-wide → fzst; v1 tumbling →
+  * fzsw) so the frozen picks can be shape diverse.
   */
 object StScan {
   def main(args: Array[String]): Unit = {
     val hi = args.headOption.map(_.toInt).getOrElse(300)
+    val version = if (args.length > 1) args(1).toInt else 6
     (1 to hi).foreach { seed =>
-      val g = StreamFuzzGen.query(seed, 6)
-      if (g.shape == "dedup-wide")
-        println(s"$seed\t${g.desc}\t${g.oracleSql.get.take(90)}")
+      val g = StreamFuzzGen.query(seed, version)
+      if (g.oracleSql.isDefined)
+        println(s"$seed\t${g.shape}\t${g.desc}\t${g.oracleSql.get.take(110)}")
     }
   }
 }
