@@ -66,6 +66,7 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     graft.expressions.GraftFunctions.register(spark)
     graft.plans.LevenshteinBandRule.install(spark)
+    graft.plans.ParseReuseRules.install(spark)
     spark
   }
 }
