@@ -87,9 +87,15 @@ object ParseCost {
   * parse-free.
   *
   * Cost gate (so the move can never lose): hoisting makes the projection
-  * run on ALL rows instead of post-filter rows, so it must eliminate at
-  * least as many per-row parses from the filter as it adds to the
-  * projection: #parse-aliases in pm <= #parse occurrences in cond.
+  * run on ALL rows instead of post-filter rows, so EVERY non-trivial alias
+  * in pm must already be inlined in cond (each one then goes from >=1
+  * inlined evaluation per input row plus one per surviving row, to exactly
+  * one per input row — a strict win), and the parse-bearing aliases must
+  * not outnumber the parse occurrences they replace. The substituted
+  * condition may still carry parses over the projected value (e.g. two
+  * get_json_object paths over one constructed document) — those were
+  * already per-input-row evaluations and stay count-identical; the shared
+  * CONSTRUCTION is what stops being re-evaluated per predicate.
   * Row preservation: both `pm` and `cond` deterministic, and a projection
   * never changes the row set, so filtering before or after it admits
   * exactly the same rows.
@@ -99,11 +105,11 @@ object PullFilterAboveParseProject extends Rule[LogicalPlan] {
     case p @ Project(pm, Filter(cond, child))
         if ParseCost.containsParse(cond) && cond.deterministic &&
           pm.forall(_.deterministic) =>
-      val aliases = pm.collect {
-        case a: Alias if !a.child.isInstanceOf[Attribute] => a
+      val nonTrivial = pm.collect {
+        case a: Alias if !a.child.isInstanceOf[Attribute] && !a.child.foldable => a
       }
-      val hits = aliases.filter(a => cond.exists(_.semanticEquals(a.child)))
-      if (hits.isEmpty) p
+      val hits = nonTrivial.filter(a => cond.exists(_.semanticEquals(a.child)))
+      if (hits.isEmpty || hits.size != nonTrivial.size) p
       else {
         var c2 = cond
         hits.foreach { a =>
@@ -116,8 +122,7 @@ object PullFilterAboveParseProject extends Rule[LogicalPlan] {
           case _        => false
         }
         val proj = Project(pm, child)
-        if (ParseCost.containsParse(c2) || // some parse survived — no win
-          parseAliases > ParseCost.parseCount(cond) || // would add net parses
+        if (parseAliases > ParseCost.parseCount(cond) || // would add net parses
           !c2.references.subsetOf(proj.outputSet)) p
         else Filter(c2, proj)
       }
