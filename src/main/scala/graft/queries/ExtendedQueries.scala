@@ -466,19 +466,30 @@ object ExtendedQueries {
     Q(
       "f19_date_spine",
       "Gap-filled monthly order counts: per customer, a generated month " +
-        "spine between their first and last order, left-joined to actual " +
-        "counts with zero fill — the time-series densification every " +
-        "warehouse needs (sequence + explode generates the spine " +
-        "distributively; no driver-side calendar loop).",
+        "spine between their first and last order, zero-filled from the " +
+        "per-month counts — the time-series densification every warehouse " +
+        "needs (sequence + explode generates the spine distributively; no " +
+        "driver-side calendar loop). r18 optimization: the original form " +
+        "scanned orders twice (once for the per-customer bounds, once for " +
+        "the per-month counts). Since the bounds are derivable FROM the " +
+        "counts (min/max over a group's distinct months equals min/max " +
+        "over its rows), the bounds aggregation now chains off the counts: " +
+        "1 scan of orders instead of 2, with the second exchange shrinking " +
+        "to one row per (customer, month). A map-lookup form that also " +
+        "removed the join measured SLOWER at sf0.1 (the per-customer " +
+        "month->count map is duplicated into every exploded spine row), " +
+        "so the broadcast-friendly left join stays. Equivalence: min/max " +
+        "compose over the two-level grouping; oracle-hash-checked at all " +
+        "three SFs.",
       (s, d) => {
         val o = Tables.orders(s, d)
           .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
-        val bounds = o.groupBy("o_custkey")
-          .agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
-        val spine = bounds.select(col("o_custkey"),
-          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 MONTH"))).as("m"))
         val counts = o.groupBy(col("o_custkey").as("c2"), col("m").as("m2"))
           .agg(count(lit(1)).as("n"))
+        val bounds = counts.groupBy(col("c2").as("o_custkey"))
+          .agg(min(col("m2")).as("lo"), max(col("m2")).as("hi"))
+        val spine = bounds.select(col("o_custkey"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 MONTH"))).as("m"))
         spine.join(counts,
             spine("o_custkey") === counts("c2") && spine("m") === counts("m2"), "left")
           .select(col("o_custkey"), col("m").cast(DateType).as("month"),
