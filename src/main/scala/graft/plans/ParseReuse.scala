@@ -60,11 +60,15 @@ object ParseCost {
   /** The expensive document-parse expression family. `VariantGet` is
     * included: it walks the variant binary and is the family's extraction
     * surface, so deferring/sharing it is profitable too.
+    * [[graft.expressions.JsonPathsExtract]] (the r19 shared multi-path
+    * extraction) is one full parse per evaluation, so it participates in
+    * deferral/sharing exactly like the GetJsonObject calls it replaces.
     */
   def isParse(e: Expression): Boolean = e match {
     case _: XmlToStructs | _: JsonToStructs | _: CsvToStructs => true
     case _: GetJsonObject | _: JsonTuple                      => true
     case _: VariantGet                                        => true
+    case _: graft.expressions.JsonPathsExtract                => true
     case s: StaticInvoke => s.functionName == "parseJson" // parse_json()
     case _ => false
   }
@@ -186,6 +190,112 @@ object FactorParse extends Rule[LogicalPlan] {
   }
 }
 
+/** Rule (4), r19: parse-once-extract-many for path-distinct JSON
+  * extraction (the single highest-leverage item of the r18 verdict).
+  *
+  * `FactorParse` shares canonically-EQUAL parses, but k `get_json_object`
+  * calls with k DIFFERENT paths over one document are k independent
+  * tokenizations of the same bytes — the v34 group seeds (fz26035 et al.)
+  * pay 3 full parses per row with no rule able to help. This rule rewrites
+  * every group of >=2 distinct-supported-path `GetJsonObject` calls over a
+  * canonically-equal document (in one Project list or one Filter
+  * condition) into a single [[graft.expressions.JsonPathsExtract]] —
+  * one streaming parse walking all paths — materialized in a sandwiched
+  * child projection, with each original call replaced by a positional
+  * `GetArrayItem` over the shared array.
+  *
+  * Per-slot results are byte-identical to the GetJsonObject calls they
+  * replace (the expression's parity contract + JsonMultiPathSpec's
+  * differential pin), and GetArrayItem over the null array reproduces the
+  * null-document/malformed-document NULLs, so values, row sets and
+  * ordering are unchanged. Gates: only paths in the compile() subset (no
+  * wildcards — their write-style semantics stay on the stock evaluator),
+  * deduped, prefix-free (conflicting paths keep their standalone calls);
+  * the document subtree must be deterministic and fully available from the
+  * child. The array indirection has a second, deliberate effect: the
+  * shared-parse projection below a Filter is no longer collapsible into
+  * the filter condition by physical ScanOperation (the array attribute is
+  * referenced k>=2 times), which keeps the parse evaluated once per row at
+  * execution, not once per predicate.
+  */
+object FactorPathExtraction extends Rule[LogicalPlan] {
+  import graft.expressions.{JsonMultiPath, JsonPathsExtract}
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def pathOf(g: GetJsonObject): Option[String] = g.path match {
+    case Literal(p: UTF8String, StringType) if p != null => Some(p.toString)
+    case _ => None
+  }
+
+  /** Mergeable groups across `exprs`: (document, distinct supported
+    * prefix-free paths in first-occurrence order) with >=2 paths.
+    */
+  private def groups(exprs: Seq[Expression], avail: AttributeSet)
+      : Seq[(Expression, Seq[String])] = {
+    val occ = exprs.flatMap(_.collect {
+      case g: GetJsonObject
+          if g.deterministic && g.json.references.subsetOf(avail) &&
+            pathOf(g).exists(p => JsonMultiPath.compile(p).isDefined) => g
+    })
+    occ.groupBy(_.json.canonicalized).values.toSeq.flatMap { gs =>
+      val paths = gs.flatMap(pathOf).distinct
+      val compiled = paths.map(p => p -> JsonMultiPath.compile(p).get)
+      // a prefix-conflicting path keeps its standalone GetJsonObject
+      val ok = compiled.filter { case (p, c) =>
+        compiled.forall { case (q, d) =>
+          (q == p) ||
+            !(c.length <= d.length && d.take(c.length).sameElements(c)) &&
+            !(d.length <= c.length && c.take(d.length).sameElements(d))
+        }
+      }.map(_._1)
+      if (ok.size >= 2) Some(gs.head.json -> ok) else None
+    }
+  }
+
+  /** Replace every merged GetJsonObject with its GetArrayItem slot. */
+  private def substitute(e: Expression, doc: Expression, paths: Seq[String],
+                         arr: Attribute): Expression = e.transform {
+    case g: GetJsonObject
+        if g.json.canonicalized == doc.canonicalized &&
+          pathOf(g).exists(paths.contains) =>
+      GetArrayItem(arr, Literal(paths.indexOf(pathOf(g).get)),
+        failOnError = false)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case p @ Project(list, child) if list.forall(_.deterministic) =>
+      val gs = groups(list, child.outputSet)
+      if (gs.isEmpty) p
+      else {
+        val shared = gs.map { case (doc, paths) =>
+          (doc, paths, Alias(JsonPathsExtract(doc, paths), "_json_paths")())
+        }
+        val inner = Project(child.output ++ shared.map(_._3), child)
+        val newList = list.map { ne =>
+          shared.foldLeft(ne: Expression) { case (e, (doc, paths, a)) =>
+            substitute(e, doc, paths, a.toAttribute)
+          }.asInstanceOf[NamedExpression]
+        }
+        Project(newList, inner)
+      }
+    case f @ Filter(cond, child) if cond.deterministic =>
+      val gs = groups(Seq(cond), child.outputSet)
+      if (gs.isEmpty) f
+      else {
+        val shared = gs.map { case (doc, paths) =>
+          (doc, paths, Alias(JsonPathsExtract(doc, paths), "_json_paths")())
+        }
+        val inner = Project(child.output ++ shared.map(_._3), child)
+        val c2 = shared.foldLeft(cond) { case (e, (doc, paths, a)) =>
+          substitute(e, doc, paths, a.toAttribute)
+        }
+        // restore the original schema above the widened filter
+        Project(child.output, Filter(c2, inner))
+      }
+  }
+}
+
 /** Rule (3): defer parse-bearing projections past a total-order top-k.
   *
   * Matches `GlobalLimit(n, LocalLimit(n, Sort(order, global=true,
@@ -272,16 +382,82 @@ object DeferParsePastTopK extends Rule[LogicalPlan] {
   }
 }
 
+/** Physical planning guard (r19): keep a parse materialized below a filter
+  * at execution time.
+  *
+  * The r18 logical rules leave shapes like `Filter(pred(xr.opt),
+  * Project(pk, xr = from_xml(...)))` — one parse per input row, the filter
+  * reading the materialized struct. But physical planning's ScanOperation
+  * (FileSourceStrategy's Project/Filter collector) substitutes a
+  * projection alias into a filter condition whenever the condition
+  * references it at most once, RE-INLINING the parse: the committed
+  * fz31006 capture shows `isnotnull(from_xml(...).opt)` evaluated per input
+  * row in the Filter AND `from_xml(...)` evaluated again per surviving row
+  * in the Project above it — N + 0.83N parses where N suffice. No logical
+  * rewrite can prevent this (extraOptimizations run before planning; the
+  * collapse is planner-side), so this Strategy claims the exact shape
+  * first (extraStrategies precede the built-ins) and plans it as
+  * `FilterExec(parse-conjuncts, ProjectExec(list, planLater(child')))`,
+  * pinning the filter ABOVE the projection. Conjuncts that do not touch a
+  * parse-bearing alias are pushed into child' so their scan pushdown is
+  * untouched; both execs whole-stage-codegen like the ScanOperation
+  * arrangement, so the only execution difference is the parse count.
+  * Values/rows are unchanged: the same conjunction is evaluated over the
+  * same rows, only the evaluation placement moves.
+  */
+object ParseProjectGuardStrategy
+    extends org.apache.spark.sql.execution.SparkStrategy with PredicateHelper {
+  import org.apache.spark.sql.execution.{FilterExec, ProjectExec, SparkPlan}
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Filter(cond, proj @ Project(list, child))
+        if cond.deterministic && list.forall(_.deterministic) => {
+      val parseAttrs = AttributeSet(list.collect {
+        case a: Alias if ParseCost.containsParse(a.child) => a.toAttribute
+      })
+      if (parseAttrs.isEmpty || cond.references.intersect(parseAttrs).isEmpty) {
+        Nil
+      } else {
+        val (up, down) = splitConjunctivePredicates(cond)
+          .partition(_.references.intersect(parseAttrs).nonEmpty)
+        val newChild: LogicalPlan =
+          if (down.isEmpty) child else Filter(down.reduce(And), child)
+        // explicit column pruning: claiming the Project here bypasses
+        // ScanOperation's needed-column computation, so restate it — the
+        // child subtree only has to produce what the projection reads
+        val needed = child.output.filter(list.map(_.references)
+          .foldLeft(AttributeSet.empty)(_ ++ _).contains)
+        val pruned: LogicalPlan =
+          if (needed.length == child.output.length) newChild
+          else Project(needed, newChild)
+        FilterExec(up.reduce(And),
+          ProjectExec(list, planLater(pruned))) :: Nil
+      }
+    }
+    case _ => Nil
+  }
+}
+
 object ParseReuseRules {
   val rules: Seq[Rule[LogicalPlan]] =
-    Seq(PullFilterAboveParseProject, FactorParse, DeferParsePastTopK)
+    Seq(PullFilterAboveParseProject, FactorPathExtraction, FactorParse,
+      DeferParsePastTopK)
 
-  /** Runtime installation beside LevenshteinBandRule; idempotent. */
+  /** Runtime installation beside LevenshteinBandRule; idempotent.
+    * SPARK_GRAFT_DISABLE_PARSE_REUSE=1 skips the whole family — a
+    * measurement hook only (isolated A/B of the rules themselves, r18
+    * verdict #8), never set in any declared surface.
+    */
   def install(spark: SparkSession): Unit = {
+    if (sys.env.get("SPARK_GRAFT_DISABLE_PARSE_REUSE").contains("1")) return
     val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
     if (missing.nonEmpty) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations ++ missing
+    }
+    if (!spark.experimental.extraStrategies.contains(ParseProjectGuardStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ ParseProjectGuardStrategy
     }
   }
 }
