@@ -469,31 +469,45 @@ object ExtendedQueries {
         "spine between their first and last order, zero-filled from the " +
         "per-month counts — the time-series densification every warehouse " +
         "needs (sequence + explode generates the spine distributively; no " +
-        "driver-side calendar loop). r18 optimization: the original form " +
-        "scanned orders twice (once for the per-customer bounds, once for " +
-        "the per-month counts). Since the bounds are derivable FROM the " +
-        "counts (min/max over a group's distinct months equals min/max " +
-        "over its rows), the bounds aggregation now chains off the counts: " +
-        "1 scan of orders instead of 2, with the second exchange shrinking " +
-        "to one row per (customer, month). A map-lookup form that also " +
-        "removed the join measured SLOWER at sf0.1 (the per-customer " +
-        "month->count map is duplicated into every exploded spine row), " +
-        "so the broadcast-friendly left join stays. Equivalence: min/max " +
-        "compose over the two-level grouping; oracle-hash-checked at all " +
+        "driver-side calendar loop). r19 optimization (correcting r18's " +
+        "attempt): the original form scanned orders twice — once for the " +
+        "per-customer bounds, once for the per-month counts — and joined " +
+        "the exploded spine back to the counts. r18 chained the bounds " +
+        "AGGREGATE off the counts, but RemoveRedundantAggregates collapses " +
+        "an aggregate over the inner aggregate's grouping keys straight " +
+        "back onto the base, so the committed r18 plan still showed two " +
+        "scans (the r19 verdict caught the false claim), and a two-consumer " +
+        "reuse form dead-ends too: the join infers IsNotNull on its count " +
+        "side where the spine side must keep the null-customer group, so " +
+        "the subtrees never match for ReuseExchange. The r19 form removes " +
+        "the JOIN instead: each per-month counts row generates exactly the " +
+        "spine months it owns — its own month (carrying n) plus the gap " +
+        "months up to lead(month) (carrying 0), via one lead() window over " +
+        "the counts. Equivalence: a customer's months are distinct, so the " +
+        "runs [m_i, lead(m_i) - 1 month] partition [min(m), max(m)] — " +
+        "every spine month is generated exactly once, order months carry " +
+        "their count and gap months 0, exactly the left join's coalesce; " +
+        "null months (null o_orderdate) generate nothing in both forms " +
+        "(sequence(null) explodes to no rows; a null bound/join key " +
+        "matched nothing before). ONE Scan parquet of orders, no join " +
+        "(plans/r19/f19_date_spine_after.txt); oracle-hash-checked at all " +
         "three SFs.",
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         val o = Tables.orders(s, d)
           .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("m"))
-        val counts = o.groupBy(col("o_custkey").as("c2"), col("m").as("m2"))
+        val counts = o.groupBy(col("o_custkey"), col("m"))
           .agg(count(lit(1)).as("n"))
-        val bounds = counts.groupBy(col("c2").as("o_custkey"))
-          .agg(min(col("m2")).as("lo"), max(col("m2")).as("hi"))
-        val spine = bounds.select(col("o_custkey"),
-          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 MONTH"))).as("m"))
-        spine.join(counts,
-            spine("o_custkey") === counts("c2") && spine("m") === counts("m2"), "left")
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("m").asc)
+        val runEnd = coalesce(
+          lead(col("m"), 1).over(w) - expr("INTERVAL 1 MONTH"), col("m"))
+        counts
+          .select(col("o_custkey"), col("m"), col("n"), runEnd.as("run_end"))
+          .select(col("o_custkey"), col("m").as("m0"), col("n"),
+            explode(sequence(col("m"), col("run_end"),
+              expr("INTERVAL 1 MONTH"))).as("m"))
           .select(col("o_custkey"), col("m").cast(DateType).as("month"),
-            coalesce(col("n"), lit(0L)).as("n_orders"))
+            when(col("m") === col("m0"), col("n")).otherwise(lit(0L)).as("n_orders"))
           .orderBy("o_custkey", "month")
       },
       Some("""WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m FROM orders),
