@@ -128,6 +128,16 @@ object Bench {
     (run.result(), skip.result())
   }
 
+  /** Noisy-spread escalation for BASELINE-LESS entries (their first
+    * committed number has no requeue protection, so it must not be a
+    * single co-loaded draw). r19 (verdict #6): the old `best < 1.0`
+    * magnitude scope is gone — fz31017's 16.3 s co-load draw (0.97 s in
+    * every other window) sat outside it exactly because it was huge.
+    * Gated entries never escalate in place; the warm requeue owns them.
+    */
+  def noisySpread(hasBaseline: Boolean, best: Double, worst: Double): Boolean =
+    !hasBaseline && worst > 1.5 * best
+
   /** Named catalog entries rotated OUT of the default bench window
     * (r16 verdict #4 — cap named-suite growth by rotating superseded /
     * verification-baseline forms). Rotation affects the BENCH artifact
@@ -221,9 +231,11 @@ object Bench {
       // past their thresholds. Over-baseline queries are handled by the
       // END-of-window requeue loop below, where the JVM is at the same
       // full-window warmth the committed minima were measured at.
+      // r19 (verdict #6): the decision lives in Bench.noisySpread — see
+      // its doc for why the old `best < 1.0` magnitude scope is gone.
       var noisy = false
       def target: Int =
-        if (baseline.get(name).isEmpty && best < 1.0 && worst > 1.5 * best) {
+        if (noisySpread(baseline.get(name).isDefined, best, worst)) {
           noisy = true; math.max(runs, 5)
         } else runs
       while (n < target) {

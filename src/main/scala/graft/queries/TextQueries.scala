@@ -241,61 +241,32 @@ object TextQueries {
         "with e = adjacent-equal pairs and r = runs of length ≥ 2, the " +
         "duplicated-instance count is exactly e + r (a run of k equal " +
         "grams has k-1 adjacent-equal pairs and contributes k = (k-1)+1 " +
-        "instances). Built ONLY from slice/zip_with/aggregate with " +
-        "lambda-bound elements — HOFs are interpreted (CodegenFallback) " +
-        "and do no subexpression elimination, so element_at into an outer " +
-        "array inside a lambda re-evaluates that array's whole tree per " +
-        "iteration (the MinHash-scaladoc eval-storm class; the first form " +
-        "of this query did exactly that and went O(n² log n) per doc). " +
-        "The oracle is the independent explode → groupBy(doc, gram) → " +
-        "re-aggregate construction, so the differential crosses two plan " +
-        "shapes, not just two engines. At 100 TB the projection form " +
-        "shuffles nothing; the explode form would shuffle the corpus.",
+        "instances). r19: the r13-era HOF pipeline (shifted-slice zip_with " +
+        "grams, comparator array_sort, aggregate fold) is replaced by the " +
+        "native DupNgramStats expression — HOFs never enter whole-stage " +
+        "codegen and re-evaluate per reference, so the old form paid ~6 " +
+        "split(text) evaluations plus an interpreted O(n log n) sort plus " +
+        "an interpreted fold per row. The expression tokenizes once " +
+        "(byte-scan identical to split-on-space, differentially pinned in " +
+        "TextGateExpressionsSpec) and hash-counts gram slices of the " +
+        "original text bytes; sum of counts >= 2 is the same e+r " +
+        "statistic. The oracle is the independent explode → groupBy(doc, " +
+        "gram) → re-aggregate construction, so the differential crosses " +
+        "two implementations, not just two engines. At 100 TB the " +
+        "projection form shuffles nothing; the explode form would shuffle " +
+        "the corpus.",
       (s, d) => {
-        val nTok = size(toks)
-        val n = nTok - 2 // gram count; ≥ 1 after the WHERE
-        // trigrams via shifted slices zipped pairwise — every lambda reads
-        // only its bound element variables, never indexes an outer array
-        val t1 = slice(toks, lit(1), n)
-        val t2 = slice(toks, lit(2), n)
-        val t3 = slice(toks, lit(3), n)
-        val grams = zip_with(zip_with(t1, t2,
-            (a, b) => concat(a, lit(" "), b)), t3,
-          (ab, c) => concat(ab, lit(" "), c))
-        val sorted = array_sort(grams)
-        // adjacent-equal flags over the sorted grams: eqs(i) = 1 iff
-        // sorted(i) == sorted(i+1); n-1 entries (empty when n == 1)
-        // ONE fold over the sorted grams, tracking (previous element,
-        // previous-equal flag, count): an element equal to its
-        // predecessor adds 2 when it STARTS a run (its predecessor — the
-        // run head — is an instance too) and 1 when it extends one, so a
-        // run of k equal grams contributes 2 + (k-2) = k — exactly its
-        // instance count. `sorted` is referenced ONCE: every reference to
-        // an interpreted HOF tree re-evaluates it per row, so reference
-        // count is the cost driver. The "" sentinel never equals a gram
-        // (three tokens joined by two spaces are never empty).
-        val dupCnt = aggregate(
-          sorted,
-          struct(lit("").as("prev"), lit(0L).as("peq"), lit(0L).as("acc")),
-          (st, x) => {
-            val isEq = x === st.getField("prev")
-            struct(
-              x.as("prev"),
-              when(isEq, 1L).otherwise(0L).as("peq"),
-              (st.getField("acc") + when(isEq,
-                when(st.getField("peq") === 1L, 1L).otherwise(2L))
-                .otherwise(0L)).as("acc"))
-          },
-          st => st.getField("acc"))
+        import graft.expressions.TextGateExpressions.dupNgramStats
         Tables.documents(s, d)
           .where(size(toks) >= 3)
-          // two-stage select: dup_grams is non-cheap and referenced twice
-          // downstream, so CollapseProject (SPARK-36718) keeps the
-          // boundary and the gram pipeline evaluates ONCE per row
+          // two-stage select: the stats struct is non-cheap and referenced
+          // twice downstream, so CollapseProject (SPARK-36718) keeps the
+          // boundary and the tokenize-and-count runs ONCE per row
+          .select(col("doc_id"), dupNgramStats(col("text")).as("st"))
           .select(
             col("doc_id"),
-            n.cast(LongType).as("n_grams"),
-            dupCnt.as("dup_grams"))
+            col("st").getField("n_grams").as("n_grams"),
+            col("st").getField("dup_grams").as("dup_grams"))
           .select(
             col("doc_id"), col("n_grams"), col("dup_grams"),
             round(col("dup_grams").cast(DoubleType)
@@ -526,20 +497,26 @@ object TextQueries {
         "fraction vary and carry the oracle comparison). The distinct-" +
         "member count and gate are pure integer/set operations (exact " +
         "cross-engine); only the display fraction rounds. Zero-shuffle " +
-        "per-document projection plus the output sort.",
+        "per-document projection plus the output sort. r19: the three " +
+        "independent token statistics (each re-splitting the document — " +
+        "the filter() HOF is interpreted and blocks subexpression " +
+        "elimination) are now ONE native StopwordStats pass; tokenization " +
+        "parity with split-on-space is differentially pinned in " +
+        "TextGateExpressionsSpec.",
       (s, d) => {
+        import graft.expressions.TextGateExpressions.stopwordStats
         val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-        val nW = size(toks).cast(LongType)
-        val present = size(array_intersect(array_distinct(toks),
-          array(stops.map(lit): _*))).cast(LongType)
-        val stopToks = size(filter(toks,
-          t => t.isin(stops.map(x => x: Any): _*))).cast(LongType)
-        Tables.documents(s, d).select(
-          col("doc_id"), nW.as("n_words"),
-          present.as("n_stopwords"),
-          round(stopToks.cast(DoubleType) / nW.cast(DoubleType), 4).as("stop_frac"),
-          (present >= 2).as("pass_stopwords")
-        ).orderBy("doc_id")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            stopwordStats(col("text"), stops).as("st"))
+          .select(
+            col("doc_id"),
+            col("st").getField("n_words").as("n_words"),
+            col("st").getField("n_stopwords").as("n_stopwords"),
+            round(col("st").getField("stop_tokens").cast(DoubleType)
+              / col("st").getField("n_words").cast(DoubleType), 4).as("stop_frac"),
+            (col("st").getField("n_stopwords") >= 2).as("pass_stopwords"))
+          .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -84,6 +84,18 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.ambientFactor(Seq.fill(100)(1.05) :+ 50.0) == 1.05)
   }
 
+  test("noisySpread: baseline-less entries escalate at any magnitude (r19 verdict #6)") {
+    // the fz31017 class: a NEW entry whose draws spike on co-load — the
+    // old `best < 1.0` scope left a 16.3 s first draw un-resampled exactly
+    // because it was huge; magnitude no longer matters
+    assert(Bench.noisySpread(hasBaseline = false, best = 9.0, worst = 16.3))
+    assert(Bench.noisySpread(hasBaseline = false, best = 0.1, worst = 0.2))
+    // a tight spread does not escalate (nothing to resample toward)
+    assert(!Bench.noisySpread(hasBaseline = false, best = 9.0, worst = 10.0))
+    // gated entries never escalate in place: the warm requeue owns them
+    assert(!Bench.noisySpread(hasBaseline = true, best = 9.0, worst = 16.3))
+  }
+
   test("capRequeue: admits in order while estimated cost fits, skips + flags the tail") {
     val over = Seq("a" -> 10.0, "b" -> 20.0, "c" -> 5.0, "d" -> 1.0)
     // budget 70: a(20) + b(40) fit (60 used); c(10) would hit exactly 70 -> fits; d(2) over

@@ -64,7 +64,10 @@ class ParseReuseSpec extends AnyFunSuite {
     val after = optimizedPlan(optimized, "fz26029")
     assert(parseCountBelowLimit(before) == 5, "un-optimized plan parses below the limit")
     assert(parseCountBelowLimit(after) == 0, "rules must defer every parse past the limit")
-    assert(parseCount(after) == 5, "the extraction itself is unchanged, just relocated")
+    // r19: FactorPathExtraction additionally merges the 5 distinct-path
+    // get_json_object calls into ONE shared json_paths_extract evaluation
+    assert(parseCount(after) == 1,
+      "the 5 relocated extractions share one multi-path parse")
   }
 
   test("fz31044 (v39 proj): from_xml deferred past the top-k") {
