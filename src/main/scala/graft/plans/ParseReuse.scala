@@ -172,9 +172,16 @@ object FactorParse extends Rule[LogicalPlan] {
         case None => p
         case Some(e) =>
           val shared = Alias(e, "_parse_shared")()
-          val inner = Project(child.output :+ shared, child)
           val newList = list.map(ne =>
             substitute(ne, e, shared.toAttribute).asInstanceOf[NamedExpression])
+          // pass through only what the substituted list still reads: this
+          // rule runs AFTER ColumnPruning, so a child.output pass-through
+          // would re-widen the scan (r19: f17's 1-parse plan read all six
+          // event columns and measured no faster than the 2-parse plan)
+          val needed = AttributeSet(newList.flatMap(_.references)) -
+            shared.toAttribute
+          val inner = Project(child.output.filter(needed.contains) :+ shared,
+            child)
           Project(newList, inner)
       }
     case f @ Filter(cond, child) if cond.deterministic =>
@@ -271,12 +278,17 @@ object FactorPathExtraction extends Rule[LogicalPlan] {
         val shared = gs.map { case (doc, paths) =>
           (doc, paths, Alias(JsonPathsExtract(doc, paths), "_json_paths")())
         }
-        val inner = Project(child.output ++ shared.map(_._3), child)
         val newList = list.map { ne =>
           shared.foldLeft(ne: Expression) { case (e, (doc, paths, a)) =>
             substitute(e, doc, paths, a.toAttribute)
           }.asInstanceOf[NamedExpression]
         }
+        // prune the pass-through like FactorParse: post-ColumnPruning, a
+        // child.output pass-through re-widens the scan
+        val needed = AttributeSet(newList.flatMap(_.references)) --
+          AttributeSet(shared.map(_._3.toAttribute))
+        val inner = Project(
+          child.output.filter(needed.contains) ++ shared.map(_._3), child)
         Project(newList, inner)
       }
     case f @ Filter(cond, child) if cond.deterministic =>
