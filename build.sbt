@@ -32,3 +32,33 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// r19 (verdict #5): the full suite ran 68 min sequentially — past the round
+// driver's budget (r18 recorded tests_ok=false from a budget kill mid-run,
+// not from a failure). Per-suite timing of that run: FuzzSpec 21 min,
+// StreamFuzzSpec 17, StreamCutFuzzSpec 8.4, MetamorphicSpec 8, 
+// QueryCatalogSpec 6.7, everything else ~7 combined. The five heavy suites
+// now fork into their own JVMs and run concurrently — each gets its own
+// JVM-private Spark session, so there is no shared-session state to race —
+// and the remaining suites share one JVM with suite-level parallelism.
+// Wall becomes max(slowest suite), not the sum. Suites WITHIN a JVM stay
+// sequential (testForkedParallel broke three tests in validation: the
+// CacheManager is SharedState — PlanSignatureSpec's clearCache raced
+// AnnSpec's localCheckpoint release and dd-query cache substitution
+// shifted two plan signatures mid-suite; several specs document the
+// "suites are sequential in this JVM" assumption). Cross-JVM there is no
+// shared mutable state: PersistedTableCache/CacheManager are per-JVM
+// in-memory, temp dirs are per-JVM, corpus reads are read-only.
+Test / testGrouping := {
+  val heavy = Set("graft.FuzzSpec", "graft.FuzzSpecMid", "graft.FuzzSpecLate",
+    "graft.StreamFuzzSpec", "graft.StreamCutFuzzSpec", "graft.MetamorphicSpec",
+    "graft.QueryCatalogSpec")
+  val fo = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withEnvVars((Test / envVars).value)
+  val (big, rest) = (Test / definedTests).value.partition(t => heavy(t.name))
+  big.map(t => Tests.Group(t.name, Seq(t), Tests.SubProcess(fo))) :+
+    Tests.Group("rest", rest, Tests.SubProcess(fo))
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(10), Tags.limit(Tags.ForkedTestGroup, 8))

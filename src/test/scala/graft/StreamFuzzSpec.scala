@@ -27,8 +27,12 @@ import graft.fuzz.StreamFuzzGen
 class StreamFuzzSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  // r19 (verdict #5): in-suite default 60 -> 30 so the suite fits the round
+  // driver's sbt-test budget; every per-shape/per-variant floor below is
+  // nSeeds-relative so coverage stays honest at any width, and the >= 200-
+  // seed soaks keep running through the env knob (recorded in BASELINE.md).
   private val nSeeds: Int =
-    sys.env.get("GRAFT_STREAM_FUZZ_SEEDS").map(_.toInt).getOrElse(60)
+    sys.env.get("GRAFT_STREAM_FUZZ_SEEDS").map(_.toInt).getOrElse(30)
 
   private lazy val allEvents: Vector[CutFuzzEvent] = {
     import spark.implicits._
